@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-aware defaults.
+
+Semantics pinned here (documented deviations from Spark 4 defaults):
+
+- ``spark.sql.ansi.enabled=false`` — the reference relies on BigQuery
+  ``SAFE_CAST`` / ``SAFE_OFFSET`` NULL-on-failure semantics
+  (reference silver.sql:55,250,530-536; gold.sql:22). With ANSI off,
+  ``cast`` and ``getItem`` return NULL instead of raising, which is the
+  exact behavior to replicate. ``try_cast``/``try_divide`` are still used
+  in expressions for self-documentation.
+- ``spark.sql.session.timeZone=UTC`` — BigQuery ``CAST(x AS TIMESTAMP)``
+  treats date-only strings as midnight UTC; pinning UTC keeps Spark, the
+  DuckDB oracle, and parquet timestamps in agreement.
+- AQE on (coalesce partitions + skew-join) — at 100 TB the static shuffle
+  partition count is always wrong for some stage; AQE re-plans at runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "gcp-healthcare-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's pinned semantics.
+
+    On a real cluster, ``master`` comes from spark-submit; locally we
+    default to ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # -- semantics ----------------------------------------------------
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- adaptive execution -------------------------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- shuffle sizing: 32 locally; a 1000-executor cluster overrides
+        #    via spark-submit --conf (AQE coalesces the excess anyway).
+        .config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
+        )
+        # -- scan sizing: default 128m is right for the 100 TB target;
+        #    pushdown + pruning stay on (Spark defaults, pinned for clarity)
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # -- Arrow for any pandas_udf / toPandas hop ----------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # quiet progress bars in test output
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read one or more parquet tables from a scale-factor directory.
+
+    Returns a single DataFrame for one name, else a dict. Columnar scan +
+    Catalyst column pruning / predicate pushdown apply automatically.
+    """
+    dfs = {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+    if len(names) == 1:
+        return dfs[names[0]]
+    return dfs

@@ -1,0 +1,97 @@
+"""Local driver-style correctness check: Spark vs DuckDB oracle.
+
+Mirrors the driver's compare (row count + schema + order-insensitive
+value hash after sorting columns by name) so queries can be validated
+before each round's official run.
+
+Usage: python tools/check.py [query_name ...] [--sf /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df):
+    """Sort columns by name, then rows; stringify floats to 9 sig digits."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].map(lambda x: None if pd.isna(x) else f"{x:.9g}")
+        else:
+            df[c] = df[c].map(lambda x: None if x is None or x != x else str(x))
+    df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
+        drop=True
+    )
+    return df
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    from gcp_healthcare_data_pipeline_spark.queries import all_queries
+    from gcp_healthcare_data_pipeline_spark.session import get_spark
+
+    specs = all_queries()
+    names = args.names or list(specs)
+    spark = get_spark("check")
+    con = duck_con(args.sf)
+
+    failures = 0
+    for name in names:
+        spec = specs[name]
+        t0 = time.time()
+        sdf = spec.fn(spark, args.sf).toPandas()
+        t_spark = time.time() - t0
+        if spec.oracle is None:
+            print(f"[rows-only] {name}: {len(sdf)} rows  ({t_spark:.1f}s)")
+            continue
+        odf = con.sql(spec.oracle).df()
+        a, b = normalize(sdf), normalize(odf)
+        status = "OK"
+        if list(a.columns) != list(b.columns):
+            status = f"SCHEMA MISMATCH {list(a.columns)} vs {list(b.columns)}"
+        elif len(a) != len(b):
+            status = f"ROWCOUNT {len(a)} vs {len(b)}"
+        elif not a.equals(b):
+            diff = (a != b) & ~(a.isna() & b.isna())
+            bad = diff.any(axis=1)
+            status = f"VALUES differ in {int(bad.sum())}/{len(a)} rows"
+            ex = a[bad].head(3), b[bad].head(3)
+            status += f"\n  spark:\n{ex[0]}\n  oracle:\n{ex[1]}"
+        if status != "OK":
+            failures += 1
+        print(f"[{status.splitlines()[0]}] {name}: {len(a)} rows ({t_spark:.1f}s)")
+        if status != "OK" and "\n" in status:
+            print("\n".join(status.splitlines()[1:]))
+    print(f"\n{len(names) - failures}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
