@@ -1,0 +1,1 @@
+from gcp_healthcare_data_pipeline_spark.operators.scd2 import scd2_merge  # noqa: F401
