@@ -1,3 +1,161 @@
-from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec  # noqa: F401
+"""Text-analysis queries over the ``documents`` table (north-star ops:
+language-ID, quality scoring, token counting, fingerprinting)."""
 
-QUERIES: list[QuerySpec] = []
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    fingerprint,
+    lang_predict,
+    lang_scores,
+    punct_count,
+    token_count,
+    tokens,
+)
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        token_count(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length("text").alias("char_len"),
+    )
+
+
+_ORACLE_TOKEN_COUNT = """
+SELECT
+  doc_id,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+  LENGTH(text) AS char_len
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio heuristics.
+
+    Score formula is plain double arithmetic (identical expression tree in
+    the oracle => bit-identical), rounded to 6dp.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    docs = docs.withColumn("_toks", tokens("text"))
+    n_tok = F.size("_toks").cast("double")
+    stop = F.size(
+        F.filter(
+            F.col("_toks"),
+            lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS]), t),
+        )
+    ).cast("double")
+    punct_ratio = punct_count(F.col("text")).cast("double") / F.length("text")
+    stop_ratio = stop / n_tok
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_ORACLE_TEXT_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS DOUBLE) AS n_tok,
+    CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) AS stop,
+    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         AS DOUBLE) / LENGTH(text) AS punct_ratio
+  FROM d
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  ROUND(punct_ratio, 6) AS punct_ratio,
+  ROUND(stop / n_tok, 6) AS stopword_ratio,
+  ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+      + 0.4 * (1.0 - punct_ratio)
+      + 0.2 * LEAST(stop / n_tok * 5.0, 1.0), 6) AS quality_score
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic argmax tie-break."""
+    docs = load_tables(spark, sf_dir, "documents")
+    docs = docs.withColumn("_toks", tokens("text"))
+    scores = lang_scores(F.col("_toks"))
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("en_score"),
+        scores["es"].alias("es_score"),
+        scores["de"].alias("de_score"),
+        lang_predict(scores["en"], scores["es"], scores["de"]).alias("predicted"),
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+
+
+_ORACLE_LANG_ID = f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, t -> t IN ({_marker_sql('en')}))) AS en_score,
+    len(list_filter(toks, t -> t IN ({_marker_sql('es')}))) AS es_score,
+    len(list_filter(toks, t -> t IN ({_marker_sql('de')}))) AS de_score
+  FROM d
+)
+SELECT doc_id, en_score, es_score, de_score,
+  CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score > 0
+         THEN 'en'
+       WHEN es_score >= de_score AND es_score > 0 THEN 'es'
+       WHEN de_score > 0 THEN 'de'
+       ELSE 'und' END AS predicted
+FROM s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: raw md5 + order-insensitive token-set md5."""
+    docs = load_tables(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("exact_hash"),
+        fingerprint(toks).alias("tokenset_hash"),
+    )
+
+
+_ORACLE_FINGERPRINT = """
+SELECT
+  doc_id,
+  md5(text) AS exact_hash,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS tokenset_hash
+FROM documents
+"""
+
+
+QUERIES = [
+    QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
+    QuerySpec("q_text_quality", q_text_quality, _ORACLE_TEXT_QUALITY, "ext:text"),
+    QuerySpec("q_lang_id", q_lang_id, _ORACLE_LANG_ID, "ext:text"),
+    QuerySpec("q_fingerprint", q_fingerprint, _ORACLE_FINGERPRINT, "ext:text"),
+]

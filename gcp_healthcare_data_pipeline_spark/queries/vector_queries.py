@@ -1,3 +1,112 @@
-from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec  # noqa: F401
+"""Similarity-search queries over ``embeddings`` (north-star ops).
 
-QUERIES: list[QuerySpec] = []
+The oracle computes the identical double-precision dot products with
+DuckDB list lambdas (not ``list_cosine_similarity``, whose internal
+accumulation could differ); both sides round to 6dp before ranking, with
+vec_id tie-breaks, so ranks are engine-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.functions.vectors import as_double, cosine
+from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+_K = 5
+
+_COS_SQL = """
+ROUND(
+  list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i]))
+  / (SQRT(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])))
+   * SQRT(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])))),
+  6)
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors (vec_id % 100 = 0)."""
+    emb = load_tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries, k=_K)
+
+
+_ORACLE_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim
+  FROM q JOIN c ON query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a deterministic subset
+    (vec_id % 5 = 0), threshold on rounded cosine."""
+    emb = load_tables(spark, sf_dir, "embeddings")
+    sub = emb.filter(F.col("vec_id") % 5 == 0).select(
+        "vec_id", as_double("embedding").alias("_v")
+    )
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+_ORACLE_EMBEDDING_NEARDUP = f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 = 0
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_COS_SQL} AS cos_sim
+FROM pairs
+WHERE {_COS_SQL} >= 0.35
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via deterministic random-hyperplane LSH buckets.
+
+    The scale path: each query scores only its bucket. Not SQL-oracled
+    (nested-HOF signature is Spark-specific); the driver records rows-only,
+    and tests/test_similarity.py checks recall against brute force.
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return lsh_bucket_topk(emb, queries, k=_K, bits=4, dims=64)
+
+
+QUERIES = [
+    QuerySpec("q_ann_topk", q_ann_topk, _ORACLE_ANN_TOPK, "ext:similarity"),
+    QuerySpec(
+        "q_embedding_neardup", q_embedding_neardup, _ORACLE_EMBEDDING_NEARDUP,
+        "ext:dedup ext:similarity",
+    ),
+    QuerySpec("q_ann_lsh", q_ann_lsh, None, "ext:similarity"),
+]

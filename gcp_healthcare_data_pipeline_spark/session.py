@@ -58,6 +58,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # -- Arrow for any pandas_udf / toPandas hop ----------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        #    reader rejects; read as raw nanos-since-epoch BIGINT and do
+        #    event-time math in integer microseconds (ts DIV 1000), which
+        #    matches DuckDB's micros-truncating TIMESTAMP_NS read exactly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quiet progress bars in test output
         .config("spark.ui.showConsoleProgress", "false")
     )

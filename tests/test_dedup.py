@@ -1,0 +1,71 @@
+"""Dedup operator unit tests on tiny corpora with known structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard,
+    lsh_candidate_pairs,
+    with_minhash,
+    with_shingles,
+    with_simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about spark distributed query engines"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "tiny"),  # < 3 tokens: dropped by shingling
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    out = {
+        r.content_hash: (r.keeper_id, r.n_copies)
+        for r in exact_dedup(_docs(spark), "text", "doc_id").collect()
+    }
+    # 1 and 4 collapse; keeper is min id
+    assert (1, 2) in out.values()
+    assert len(out) == 4
+
+
+def test_shingles_guard_short_docs(spark):
+    sh = with_shingles(_docs(spark), "text", n=3)
+    ids = [r.doc_id for r in sh.select("doc_id").collect()]
+    assert 5 not in ids and len(ids) == 4
+    row = {r.doc_id: r.shingles for r in sh.collect()}
+    assert "the quick brown" in row[1]
+
+
+def test_lsh_finds_near_and_exact_dups(spark):
+    sig = with_minhash(with_shingles(_docs(spark), "text", 3), "shingles", k=12)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, "doc_id", "sig", 6, 2).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup found
+    assert (1, 3) not in pairs  # unrelated docs don't collide
+
+
+def test_jaccard_values(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c", "d"])], "sa array<string>, sb array<string>"
+    )
+    assert df.select(jaccard(F.col("sa"), F.col("sb")).alias("j")).first().j == 0.5
+
+
+def test_simhash_exact_dups_equal_signatures(spark):
+    out = {r.doc_id: r.simhash for r in with_simhash(_docs(spark), "text").collect()}
+    assert out[1] == out[4]
+    assert 0 <= out[1] < 2**16
+    # near-dup should be closer in hamming distance than unrelated doc
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(out[1], out[2]) <= ham(out[1], out[3])

@@ -1,0 +1,57 @@
+"""Similarity-search operator tests: exactness of brute force, recall of LSH."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucket_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_brute_force_matches_numpy(spark):
+    import numpy as np
+
+    emb = _emb(spark)
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    q = vecs[0]
+    sims = {
+        i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for i, v in vecs.items()
+        if i != 0
+    }
+    expected = sorted(sims, key=lambda i: (-round(sims[i], 6), i))[:5]
+
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=5)
+    got = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert got == expected
+    top = out.filter(F.col("rank") == 1).first()
+    assert math.isclose(top.cos_sim, round(sims[got[0]], 6), abs_tol=1e-6)
+
+
+def test_lsh_topk_subset_of_bucket_and_sane(spark):
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = lsh_bucket_topk(emb, queries, k=5, bits=2, dims=64)
+    rows = out.collect()
+    assert len(rows) > 0
+    # ranks are dense per query, cosine within [-1, 1]
+    for r in rows:
+        assert 1 <= r.rank <= 5
+        assert -1.0 <= r.cos_sim <= 1.0
+    # with 2-bit buckets (~4 buckets), recall vs brute force should be
+    # meaningful for at least one query
+    bf = brute_force_topk(emb, queries, k=5)
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    lsh_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(bf_pairs & lsh_pairs) > 0
