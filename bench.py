@@ -1,0 +1,56 @@
+"""Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full cold plan -> execute -> count pass (no
+result caching between queries; inputs stay OS-page-cached, which is the
+steady-state at a warehouse). A tiny warmup action first so JVM/codegen
+startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gcp_healthcare_data_pipeline_spark.queries import all_queries  # noqa: E402
+from gcp_healthcare_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer reads
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in all_queries().items():
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,24 +72,36 @@ def scd2_merge(
     tracked_cols: Sequence[str],
     ts: Column,
     *,
+    carry_cols: Sequence[str] = (),
     strict_reference_semantics: bool = True,
 ) -> DataFrame:
     """Apply one SCD2 run; returns the complete new target state.
 
-    ``target`` columns: key_cols + tracked_cols + (inserted_date,
-    modified_date, is_current). ``source``: key_cols + tracked_cols.
+    ``target`` columns: key_cols + tracked_cols + carry_cols +
+    (inserted_date, modified_date, is_current); ``source``: the same data
+    columns. ``carry_cols`` ride along each row version (e.g. datasource,
+    is_quarantined) but do NOT participate in change detection — matching
+    the reference MERGE, whose UPDATE clause only compares the tracked
+    attribute list (silver.sql:147-158).
     """
-    data_cols = [*key_cols, *tracked_cols]
+    data_cols = [*key_cols, *tracked_cols, *carry_cols]
 
     current = target.filter(F.col("is_current"))
     history = target.filter(~F.col("is_current"))
 
+    # presence markers classify join sides without relying on key nullity:
+    # NULL business keys never match in the join (BigQuery MERGE ON
+    # semantics) but their rows must still be kept/inserted correctly.
     t = current.select(
         *[F.col(c).alias(f"t_{c}") for c in data_cols],
         "inserted_date",
         "modified_date",
+        F.lit(True).alias("_t_present"),
     )
-    s = source.select(*[F.col(c).alias(f"s_{c}") for c in data_cols])
+    s = source.select(
+        *[F.col(c).alias(f"s_{c}") for c in data_cols],
+        F.lit(True).alias("_s_present"),
+    )
 
     join_cond = None
     for k in key_cols:
@@ -97,14 +109,12 @@ def scd2_merge(
         join_cond = term if join_cond is None else (join_cond & term)
     j = t.join(s, join_cond, "full_outer")
 
-    matched = F.col(f"s_{key_cols[0]}").isNotNull() & F.col(
-        f"t_{key_cols[0]}"
-    ).isNotNull()
+    matched = F.col("_t_present").isNotNull() & F.col("_s_present").isNotNull()
     # fires only when the OR of <> terms is literally TRUE (see module doc)
     expire = matched & _any_tracked_differs(tracked_cols)
 
     # target-side rows: keep; expire the changed ones
-    from_target = j.filter(F.col(f"t_{key_cols[0]}").isNotNull()).select(
+    from_target = j.filter(F.col("_t_present").isNotNull()).select(
         *[F.col(f"t_{c}").alias(c) for c in data_cols],
         F.col("inserted_date"),
         F.when(expire, ts).otherwise(F.col("modified_date")).alias(
@@ -115,7 +125,9 @@ def scd2_merge(
 
     # source-side inserts: NOT MATCHED only (strict), or also new versions
     # of changed keys (corrected mode)
-    insert_filter = F.col(f"t_{key_cols[0]}").isNull()
+    insert_filter = F.col("_s_present").isNotNull() & F.col(
+        "_t_present"
+    ).isNull()
     if not strict_reference_semantics:
         insert_filter = insert_filter | expire
     inserts = j.filter(insert_filter).select(

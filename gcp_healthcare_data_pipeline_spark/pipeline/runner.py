@@ -1,0 +1,266 @@
+"""Config-driven medallion pipeline runner (SURVEY §3 EP1-EP3, §2.11).
+
+Replaces the reference's Airflow→Dataproc→BigQuery chain with a single
+process driving Spark stages over a filesystem warehouse:
+
+    landing (JSON) -> bronze (parquet) -> silver (conform+SCD2) -> gold
+
+Semantics preserved: config-as-data table loop with full/incremental
+dispatch (C1), audit-ledger high-watermark (C2), archive-before-load (C5),
+per-table error isolation (C6), structured logging (C3), quarantine +
+SCD2 in silver, truncate-and-reload gold marts.
+
+Scale posture: all stage boundaries are parquet (restartable, columnar,
+partition-prunable); no toPandas/collect on data paths — the only driver
+round-trips are scalar watermark lookups and the config loop, both O(1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.operators.scd2 import (
+    scd2_initial,
+    scd2_merge,
+)
+from gcp_healthcare_data_pipeline_spark.pipeline.audit import (
+    AuditLedger,
+    PipelineLogger,
+)
+from gcp_healthcare_data_pipeline_spark.plans import gold as gold_plans
+from gcp_healthcare_data_pipeline_spark.plans.conform import (
+    ENTITIES,
+    conform_source,
+    conform_union,
+    normalize_cpt_headers,
+)
+from gcp_healthcare_data_pipeline_spark.schemas import (
+    CLAIMS,
+    CPT_CODES_RAW,
+    EMR_TABLES,
+    LOAD_CONFIG,
+)
+from gcp_healthcare_data_pipeline_spark.sources.readers import read_csv
+from gcp_healthcare_data_pipeline_spark.sources.writers import (
+    archive_landing_files,
+    write_landing_json,
+)
+
+
+@dataclass
+class SourcePaths:
+    """Where raw inputs live: emr[datasource][table] -> csv path,
+    claims -> glob, cptcodes -> path, load_config -> csv path."""
+
+    emr: dict[str, dict[str, str]]
+    claims_glob: str
+    cptcodes: str
+    load_config: str
+
+
+class Runner:
+    def __init__(
+        self, spark: SparkSession, warehouse: str, clock: datetime | None = None
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.clock = clock or datetime.utcnow()
+        self.ledger = AuditLedger(spark, os.path.join(warehouse, "control"))
+        self.logger = PipelineLogger(spark, os.path.join(warehouse, "control"))
+
+    # -- path helpers ------------------------------------------------------
+    def _zone(self, *parts: str) -> str:
+        return os.path.join(self.warehouse, *parts)
+
+    def _write_replace(self, df: DataFrame, path: str) -> None:
+        """Safe overwrite even when ``df`` reads from ``path``: write to a
+        temp dir, then swap. (INSERT OVERWRITE onto your own input loses
+        the data in plain-parquet Spark.)"""
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def _ts(self) -> F.Column:
+        """Injectable CURRENT_TIMESTAMP (deterministic tests, SURVEY §7)."""
+        return F.lit(self.clock.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+
+    # -- stage 1: config-driven landing ingest (EP2) -----------------------
+    def ingest_to_landing(self, sources: SourcePaths) -> None:
+        config = read_csv(self.spark, sources.load_config, LOAD_CONFIG)
+        active = config.filter(F.col("is_active") == "1").collect()  # C1 loop
+        for row in active:
+            ds, table = row["datasource"], row["tablename"]
+            try:
+                src_path = sources.emr[ds][table]
+                schema = EMR_TABLES[table][ds]
+                df = read_csv(self.spark, src_path, schema)
+                load_type = (row["loadtype"] or "Full").strip()
+                if load_type.lower() == "incremental" and row["watermark"]:
+                    wm = self.ledger.last_watermark(ds, table)
+                    if wm is not None:
+                        df = df.filter(
+                            F.col(row["watermark"]).cast("timestamp") > F.lit(wm)
+                        )
+                landing = self._zone("landing", ds, table)
+                archive_landing_files(
+                    landing, self._zone("landing", ds, "archive", table),
+                    self.clock,
+                )
+                write_landing_json(df, landing)
+                try:
+                    n = self.spark.read.json(landing).count()
+                except Exception:  # zero-row landing: JSON schema inference fails
+                    n = 0
+                self.ledger.record(ds, table, load_type, n, "success", self.clock)
+                self.logger.log("INFO", f"landed {n} rows", "landing", table)
+            except Exception as e:  # C6: isolate per-table failures
+                self.ledger.record(
+                    row["datasource"], row["tablename"],
+                    row["loadtype"] or "Full", 0, "failed", self.clock,
+                )
+                self.logger.log(
+                    "ERROR", str(e), "landing", row["tablename"], error=e
+                )
+
+    # -- stage 2: bronze ---------------------------------------------------
+    def build_bronze(self, sources: SourcePaths) -> None:
+        # EMR: landing JSON -> bronze parquet (schema-on-read, bronze.sql)
+        landing_root = self._zone("landing")
+        if os.path.isdir(landing_root):
+            for ds in sorted(os.listdir(landing_root)):
+                for table in sorted(os.listdir(os.path.join(landing_root, ds))):
+                    if table == "archive":
+                        continue
+                    schema = EMR_TABLES.get(table, {}).get(ds)
+                    reader = self.spark.read
+                    if schema is not None:
+                        # declared schema: stable columns even for empty
+                        # deltas, and no inference scan over the landing
+                        reader = reader.schema(schema)
+                    try:
+                        df = reader.json(self._zone("landing", ds, table))
+                    except Exception:
+                        df = None
+                    if df is None or not df.columns:
+                        # unknown-table empty delta: keep existing bronze
+                        continue
+                    self._write_replace(df, self._zone("bronze", ds, table))
+        # claims: glob CSV scan + filename provenance tag + dedup
+        # (claims.py:11-25)
+        claims = read_csv(self.spark, sources.claims_glob, CLAIMS)
+        claims = claims.withColumn(
+            "datasource",
+            F.when(F.input_file_name().contains("hospital1"), "hospital1")
+            .when(F.input_file_name().contains("hospital2"), "hospital2")
+            .otherwise("unknown"),
+        ).dropDuplicates()
+        self._write_replace(claims, self._zone("bronze", "claims"))
+        # cptcodes: header normalization (cpt_codes.py:18-20)
+        cpt = normalize_cpt_headers(
+            read_csv(self.spark, sources.cptcodes, CPT_CODES_RAW)
+        )
+        self._write_replace(cpt, self._zone("bronze", "cptcodes"))
+
+    # -- stage 3: silver (conform + quarantine + SCD2) ---------------------
+    def _silver_apply(self, name: str, staged: DataFrame) -> None:
+        spec = ENTITIES[name]
+        path = self._zone("silver", name)
+        if not spec.scd2:
+            # truncate-and-reload snapshot (silver.sql:35-65 providers)
+            self._write_replace(staged, path)
+            return
+        data_cols = list(staged.columns)
+        carry = [
+            c for c in data_cols if c != spec.key_col and c not in spec.tracked
+        ]
+        if os.path.isdir(path):
+            target = self.spark.read.parquet(path)
+            merged = scd2_merge(
+                target.select(*data_cols, "inserted_date", "modified_date",
+                              "is_current"),
+                staged,
+                key_cols=[spec.key_col],
+                tracked_cols=list(spec.tracked),
+                ts=self._ts(),
+                carry_cols=carry,
+            )
+        else:
+            merged = scd2_initial(staged, self._ts())
+        self._write_replace(merged, path)
+
+    def build_silver(self) -> None:
+        def bronze(ds: str, table: str) -> DataFrame:
+            return self.spark.read.parquet(self._zone("bronze", ds, table))
+
+        for name in ("patients", "encounters", "transactions", "providers",
+                     "departments"):
+            spec = ENTITIES[name]
+            branches = [
+                conform_source(bronze(ds, name), spec, ds)
+                for ds in ("hospital_a_db", "hospital_b_db")
+            ]
+            self._silver_apply(name, conform_union(branches))
+
+        # claims: branches keyed by provenance tag, not separate files
+        claims = self.spark.read.parquet(self._zone("bronze", "claims"))
+        spec = ENTITIES["claims"]
+        branches = [
+            conform_source(
+                claims.filter(F.col("datasource") == ds).drop("datasource"),
+                spec, ds,
+            )
+            for ds in ("hospital1", "hospital2")
+        ]
+        self._silver_apply("claims", conform_union(branches))
+
+        cpt = self.spark.read.parquet(self._zone("bronze", "cptcodes"))
+        self._silver_apply(
+            "cpt_codes",
+            conform_source(cpt, ENTITIES["cpt_codes"], "cptcodes"),
+        )
+
+    # -- stage 4: gold (truncate-and-reload marts) -------------------------
+    def build_gold(self) -> None:
+        s = {
+            n: self.spark.read.parquet(self._zone("silver", n))
+            for n in ("patients", "encounters", "transactions", "providers",
+                      "departments", "claims")
+        }
+        marts = {
+            "provider_charge_summary": gold_plans.provider_charge_summary(
+                s["transactions"], s["providers"], s["departments"]
+            ),
+            "patient_history": gold_plans.patient_history(
+                s["patients"], s["encounters"], s["transactions"], s["claims"]
+            ),
+            "provider_performance": gold_plans.provider_performance(
+                s["providers"], s["encounters"], s["transactions"], s["claims"]
+            ),
+            "department_performance": gold_plans.department_performance(
+                s["departments"], s["encounters"], s["transactions"]
+            ),
+        }
+        for name, df in marts.items():
+            self._write_replace(df, self._zone("gold", name))
+
+    # -- full run (EP1) ----------------------------------------------------
+    def run(self, sources: SourcePaths) -> dict[str, int]:
+        self.logger.log("INFO", "pipeline start", "run")
+        self.ingest_to_landing(sources)
+        self.build_bronze(sources)
+        self.build_silver()
+        self.build_gold()
+        out = {}
+        for mart in ("provider_charge_summary", "patient_history",
+                     "provider_performance", "department_performance"):
+            out[mart] = self.spark.read.parquet(self._zone("gold", mart)).count()
+        self.logger.log("INFO", f"pipeline done: {out}", "run")
+        return out

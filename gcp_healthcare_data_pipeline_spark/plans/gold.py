@@ -1,0 +1,177 @@
+"""The four gold analytics marts (reference gold.sql:5-162) as DataFrame
+functions over the silver zone.
+
+Join strategy at scale: providers/departments are small dims — explicitly
+broadcast so the fact-side scans never shuffle for them; the
+patients⟕encounters⟕transactions⟕claims chains co-shuffle on their keys
+(at 100 TB: bucket silver on these keys to make the joins co-located).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.functions.bq_compat import (
+    safe_divide,
+    safe_offset,
+)
+
+
+def _dept_join_key(dept: DataFrame) -> DataFrame:
+    """SPLIT(Dept_Key, '-')[SAFE_OFFSET(0)] computed join key
+    (gold.sql:22,158-160)."""
+    return dept.withColumn(
+        "dept_id_parsed", safe_offset(F.split("Dept_Key", "-"), 0)
+    )
+
+
+def provider_charge_summary(
+    transactions: DataFrame, providers: DataFrame, departments: DataFrame
+) -> DataFrame:
+    """gold.sql:13-25: trx ⟕ providers ⟕ departments (computed key),
+    SUM(COALESCE(Amount)), non-quarantined, dept name not null."""
+    t = transactions.filter(F.col("is_quarantined") == False)  # noqa: E712
+    p = providers.select(
+        "ProviderID",
+        F.concat(F.col("FirstName"), F.lit(" "), F.col("LastName")).alias(
+            "Provider_Name"
+        ),
+        F.col("DeptID").alias("Provider_DeptID"),
+    )
+    d = _dept_join_key(
+        departments.filter(F.col("is_quarantined") == False)  # noqa: E712
+    ).select("dept_id_parsed", F.col("Name").alias("Dept_Name"))
+    return (
+        t.join(F.broadcast(p), "ProviderID", "left")
+        .join(
+            F.broadcast(d),
+            F.col("dept_id_parsed") == F.col("Provider_DeptID"),
+            "left",
+        )
+        .filter(F.col("Dept_Name").isNotNull())
+        .groupBy("Provider_Name", "Dept_Name")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("Amount"), F.lit(0.0))), 2
+            ).alias("Total_Charge_Amount")
+        )
+    )
+
+
+def patient_history(
+    patients: DataFrame,
+    encounters: DataFrame,
+    transactions: DataFrame,
+    claims: DataFrame,
+) -> DataFrame:
+    """gold.sql:53-82: 4-way left chain off current patients (fan-out
+    between encounters and transactions preserved deliberately)."""
+    p = patients.filter(F.col("is_current") == True)  # noqa: E712
+    e = encounters.select(
+        F.col("PatientID").alias("E_PatientID"),
+        F.col("Encounter_Key"),
+        F.col("EncounterDate"),
+    )
+    t = transactions.select(
+        F.col("PatientID").alias("T_PatientID"),
+        F.col("SRC_TransactionID"),
+        F.col("Amount"),
+        F.col("PaidAmount"),
+    )
+    c = claims.select(
+        F.col("TransactionID").alias("C_TransactionID"),
+        F.col("Claim_Key"),
+        F.col("ClaimStatus"),
+    )
+    return (
+        p.join(e, p.SRC_PatientID == e.E_PatientID, "left")
+        .join(t, p.SRC_PatientID == t.T_PatientID, "left")
+        .join(c, t.SRC_TransactionID == c.C_TransactionID, "left")
+        .select(
+            F.col("Patient_Key"),
+            F.col("SRC_PatientID"),
+            F.concat(F.col("FirstName"), F.lit(" "), F.col("LastName")).alias(
+                "Patient_Name"
+            ),
+            F.col("Encounter_Key"),
+            F.col("EncounterDate"),
+            F.col("SRC_TransactionID"),
+            F.coalesce(F.col("Amount"), F.lit(0.0)).alias("Amount"),
+            F.coalesce(F.col("PaidAmount"), F.lit(0.0)).alias("PaidAmount"),
+            F.col("Claim_Key"),
+            F.col("ClaimStatus"),
+        )
+    )
+
+
+def provider_performance(
+    providers: DataFrame,
+    encounters: DataFrame,
+    transactions: DataFrame,
+    claims: DataFrame,
+) -> DataFrame:
+    """gold.sql:103-128: per-provider volumes, charges, approval rate
+    (conditional COUNT DISTINCT + SAFE_DIVIDE*100 ROUND 2)."""
+    p = providers.select(
+        "ProviderID",
+        F.concat(F.col("FirstName"), F.lit(" "), F.col("LastName")).alias(
+            "Provider_Name"
+        ),
+    )
+    e = encounters.select(
+        F.col("ProviderID").alias("E_ProviderID"), "Encounter_Key"
+    )
+    t = transactions.select(
+        F.col("ProviderID").alias("T_ProviderID"),
+        "SRC_TransactionID", "Amount",
+    )
+    c = claims.select(
+        F.col("TransactionID").alias("C_TransactionID"),
+        "Claim_Key", "ClaimStatus",
+    )
+    joined = (
+        p.join(e, p.ProviderID == e.E_ProviderID, "left")
+        .join(t, p.ProviderID == t.T_ProviderID, "left")
+        .join(c, t.SRC_TransactionID == c.C_TransactionID, "left")
+    )
+    approved = F.countDistinct(
+        F.when(F.col("ClaimStatus") == "Approved", F.col("Claim_Key"))
+    )
+    total_claims = F.countDistinct("Claim_Key")
+    return joined.groupBy("ProviderID", "Provider_Name").agg(
+        F.countDistinct("Encounter_Key").alias("Total_Encounters"),
+        F.countDistinct("SRC_TransactionID").alias("Total_Transactions"),
+        F.round(F.sum(F.coalesce(F.col("Amount"), F.lit(0.0))), 2).alias(
+            "Total_Charges"
+        ),
+        total_claims.alias("Total_Claims"),
+        F.round(
+            safe_divide(approved * F.lit(100.0), F.nullif(total_claims, F.lit(0))),
+            2,
+        ).alias("Claim_Approval_Rate"),
+    )
+
+
+def department_performance(
+    departments: DataFrame, encounters: DataFrame, transactions: DataFrame
+) -> DataFrame:
+    """gold.sql:145-162: departments ⟕ encounters / transactions on the
+    computed split key, volume + revenue rollup."""
+    d = _dept_join_key(
+        departments.filter(F.col("is_quarantined") == False)  # noqa: E712
+    ).select("dept_id_parsed", F.col("Name").alias("Dept_Name"))
+    e = encounters.select(
+        F.col("DepartmentID").alias("E_DeptID"), "Encounter_Key"
+    )
+    t = transactions.select(F.col("DeptID").alias("T_DeptID"), "Amount")
+    joined = (
+        d.join(e, d.dept_id_parsed == e.E_DeptID, "left")
+        .join(t, d.dept_id_parsed == t.T_DeptID, "left")
+    )
+    return joined.groupBy("Dept_Name").agg(
+        F.countDistinct("Encounter_Key").alias("Total_Encounters"),
+        F.round(F.sum(F.coalesce(F.col("Amount"), F.lit(0.0))), 2).alias(
+            "Total_Revenue"
+        ),
+    )

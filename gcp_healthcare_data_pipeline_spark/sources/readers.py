@@ -1,0 +1,85 @@
+"""Source readers (SURVEY §2.1 S1-S4).
+
+- CSV with declared all-string schema (S2/S3, incl. glob multi-file) and
+  drift tolerance: if the file header doesn't match the declared schema
+  (the hospital-b ``Updated_Date`` case, FIXTURES.md §2), columns are
+  aligned by header name and missing ones are NULL — the pipeline
+  diagnoses drift instead of silently mis-assigning positional columns.
+- JSON landing reader (S4): schema-on-read like the reference's bronze
+  external tables.
+- JDBC pushdown-subquery reader (S1): builds the same
+  ``(SELECT ... WHERE wm > x) AS t`` dbtable option the reference uses
+  (hospitalA_mysqlToLanding.py:148-163); predicate pushdown into the
+  source database is free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    tolerate_drift: bool = True,
+) -> DataFrame:
+    """Header CSV scan with declared schema and header-drift tolerance."""
+    raw = spark.read.csv(path, header=True)  # names from file header
+    if not tolerate_drift:
+        return spark.read.csv(path, header=True, schema=schema)
+    expected = schema.fieldNames()
+    actual = set(raw.columns)
+    cols = [
+        F.col(c).cast("string").alias(c)
+        if c in actual
+        else F.lit(None).cast("string").alias(c)
+        for c in expected
+    ]
+    return raw.select(*cols)
+
+
+def read_landing_json(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-on-read JSON scan over a landing path (bronze.sql:3-7)."""
+    return spark.read.json(path)
+
+
+def jdbc_subquery_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    watermark_col: str | None = None,
+    last_watermark: str | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """JDBC scan with the incremental predicate pushed into the source.
+
+    Returns the configured DataFrameReader (call ``.load()`` when a JDBC
+    endpoint exists; tests only assert the generated subquery).
+    """
+    subquery = build_pushdown_subquery(table, watermark_col, last_watermark)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", subquery)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader
+
+
+def build_pushdown_subquery(
+    table: str, watermark_col: str | None, last_watermark: str | None
+) -> str:
+    """Full load: ``(SELECT * FROM t) AS q``; incremental adds the
+    high-watermark predicate (hospitalA_mysqlToLanding.py:148-153)."""
+    if watermark_col and last_watermark is not None:
+        return (
+            f"(SELECT * FROM {table} "
+            f"WHERE {watermark_col} > '{last_watermark}') AS q"
+        )
+    return f"(SELECT * FROM {table}) AS q"

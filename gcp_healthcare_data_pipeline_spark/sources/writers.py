@@ -1,0 +1,57 @@
+"""Zone writers + landing archive (SURVEY §2.1 S5-S9).
+
+The reference's landing writer collapses to the driver via ``toPandas``
+(hospitalA_mysqlToLanding.py:177-185) — an anti-pattern this rebuild
+must not copy (SURVEY §4): ``df.write.json`` keeps the write distributed,
+one file per partition, no driver memory cliff at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+
+
+def write_landing_json(df: DataFrame, path: str) -> None:
+    """Distributed line-delimited JSON landing write (S5, fixed)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_zone_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Columnar zone write; partitioned layout enables Catalyst partition
+    pruning on downstream reads (SURVEY §4 landing-layout mapping)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def archive_landing_files(landing_dir: str, archive_root: str, when: datetime) -> int:
+    """Move existing landing files to a dated archive path before a new
+    load (hospitalA_mysqlToLanding.py:96-118 semantics, local/object FS).
+
+    Layout: ``{archive_root}/{yyyy}/{mm}/{dd}/{filename}``.
+    Returns the number of files moved.
+    """
+    if not os.path.isdir(landing_dir):
+        return 0
+    dated = os.path.join(
+        archive_root, f"{when.year:04d}", f"{when.month:02d}", f"{when.day:02d}"
+    )
+    os.makedirs(dated, exist_ok=True)
+    moved = 0
+    for name in os.listdir(landing_dir):
+        src = os.path.join(landing_dir, name)
+        if os.path.isfile(src):
+            shutil.move(src, os.path.join(dated, name))
+            moved += 1
+    return moved

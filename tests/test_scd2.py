@@ -86,6 +86,19 @@ def test_null_unsafe_change_detector(spark):
     assert ("n3", False) in st and st[("n3", False)][3] == "2024-06-01"
 
 
+def test_null_key_rows_survive_merges(spark):
+    """NULL business keys never match (MERGE ON semantics): a NULL-key
+    target row stays current untouched; a NULL-key source row inserts."""
+    target = scd2_initial(_src(spark, [(None, "t", 1.0), ("k1", "x", 1.0)]), T1())
+    source = _src(spark, [(None, "s", 2.0), ("k1", "x", 1.0)])
+    rows = _merge(target, source).collect()
+    triples = [(r.k, r.a, r.is_current, str(r.inserted_date.date())) for r in rows]
+    assert (None, "t", True, "2024-01-01") in triples  # target kept untouched
+    assert (None, "s", True, "2024-06-01") in triples  # source inserted
+    assert ("k1", "x", True, "2024-01-01") in triples  # unchanged
+    assert len(triples) == 3
+
+
 def test_corrected_mode_reinserts_new_version(spark):
     target = scd2_initial(_src(spark, [("chg", "x", 1.0)]), T1())
     source = _src(spark, [("chg", "y", 2.0)])
