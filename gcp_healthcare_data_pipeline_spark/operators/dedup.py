@@ -58,20 +58,49 @@ def with_shingles(
     ).drop("_toks")
 
 
-def with_minhash(
-    df: DataFrame, shingle_col: str = "shingles", k: int = 12, out: str = "sig"
-) -> DataFrame:
-    """k md5-minhash values per document (string-min semantics).
+MINHASH_P = 2147483647  # 2^31 - 1
 
-    hash_j(s) = md5(j || ':' || s); the signature element j is the
-    lexicographic min over shingles — portable across engines.
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles",
+    k: int = 12,
+) -> DataFrame:
+    """(id, sig): k minhash values per document from ONE md5 per shingle.
+
+    base(s) = first 48 bits of md5(s) as int; hash_j = (2j+1)*base +
+    j*12345 + 67 mod (2^31-1) — a universal-hash family over one md5
+    digest (int64-safe: 48-bit base * 23 < 2^53), bit-identical in the
+    DuckDB oracle.
+
+    Execution shape: explode shingles -> k MIN aggregates in one groupBy.
+    Everything stays in whole-stage codegen — an order of magnitude
+    faster than per-row higher-order-function loops (HOFs are
+    interpreted), at the cost of one shuffle of (id, base) pairs.
     """
-    return df.withColumn(
-        out,
-        F.expr(
-            f"transform(sequence(0, {k - 1}), "
-            f"j -> array_min(transform({shingle_col}, s -> md5(concat(cast(j as string), ':', s)))))"
+    posting = sh.select(
+        F.col(id_col), F.explode(shingle_col).alias("_s")
+    ).select(
+        F.col(id_col),
+        F.expr("cast(conv(substr(md5(_s), 1, 12), 16, 10) as bigint)").alias(
+            "_base"
         ),
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.lit(2 * j + 1) * F.col("_base") + F.lit(j * 12345 + 67),
+                F.lit(MINHASH_P),
+            )
+        ).alias(f"_h{j}")
+        for j in range(k)
+    ]
+    return (
+        posting.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_h{j}") for j in range(k)]).alias("sig"),
+        )
     )
 
 
@@ -89,13 +118,15 @@ def lsh_candidate_pairs(
     with the number of true near-duplicates.
     """
     r = rows_per_band
-    band_parts = " || ".join(f"{sig_col}[{r} * b + {i}]" for i in range(r))
+    band_parts = ", ':', ".join(
+        f"cast({sig_col}[{r} * b + {i}] as string)" for i in range(r)
+    )
     banded = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> concat(cast(b as string), ':', md5({band_parts})))"
+                f"b -> concat(cast(b as string), ':', {band_parts}))"
             )
         ).alias("band_key"),
     )
@@ -119,6 +150,54 @@ def jaccard(set_a: Column, set_b: Column) -> Column:
     inter = F.size(F.array_intersect(set_a, set_b)).cast("double")
     union = F.size(F.array_union(set_a, set_b)).cast("double")
     return inter / union
+
+
+def shingle_sizes(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_sh): distinct-shingle count per document."""
+    return sh.select(F.col(id_col), F.size("shingles").alias("n_sh"))
+
+
+def pair_intersections(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared): pairwise intersection counts via an
+    inverted shingle index.
+
+    Shape: explode shingles -> collect the (sorted) posting list per
+    shingle -> emit its id pairs with a combinations HOF -> count per
+    pair. One shuffle to build posting lists, one to count pairs — no
+    self-join. ``max_df`` caps the posting-list length (df² pair fan-out)
+    — the scale bound at 100 TB; shared shingles beyond the cap aren't
+    counted (documented approximation). ``min_df=2`` is lossless: a
+    shingle shared by any pair has df >= 2.
+    """
+    posting = sh.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    lists = posting.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ds")
+    )
+    lists = lists.filter(F.size("ds") >= min_df)
+    if max_df is not None:
+        lists = lists.filter(F.size("ds") <= max_df)
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2), "
+                "i -> transform(sequence(i + 1, size(ds) - 1), "
+                "j -> struct(ds[i] AS id_a, ds[j] AS id_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared"))
+
+
+def jaccard_from_counts(n_shared: Column, n_a: Column, n_b: Column) -> Column:
+    """|A∩B| / |A∪B| from intersection count + set sizes."""
+    return n_shared.cast("double") / (n_a + n_b - n_shared)
 
 
 def with_simhash(

@@ -18,8 +18,11 @@ from pyspark.sql import functions as F
 from gcp_healthcare_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     jaccard,
+    jaccard_from_counts,
     lsh_candidate_pairs,
-    with_minhash,
+    pair_intersections,
+    shingle_sizes,
+    minhash_signatures,
     with_shingles,
     with_simhash,
 )
@@ -56,11 +59,19 @@ GROUP BY 1
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=12) + LSH(6 bands x 2 rows) candidates, exact-Jaccard
-    verified at >= 0.6."""
+    verified at >= 0.6 via posting-list intersection counts (no shingle
+    arrays cross the shuffle)."""
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = with_shingles(docs, "text", n=3)
-    sig = with_minhash(sh, "shingles", k=12)
+    # materialize shingles once: the verify stage branches this DF twice
+    sh = with_shingles(docs, "text", n=3).localCheckpoint(eager=False)
+    # ...and the signature table once: the band self-join branches it twice
+    sig = minhash_signatures(sh, "doc_id", "shingles", k=12).localCheckpoint(
+        eager=False
+    )
     cand = lsh_candidate_pairs(sig, "doc_id", "sig", bands=6, rows_per_band=2)
+    # exact verify by joining shingle arrays onto the (few) candidates —
+    # candidate count scales with true near-dups, so the array join stays
+    # tiny while the corpus-wide work is only signatures + band buckets
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -83,16 +94,21 @@ WITH d AS (
     list_distinct(list_transform(range(1, len(toks) - 1),
       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
   FROM d WHERE len(toks) >= 3
+), based AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles,
+      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS bases
+  FROM sh
 ), sig AS (
   SELECT doc_id, shingles,
     list_transform(range(0, 12),
-      j -> list_min(list_transform(shingles,
-             s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-  FROM sh
+      j -> list_min(list_transform(bases,
+             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
+  FROM based
 ), bands AS (
   SELECT doc_id,
-         CAST(b AS VARCHAR) || ':' || md5(sig[2 * b + 1] || sig[2 * b + 2])
-           AS band_key
+    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
+      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
   FROM sig, UNNEST(range(0, 6)) AS t(b)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -119,37 +135,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out at scale). Pairs sharing >= 5 rare shingles are scored.
     """
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = with_shingles(docs, "text", n=3)
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare = (
-        posting.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= _DF_CAP))
+    sh = with_shingles(docs, "text", n=3).localCheckpoint(eager=False)
+    pairs = pair_intersections(sh, min_df=2, max_df=_DF_CAP).filter(
+        F.col("n_shared") >= 5
     )
-    posting = posting.join(rare.select("shingle"), "shingle")
-    pairs = (
-        posting.alias("a")
-        .join(
-            posting.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 5)
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sizes = shingle_sizes(sh)
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             F.col("n_shared"),
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+            F.round(
+                jaccard_from_counts(F.col("n_shared"), F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
@@ -175,15 +178,17 @@ WITH d AS (
   FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING COUNT(*) >= 5
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
 )
 SELECT p.doc_a, p.doc_b, p.n_shared,
-  ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-        / len(list_distinct(x.shingles || y.shingles)), 6) AS jaccard
+  ROUND(CAST(p.n_shared AS DOUBLE) / (x.n_sh + y.n_sh - p.n_shared), 6)
+    AS jaccard
 FROM pairs p
-JOIN sh x ON x.doc_id = p.doc_a
-JOIN sh y ON y.doc_id = p.doc_b
-WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-      / len(list_distinct(x.shingles || y.shingles)) >= {_JACCARD_THRESHOLD}
+JOIN sizes x ON x.doc_id = p.doc_a
+JOIN sizes y ON y.doc_id = p.doc_b
+WHERE CAST(p.n_shared AS DOUBLE) / (x.n_sh + y.n_sh - p.n_shared)
+      >= {_JACCARD_THRESHOLD}
 """
 
 

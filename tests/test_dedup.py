@@ -8,7 +8,7 @@ from gcp_healthcare_data_pipeline_spark.operators.dedup import (
     exact_dedup,
     jaccard,
     lsh_candidate_pairs,
-    with_minhash,
+    minhash_signatures,
     with_shingles,
     with_simhash,
 )
@@ -45,7 +45,7 @@ def test_shingles_guard_short_docs(spark):
 
 
 def test_lsh_finds_near_and_exact_dups(spark):
-    sig = with_minhash(with_shingles(_docs(spark), "text", 3), "shingles", k=12)
+    sig = minhash_signatures(with_shingles(_docs(spark), "text", 3), "doc_id", "shingles", k=12)
     pairs = {
         (r.id_a, r.id_b)
         for r in lsh_candidate_pairs(sig, "doc_id", "sig", 6, 2).collect()
