@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.functions.vectors import (
     as_double,
-    cosine,
+    cosine_precomputed,
+    norm,
 )
 
 
@@ -37,17 +38,22 @@ def brute_force_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cv")
-    )
+    ).withColumn("_cn", norm(F.col("_cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
-    )
+    ).withColumn("_qn", norm(F.col("_qv")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos_sim"),
+            F.round(
+                cosine_precomputed(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -60,13 +66,14 @@ def brute_force_topk(
     )
 
 
-def lsh_signature(vec_col: str, bits: int, dims: int) -> F.Column:
+def lsh_signature(vec_col: str, bits: int, dims: int, plane_offset: int = 0) -> F.Column:
     """Random-hyperplane signature: bit b = sign of sum_i(w_bi * v_i),
     with deterministic pseudo-random weights w_bi ∈ {-1,+1} derived from
-    md5(b:i) parity — reproducible across engines and runs."""
+    md5(plane:i) parity — reproducible across engines and runs.
+    ``plane_offset`` selects a disjoint plane set per hash table."""
     terms = (
         f"aggregate(sequence(0, {dims - 1}), cast(0.0 as double), (acc, i) -> acc + "
-        f"CASE WHEN (instr('0123456789abcdef', substr(md5(concat(cast(b as string), ':', cast(i as string))), 1, 1)) - 1) % 2 = 0 "
+        f"CASE WHEN (instr('0123456789abcdef', substr(md5(concat(cast(b + {plane_offset} as string), ':', cast(i as string))), 1, 1)) - 1) % 2 = 0 "
         f"THEN element_at({vec_col}, i + 1) ELSE -element_at({vec_col}, i + 1) END)"
     )
     return F.expr(
@@ -82,27 +89,59 @@ def lsh_bucket_topk(
     k: int,
     bits: int = 8,
     dims: int = 64,
+    tables: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors sharing the query's
-    LSH bucket. Trades recall for a bucket-local join."""
-    sig = lsh_signature("_v", bits, dims)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
-    ).withColumn("bucket", sig)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_v")
-    ).withColumn("bucket", sig)
+    """Approximate top-k: score only corpus vectors sharing any of the
+    query's LSH buckets across ``tables`` independent hash tables
+    (OR-amplification: recall ≈ 1-(1-p^bits)^tables). The bucket join
+    replaces the full cross product; a distinct pass dedups candidates
+    found by several tables before ranking."""
+
+    def with_buckets(df: DataFrame) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_signature("_v", bits, dims, plane_offset=t * bits).alias(
+                        "b"
+                    ),
+                )
+                for t in range(tables)
+            ]
+        )
+        return df.withColumn("_tb", F.explode(buckets)).select(
+            "*", F.col("_tb.t").alias("tbl"), F.col("_tb.b").alias("bucket")
+        ).drop("_tb")
+
+    c = with_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
+        ).withColumn("_cn", norm(F.col("_v")))
+    )
+    q = with_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_v")
+        ).withColumn("_qn", norm(F.col("_v")))
+    )
     scored = (
-        F.broadcast(q.select("query_id", "bucket", F.col("_v").alias("_qv")))
-        .join(c, "bucket")
+        F.broadcast(
+            q.select("query_id", "tbl", "bucket", F.col("_v").alias("_qv"), "_qn")
+        )
+        .join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("cos_sim"),
+            F.round(
+                cosine_precomputed(
+                    F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
+        .distinct()  # candidates found by multiple tables collapse here
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

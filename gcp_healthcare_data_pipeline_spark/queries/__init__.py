@@ -20,6 +20,7 @@ def all_queries() -> dict[str, QuerySpec]:
         silver_analogs,
         text_queries,
         vector_queries,
+        window_queries,
     )
 
     return collect(
@@ -29,4 +30,5 @@ def all_queries() -> dict[str, QuerySpec]:
         text_queries.QUERIES,
         vector_queries.QUERIES,
         event_queries.QUERIES,
+        window_queries.QUERIES,
     )

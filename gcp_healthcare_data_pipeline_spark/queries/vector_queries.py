@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gcp_healthcare_data_pipeline_spark.functions.vectors import as_double, cosine
+from gcp_healthcare_data_pipeline_spark.functions.vectors import (
+    as_double,
+    cosine_precomputed,
+    norm,
+)
 from gcp_healthcare_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucket_topk,
@@ -61,17 +65,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a deterministic subset
     (vec_id % 5 = 0), threshold on rounded cosine."""
     emb = load_tables(spark, sf_dir, "embeddings")
-    sub = emb.filter(F.col("vec_id") % 5 == 0).select(
-        "vec_id", as_double("embedding").alias("_v")
+    sub = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", as_double("embedding").alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
     )
-    a = sub.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
-    b = sub.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
+    a = sub.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_precomputed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
     )

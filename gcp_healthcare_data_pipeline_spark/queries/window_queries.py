@@ -1,0 +1,121 @@
+"""Window-function / top-k / JSON extension queries.
+
+The reference has no ORDER BY, LIMIT, or window functions anywhere
+(SURVEY §2.8) and no JSON functions (§2.5) — these come free with Spark
+and are part of the engine's extension surface: per-group top-k ranking,
+running totals, lag deltas, and JSON property extraction from the events
+``props`` column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice within each priority (row_number with
+    deterministic tie-break)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("order_priority"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+_ORACLE_TOPK_ORDERS = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+)
+SELECT o_orderpriority AS order_priority,
+       o_orderkey AS order_key,
+       o_totalprice AS total_price,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order total per customer (cumulative sum window) with the
+    previous order's amount (lag) — classic sessionless history view."""
+    orders = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_orderkey").alias("order_key"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)).alias(
+            "prev_order_price"
+        ),
+    )
+
+
+_ORACLE_CUSTOMER_RUNNING_TOTAL = """
+SELECT
+  o_custkey AS cust_key,
+  o_orderkey AS order_key,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+  COALESCE(LAG(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)
+    AS prev_order_price
+FROM orders
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events ``props`` column,
+    aggregated per event type (get_json_object — schema-on-read JSON)."""
+    ev = load_tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+_ORACLE_EVENTS_JSON_PROPS = """
+SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES = [
+    QuerySpec("q_topk_orders", q_topk_orders, _ORACLE_TOPK_ORDERS, "ext:window"),
+    QuerySpec(
+        "q_customer_running_total", q_customer_running_total,
+        _ORACLE_CUSTOMER_RUNNING_TOTAL, "ext:window",
+    ),
+    QuerySpec(
+        "q_events_json_props", q_events_json_props, _ORACLE_EVENTS_JSON_PROPS,
+        "ext:json",
+    ),
+]
