@@ -16,6 +16,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from gcp_healthcare_data_pipeline_spark.queries import (  # noqa: PLC0415
         dedup_queries,
         event_queries,
+        extended_queries,
         gold_analogs,
         silver_analogs,
         text_queries,
@@ -31,4 +32,5 @@ def all_queries() -> dict[str, QuerySpec]:
         vector_queries.QUERIES,
         event_queries.QUERIES,
         window_queries.QUERIES,
+        extended_queries.QUERIES,
     )

@@ -1,0 +1,343 @@
+"""Extended operator coverage: chained SCD2 runs, rollup, semi/anti joins,
+as-of lookups, pivot, and oracle-backed multimodal feature extraction.
+
+These widen the engine surface beyond the reference (which has none of
+rollup/semi/anti/as-of/pivot — SURVEY §2.3/§2.8) while staying fully
+DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+)
+from gcp_healthcare_data_pipeline_spark.operators.scd2 import scd2_merge
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.queries.silver_analogs import (
+    _scd2_snapshots,
+    _TS2,
+)
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+_TS3 = "2024-12-01"
+
+
+def q_scd2_two_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained SCD2 merges: history accumulates across runs.
+
+    Run 1 = q_scd2_customer's merge; run 2 applies a second deterministic
+    mutation set (acctbal+20 where key%5=0, name suffix where key%11=0)
+    at a later timestamp. Exercises expire-then-reprocess across runs
+    under strict reference semantics.
+    """
+    target, source1 = _scd2_snapshots(spark, sf_dir)
+    run1 = scd2_merge(
+        target, source1, ["entity_key"], ["name", "acctbal", "segment"],
+        F.lit(_TS2).cast("timestamp"),
+    )
+    cus = load_tables(spark, sf_dir, "customer")
+    source2 = cus.filter(F.col("c_custkey") % 10 >= 2).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.concat(F.col("c_name"), F.lit("-v2"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.round(F.col("c_acctbal") + 20.0, 2)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return scd2_merge(
+        run1, source2, ["entity_key"], ["name", "acctbal", "segment"],
+        F.lit(_TS3).cast("timestamp"),
+    )
+
+
+_ORACLE_SCD2_TWO_RUNS = f"""
+WITH target0 AS (
+  SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal,
+         c_mktsegment AS segment,
+         TIMESTAMP '2024-01-01' AS inserted_date,
+         TIMESTAMP '2024-01-01' AS modified_date, TRUE AS is_current
+  FROM customer WHERE c_custkey % 10 < 8
+), source1 AS (
+  SELECT c_custkey AS entity_key, c_name AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN ROUND(c_acctbal + 10.0, 2)
+              ELSE c_acctbal END AS acctbal,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS segment
+  FROM customer WHERE c_custkey % 10 >= 2
+), j1 AS (
+  SELECT t.*, s.entity_key AS s_key, s.name AS s_name,
+         s.acctbal AS s_acctbal, s.segment AS s_segment,
+         (t.name <> s.name OR t.acctbal <> s.acctbal
+          OR t.segment <> s.segment) AS changed
+  FROM target0 t FULL OUTER JOIN source1 s ON t.entity_key = s.entity_key
+), merged1 AS (
+  SELECT entity_key, name, acctbal, segment, inserted_date,
+    CASE WHEN s_key IS NOT NULL AND changed THEN TIMESTAMP '{_TS2}'
+         ELSE modified_date END AS modified_date,
+    CASE WHEN s_key IS NOT NULL AND changed THEN FALSE ELSE TRUE END
+      AS is_current
+  FROM j1 WHERE entity_key IS NOT NULL
+  UNION ALL
+  SELECT s_key, s_name, s_acctbal, s_segment,
+         TIMESTAMP '{_TS2}', TIMESTAMP '{_TS2}', TRUE
+  FROM j1 WHERE entity_key IS NULL
+), source2 AS (
+  SELECT c_custkey AS entity_key,
+         CASE WHEN c_custkey % 11 = 0 THEN c_name || '-v2' ELSE c_name END
+           AS name,
+         CASE WHEN c_custkey % 5 = 0 THEN ROUND(c_acctbal + 20.0, 2)
+              ELSE c_acctbal END AS acctbal,
+         c_mktsegment AS segment
+  FROM customer WHERE c_custkey % 10 >= 2
+), current1 AS (SELECT * FROM merged1 WHERE is_current),
+history1 AS (SELECT * FROM merged1 WHERE NOT is_current),
+j2 AS (
+  SELECT t.*, s.entity_key AS s_key, s.name AS s_name,
+         s.acctbal AS s_acctbal, s.segment AS s_segment,
+         (t.name <> s.name OR t.acctbal <> s.acctbal
+          OR t.segment <> s.segment) AS changed
+  FROM current1 t FULL OUTER JOIN source2 s ON t.entity_key = s.entity_key
+)
+SELECT * FROM history1
+UNION ALL
+SELECT entity_key, name, acctbal, segment, inserted_date,
+  CASE WHEN s_key IS NOT NULL AND changed THEN TIMESTAMP '{_TS3}'
+       ELSE modified_date END AS modified_date,
+  CASE WHEN s_key IS NOT NULL AND changed THEN FALSE ELSE TRUE END
+    AS is_current
+FROM j2 WHERE entity_key IS NOT NULL
+UNION ALL
+SELECT s_key, s_name, s_acctbal, s_segment,
+       TIMESTAMP '{_TS3}', TIMESTAMP '{_TS3}', TRUE
+FROM j2 WHERE entity_key IS NULL
+"""
+
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(nation, segment) hierarchy totals (subtotals + grand total)."""
+    t = load_tables(spark, sf_dir, "nation", "customer")
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]),
+        t["customer"].c_nationkey == t["nation"].n_nationkey,
+    )
+    return joined.rollup(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+_ORACLE_ROLLUP_SALES = """
+SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP(n.n_name, c.c_mktsegment)
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders since 1998 (the filter pushes
+    into the right side before the anti join)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        t["customer"]
+        .join(recent, t["customer"].c_custkey == recent.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_name").alias("cust_name"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+
+
+_ORACLE_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey AS cust_key, c_name AS cust_name, c_acctbal AS acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+)
+"""
+
+
+def q_parts_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: parts that appear in at least one lineitem."""
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    return (
+        t["part"]
+        .join(
+            t["lineitem"],
+            t["part"].p_partkey == t["lineitem"].l_partkey,
+            "left_semi",
+        )
+        .select(
+            F.col("p_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_retailprice").alias("retail_price"),
+        )
+    )
+
+
+_ORACLE_PARTS_ORDERED = """
+SELECT p_partkey AS part_key, p_name AS part_name,
+       p_retailprice AS retail_price
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of lookup: for every event, the user's most recent error event
+    at-or-before it (last_value IGNORE NULLS over event time) and the gap.
+
+    The within-table as-of pattern — one shuffle on user_id, then a
+    running window; the general two-table as-of joins via the same shape
+    after a tagged union of both inputs.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    ts_us = F.expr("ts DIV 1000")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    df = ev.select(
+        "event_id", "user_id", "event_type", ts_us.alias("ts_us")
+    ).withColumn(
+        "last_error_ts_us",
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("ts_us")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "last_error_ts_us",
+        (F.col("ts_us") - F.col("last_error_ts_us")).alias("gap_us"),
+    )
+
+
+_ORACLE_EVENTS_ASOF_ERROR = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), marked AS (
+  SELECT event_id, user_id, ts_us,
+    last_value(CASE WHEN event_type = 'error' THEN ts_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS last_error_ts_us
+  FROM e
+)
+SELECT event_id, user_id, ts_us, last_error_ts_us,
+       ts_us - last_error_ts_us AS gap_us
+FROM marked
+"""
+
+
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority x status as columns."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.lit(1)))
+        .withColumnRenamed("F", "n_finished")
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("P", "n_pending")
+    )
+
+
+_ORACLE_PIVOT_ORDER_STATUS = """
+SELECT o_orderpriority AS order_priority,
+  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+
+    Documents stand in for media: payload = utf-8 bytes of text; the stub
+    decoder emits sha256-derived features. The oracle reproduces digest
+    and features in SQL, so the whole mapInPandas plumbing (schema, batch
+    iteration, byte handling) is value-checked — the only Python-side
+    operator in the engine.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    feats = extract_features(media, dim=4)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_digest",
+        F.round(F.element_at("features", 1), 9).alias("f0"),
+        F.round(F.element_at("features", 2), 9).alias("f1"),
+        F.round(F.element_at("features", 3), 9).alias("f2"),
+        F.round(F.element_at("features", 4), 9).alias("f3"),
+    )
+
+
+_ORACLE_MULTIMODAL_FEATURES = """
+WITH d AS (
+  SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+         sha256(text) AS h
+  FROM documents
+)
+SELECT media_id, n_bytes, h AS content_digest,
+  ROUND(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0, 9) AS f0,
+  ROUND(((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) / 255.0, 9) AS f1,
+  ROUND(((strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) / 255.0, 9) AS f2,
+  ROUND(((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) / 255.0, 9) AS f3
+FROM d
+"""
+
+
+QUERIES = [
+    QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
+    QuerySpec("q_rollup_sales", q_rollup_sales, _ORACLE_ROLLUP_SALES, "ext:rollup"),
+    QuerySpec(
+        "q_customers_no_orders", q_customers_no_orders,
+        _ORACLE_CUSTOMERS_NO_ORDERS, "ext:anti-join",
+    ),
+    QuerySpec(
+        "q_parts_ordered", q_parts_ordered, _ORACLE_PARTS_ORDERED,
+        "ext:semi-join",
+    ),
+    QuerySpec(
+        "q_events_asof_error", q_events_asof_error, _ORACLE_EVENTS_ASOF_ERROR,
+        "ext:asof",
+    ),
+    QuerySpec(
+        "q_pivot_order_status", q_pivot_order_status,
+        _ORACLE_PIVOT_ORDER_STATUS, "ext:pivot",
+    ),
+    QuerySpec(
+        "q_multimodal_features", q_multimodal_features,
+        _ORACLE_MULTIMODAL_FEATURES, "ext:multimodal",
+    ),
+]
