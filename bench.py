@@ -28,8 +28,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer reads
-    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # warmup: JVM, codegen, shuffle machinery, parquet footers — so the
+    # first measured query isn't billed for one-time session startup
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    n.join(r, n.n_regionkey == r.r_regionkey).groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name, spec in all_queries().items():
