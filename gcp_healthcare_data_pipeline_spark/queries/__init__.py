@@ -19,6 +19,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended_queries,
         gold_analogs,
         silver_analogs,
+        streaming_queries,
         text_queries,
         vector_queries,
         window_queries,
@@ -33,4 +34,5 @@ def all_queries() -> dict[str, QuerySpec]:
         event_queries.QUERIES,
         window_queries.QUERIES,
         extended_queries.QUERIES,
+        streaming_queries.QUERIES,
     )

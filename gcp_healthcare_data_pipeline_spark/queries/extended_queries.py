@@ -317,8 +317,55 @@ FROM d
 """
 
 
+def q_range_join_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: per order, how many of its lineitems shipped
+    within 30 days of the order date vs late.
+
+    The equi key (orderkey) carries the shuffle; the range predicate
+    refines inside the join — the standard scalable band-join shape.
+    (For range joins with NO equi key, bin both sides to coarse time
+    buckets and join on the bin — same refinement afterwards.)
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o, li = t["orders"], t["lineitem"]
+    j = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.expr("o_orderdate + INTERVAL 30 DAYS")),
+        "left",
+    )
+    return j.groupBy(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_orderdate").alias("order_date"),
+    ).agg(
+        F.count("l_linenumber").alias("lines_shipped_30d"),
+        F.round(
+            F.sum(F.coalesce(F.col("l_extendedprice"), F.lit(0.0))), 2
+        ).alias("amount_shipped_30d"),
+    )
+
+
+_ORACLE_RANGE_JOIN_SHIPPING = """
+SELECT o.o_orderkey AS order_key,
+       o.o_orderdate AS order_date,
+       COUNT(l.l_linenumber) AS lines_shipped_30d,
+       ROUND(SUM(COALESCE(l.l_extendedprice, 0.0)), 2) AS amount_shipped_30d
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
+    QuerySpec(
+        "q_range_join_shipping", q_range_join_shipping,
+        _ORACLE_RANGE_JOIN_SHIPPING, "ext:range-join",
+    ),
     QuerySpec("q_rollup_sales", q_rollup_sales, _ORACLE_ROLLUP_SALES, "ext:rollup"),
     QuerySpec(
         "q_customers_no_orders", q_customers_no_orders,

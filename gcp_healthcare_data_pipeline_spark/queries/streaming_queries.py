@@ -1,0 +1,100 @@
+"""Streaming queries runnable under the oracle gate.
+
+Structured Streaming plans drained with an availableNow trigger into a
+memory sink; the final materialized state is deterministic, so the batch
+SQL twin serves as the oracle. Deeper multi-batch behavior (state across
+micro-batches, watermarks, session windows) is covered in
+tests/test_streaming.py and tests/test_stateful_streaming.py.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.streaming.stateful import (
+    running_user_profiles,
+)
+from gcp_healthcare_data_pipeline_spark.streaming.windows import (
+    read_events_stream,
+    tumbling_counts,
+)
+
+
+def _drain(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    name = f"q_stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running profile, drained to its
+    final state (== the batch aggregate for a bounded input)."""
+    ev = read_events_stream(spark, sf_dir).withColumn(
+        "ts_us", F.expr("ts DIV 1000")
+    )
+    out = _drain(running_user_profiles(ev), spark)
+    # keep only each user's final emission (update-mode sinks append one
+    # row per micro-batch that touched the key)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_value", "last_ts_us")
+    )
+
+
+_ORACLE_STREAM_STATEFUL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value,
+       MAX(epoch_us(ts)) AS last_ts_us
+FROM events
+GROUP BY 1
+"""
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation drained to completion;
+    windows exported as epoch seconds for the compare."""
+    ev = read_events_stream(spark, sf_dir)
+    out = _drain(tumbling_counts(ev), spark)
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+_ORACLE_STREAM_TUMBLING = """
+SELECT
+  CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS bucket_start,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "q_stream_stateful_profiles", q_stream_stateful_profiles,
+        _ORACLE_STREAM_STATEFUL, "ext:streaming applyInPandasWithState",
+    ),
+    QuerySpec(
+        "q_stream_tumbling", q_stream_tumbling, _ORACLE_STREAM_TUMBLING,
+        "ext:streaming withWatermark F.window",
+    ),
+]
