@@ -360,8 +360,31 @@ GROUP BY 1, 2
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: events has only 5 event types (hot keys);
+    the salted two-phase aggregation spreads each over 16 reducers and
+    reproduces the plain GROUP BY exactly (the oracle)."""
+    from gcp_healthcare_data_pipeline_spark.operators.skew import (  # noqa: PLC0415
+        salted_agg,
+    )
+
+    ev = load_tables(spark, sf_dir, "events")
+    return salted_agg(ev, ["event_type"], "value", "event_id", salts=16)
+
+
+_ORACLE_SALTED_AGG = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(value), 2) AS total,
+       ROUND(SUM(value) / COUNT(*), 4) AS avg
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
+    QuerySpec("q_salted_agg", q_salted_agg, _ORACLE_SALTED_AGG, "ext:skew A1 A2"),
     QuerySpec(
         "q_range_join_shipping", q_range_join_shipping,
         _ORACLE_RANGE_JOIN_SHIPPING, "ext:range-join",

@@ -153,8 +153,64 @@ FROM documents
 """
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: alpha runs / digit runs / single other
+    chars as separate tokens (the pre-tokenizer shape BPE vocabularies
+    assume), counted per document."""
+    docs = load_tables(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
+_ORACLE_TOKEN_COUNT_BPE = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')))
+    AS n_distinct_bpe_tokens
+FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint: fold h = (h*31 + b) mod p
+    over per-token md5-derived bases. Equal only for documents with the
+    SAME token sequence (the order-insensitive twin is q_fingerprint)."""
+    docs = load_tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(split(text, ' '), "
+            "t -> cast(conv(substr(md5(t), 1, 12), 16, 10) as bigint)), "
+            "cast(0 as bigint), "
+            "(acc, b) -> pmod(acc * 31 + b, 2147483647))"
+        ).alias("rolling_hash"),
+    )
+
+
+_ORACLE_ROLLING_FINGERPRINT = """
+SELECT doc_id,
+  list_reduce(
+    [0::BIGINT] || list_transform(string_split(text, ' '),
+                     t -> ('0x' || substr(md5(t), 1, 12))::BIGINT),
+    (acc, b) -> (acc * 31 + b) % 2147483647) AS rolling_hash
+FROM documents
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
+    QuerySpec(
+        "q_token_count_bpe", q_token_count_bpe, _ORACLE_TOKEN_COUNT_BPE,
+        "ext:text",
+    ),
+    QuerySpec(
+        "q_rolling_fingerprint", q_rolling_fingerprint,
+        _ORACLE_ROLLING_FINGERPRINT, "ext:text",
+    ),
     QuerySpec("q_text_quality", q_text_quality, _ORACLE_TEXT_QUALITY, "ext:text"),
     QuerySpec("q_lang_id", q_lang_id, _ORACLE_LANG_ID, "ext:text"),
     QuerySpec("q_fingerprint", q_fingerprint, _ORACLE_FINGERPRINT, "ext:text"),
