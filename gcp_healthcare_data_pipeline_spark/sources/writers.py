@@ -35,6 +35,30 @@ def write_zone_parquet(
     w.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 16,
+) -> None:
+    """Bucketed + sorted managed table write — the co-located-join path.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (Catalyst reuses the bucketing as the required
+    hash distribution). At 100 TB this is how the silver zone keeps the
+    SCD2 full-outer merge and the gold fact joins exchange-free:
+    bucket silver on its business keys once at write time.
+    Requires the session catalog (``spark.sql.warehouse.dir``).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(name)
+    )
+
+
 def archive_landing_files(landing_dir: str, archive_root: str, when: datetime) -> int:
     """Move existing landing files to a dated archive path before a new
     load (hospitalA_mysqlToLanding.py:96-118 semantics, local/object FS).
