@@ -90,40 +90,56 @@ def lsh_bucket_topk(
     bits: int = 8,
     dims: int = 64,
     tables: int = 3,
+    multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing any of the
     query's LSH buckets across ``tables`` independent hash tables
-    (OR-amplification: recall ≈ 1-(1-p^bits)^tables). The bucket join
-    replaces the full cross product; a distinct pass dedups candidates
-    found by several tables before ranking."""
+    (OR-amplification: recall ≈ 1-(1-p^bits)^tables). With ``multiprobe``,
+    the query side also probes every hamming-1 neighbor bucket (vectors
+    near a hyperplane land one bit away) — recall amplification on the
+    tiny query side only, corpus stays one bucket per table. The bucket
+    join replaces the full cross product; a distinct pass dedups
+    candidates found by several tables/probes before ranking."""
 
-    def with_buckets(df: DataFrame) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_signature("_v", bits, dims, plane_offset=t * bits).alias(
-                        "b"
-                    ),
-                )
-                for t in range(tables)
-            ]
+    def with_buckets(df: DataFrame, probe: bool) -> DataFrame:
+        per_table = []
+        for t in range(tables):
+            sig = lsh_signature("_v", bits, dims, plane_offset=t * bits)
+            per_table.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
+        df = df.withColumn("_tb0", F.array(*per_table))
+        if probe:
+            # expand each (t, b) into itself + all single-bit flips
+            df = df.withColumn(
+                "_tb_all",
+                F.expr(
+                    f"flatten(transform(_tb0, s -> array(s) || "
+                    f"transform(sequence(0, {bits - 1}), "
+                    f"i -> struct(s.t AS t, s.b ^ shiftleft(cast(1 as bigint), i) AS b))))"
+                ),
+            )
+        else:
+            df = df.withColumn("_tb_all", F.col("_tb0"))
+        return (
+            df.withColumn("_tb", F.explode("_tb_all"))
+            .select(
+                "*", F.col("_tb.t").alias("tbl"), F.col("_tb.b").alias("bucket")
+            )
+            .drop("_tb", "_tb0", "_tb_all")
         )
-        return df.withColumn("_tb", F.explode(buckets)).select(
-            "*", F.col("_tb.t").alias("tbl"), F.col("_tb.b").alias("bucket")
-        ).drop("_tb")
 
     c = with_buckets(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
-        ).withColumn("_cn", norm(F.col("_v")))
+        ).withColumn("_cn", norm(F.col("_v"))),
+        probe=False,
     )
     q = with_buckets(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("_v")
-        ).withColumn("_qn", norm(F.col("_v")))
+        ).withColumn("_qn", norm(F.col("_v"))),
+        probe=multiprobe,
     )
     scored = (
         F.broadcast(
