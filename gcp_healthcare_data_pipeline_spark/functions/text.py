@@ -60,8 +60,9 @@ def lang_predict(en: Column, es: Column, de: Column) -> Column:
 
 
 def punct_count(text: Column) -> Column:
-    """Characters outside [a-z0-9 ] (lower-cased corpus)."""
-    return F.length(text) - F.length(F.regexp_replace(text, "[a-z0-9 ]", ""))
+    """Characters outside [a-z0-9 ] (lower-cased corpus): strip the
+    alphanumerics/spaces and count what remains."""
+    return F.length(F.regexp_replace(text, "[a-z0-9 ]", ""))
 
 
 def fingerprint(toks: Column) -> Column:

@@ -14,6 +14,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports deferred so a syntax error in one family doesn't kill the rest
     # during development; order defines display order.
     from gcp_healthcare_data_pipeline_spark.queries import (  # noqa: PLC0415
+        curation_queries,
         dedup_queries,
         event_queries,
         extended_queries,
@@ -35,4 +36,5 @@ def all_queries() -> dict[str, QuerySpec]:
         window_queries.QUERIES,
         extended_queries.QUERIES,
         streaming_queries.QUERIES,
+        curation_queries.QUERIES,
     )

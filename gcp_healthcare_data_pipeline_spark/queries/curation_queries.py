@@ -1,0 +1,252 @@
+"""Training-data curation: the composed end-to-end selection pipeline.
+
+q_corpus_curation chains the extension operators the way a real
+LLM-data pipeline would: quality scoring -> language filter -> near-dup
+removal (MinHash-LSH losers dropped, min-doc_id kept) -> surviving corpus
+with per-source stats. One oracle checks the whole composition.
+
+q_events_sliding is the batch twin of the streaming sliding window
+(each event lands in exactly two overlapping 10-min/5-min windows).
+
+q_user_zscore covers the grouped applyInPandas surface: per-user z-score
+normalization in Arrow-batched pandas, oracle-checked against window SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from gcp_healthcare_data_pipeline_spark.functions.text import STOPWORDS, tokens
+from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    jaccard,
+    minhash_signatures,
+    with_shingles,
+)
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+_QUALITY_MIN = 0.6
+_JACCARD_MIN = 0.6
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality >= 0.6, known language, near-dup losers removed; per-source
+    survivor stats."""
+    docs = load_tables(spark, sf_dir, "documents")
+    docs = docs.withColumn("_toks", tokens("text"))
+    n_tok = F.size("_toks").cast("double")
+    stop = F.size(
+        F.filter(
+            F.col("_toks"),
+            lambda t: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS]), t),
+        )
+    ).cast("double")
+    punct_ratio = F.length(
+        F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")
+    ).cast("double") / F.length("text")
+    score = (
+        F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * F.least(stop / n_tok * F.lit(5.0), F.lit(1.0))
+    )
+    scored = docs.select(
+        "doc_id", "source", "lang", "text", F.round(score, 6).alias("q")
+    )
+    kept = scored.filter(
+        (F.col("q") >= _QUALITY_MIN)
+        & F.col("lang").isin("en", "fr", "de", "es", "zh")
+    )
+
+    # near-dup losers (doc_b of verified pairs) computed on the FULL corpus
+    sh = with_shingles(
+        load_tables(spark, sf_dir, "documents").select("doc_id", "text"),
+        "text", n=3,
+    ).localCheckpoint(eager=False)
+    sig = minhash_signatures(sh, "doc_id", "shingles", k=12).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidate_pairs(sig, "doc_id", "sig", bands=6, rows_per_band=2)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    losers = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6) >= _JACCARD_MIN
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = kept.join(losers, "doc_id", "left_anti")
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_ORACLE_CORPUS_CURATION = f"""
+WITH d AS (
+  SELECT doc_id, source, lang, text, string_split(text, ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, source, lang,
+    CAST(len(toks) AS DOUBLE) AS n_tok,
+    CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) AS stop,
+    CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         AS DOUBLE) / LENGTH(text) AS punct_ratio
+  FROM d
+), scored AS (
+  SELECT doc_id, source, lang,
+    ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+        + 0.4 * (1.0 - punct_ratio)
+        + 0.2 * LEAST(stop / n_tok * 5.0, 1.0), 6) AS q
+  FROM m
+), kept AS (
+  SELECT * FROM scored
+  WHERE q >= {_QUALITY_MIN} AND lang IN ('en','fr','de','es','zh')
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+  FROM d WHERE len(toks) >= 3
+), based AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles,
+      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS bases
+  FROM sh
+), sig AS (
+  SELECT doc_id, shingles,
+    list_transform(range(0, 12),
+      j -> list_min(list_transform(bases,
+             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
+  FROM based
+), bands AS (
+  SELECT doc_id,
+    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
+      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+  FROM sig, UNNEST(range(0, 6)) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), losers AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE ROUND(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        / len(list_distinct(x.shingles || y.shingles)), 6) >= {_JACCARD_MIN}
+), survivors AS (
+  SELECT k.* FROM kept k
+  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(q), 6) AS avg_quality,
+       MIN(doc_id) AS min_doc_id
+FROM survivors
+GROUP BY 1
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding windows (10 min window, 5 min slide): each event
+    contributes to exactly two overlapping windows (explode of the two
+    covering window starts)."""
+    ev = load_tables(spark, sf_dir, "events")
+    base = (F.floor(F.expr("ts DIV 1000") / 300_000_000) * 300).cast("bigint")
+    win = F.explode(F.array(base - 300, base)).alias("window_start")
+    n_err = F.count(F.when(F.col("event_type") == "error", F.lit(1)))
+    return (
+        ev.select(win, "event_type", "value")
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.alias("n_errors"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_ORACLE_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS base,
+         event_type, value
+  FROM events
+), exploded AS (
+  SELECT base - 300 AS window_start, event_type, value FROM e
+  UNION ALL
+  SELECT base AS window_start, event_type, value FROM e
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+       ROUND(SUM(value), 2) AS total_value
+FROM exploded
+GROUP BY 1
+"""
+
+_Z_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), True),
+        StructField("zscore", DoubleType(), True),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=1)  # sample std == SQL stddev_samp
+    z = (pdf["value"] - mu) / sd if sd and sd == sd else pdf["value"] * float("nan")
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "zscore": z.round(4),
+        }
+    )
+
+
+def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization via grouped applyInPandas — the
+    Arrow grouped-map surface, oracle-checked against window SQL."""
+    ev = load_tables(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_Z_SCHEMA)
+
+
+_ORACLE_USER_ZSCORE = """
+SELECT event_id, user_id,
+  ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+        / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS zscore
+FROM events
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "q_corpus_curation", q_corpus_curation, _ORACLE_CORPUS_CURATION,
+        "ext:curation (quality+lang+dedup composition)",
+    ),
+    QuerySpec(
+        "q_events_sliding", q_events_sliding, _ORACLE_EVENTS_SLIDING,
+        "ext:streaming-batch sliding",
+    ),
+    QuerySpec(
+        "q_user_zscore", q_user_zscore, _ORACLE_USER_ZSCORE,
+        "ext:applyInPandas grouped-map",
+    ),
+]

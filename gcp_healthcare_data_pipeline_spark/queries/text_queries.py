@@ -80,7 +80,7 @@ WITH d AS (
   SELECT doc_id,
     CAST(len(toks) AS DOUBLE) AS n_tok,
     CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) AS stop,
-    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+    CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
          AS DOUBLE) / LENGTH(text) AS punct_ratio
   FROM d
 )

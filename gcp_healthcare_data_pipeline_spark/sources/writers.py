@@ -50,6 +50,15 @@ def write_bucketed_table(
     bucket silver on its business keys once at write time.
     Requires the session catalog (``spark.sql.warehouse.dir``).
     """
+    spark = df.sparkSession
+    # a crashed/forgotten session can leave the managed location on disk
+    # with no catalog entry; Spark then refuses to create the table —
+    # drop both the entry and any stale directory first
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
         .format("parquet")
