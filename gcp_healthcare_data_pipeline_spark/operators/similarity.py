@@ -103,12 +103,49 @@ def lsh_bucket_topk(
     join replaces the full cross product; a distinct pass dedups
     candidates found by several tables/probes before ranking."""
 
-    def with_buckets(df: DataFrame, probe: bool) -> DataFrame:
-        per_table = []
+    import hashlib
+
+    spark = corpus.sparkSession
+    n_planes = tables * bits
+
+    def _sign(plane: int, i: int) -> float:
+        # same weight as lsh_signature's in-engine md5-parity derivation
+        h = hashlib.md5(f"{plane}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+    plane_rows = [
+        tuple([i] + [_sign(p, i) for p in range(n_planes)]) for i in range(dims)
+    ]
+    plane_cols = ", ".join(f"s_{p} double" for p in range(n_planes))
+    planes = spark.createDataFrame(plane_rows, f"pos int, {plane_cols}")
+
+    def signatures(df: DataFrame, id_name: str) -> DataFrame:
+        """(id, _tb0): per-table buckets via exploded dims + broadcast
+        plane weights + codegen SUM aggregates (the HOF loop is
+        interpreted and ~5x slower at corpus size)."""
+        ex = df.select(
+            id_name, F.posexplode("_v").alias("pos", "_val")
+        ).join(F.broadcast(planes), "pos")
+        projs = [
+            F.sum(F.col("_val") * F.col(f"s_{p}")).alias(f"p_{p}")
+            for p in range(n_planes)
+        ]
+        agg = ex.groupBy(id_name).agg(*projs)
+        buckets = []
         for t in range(tables):
-            sig = lsh_signature("_v", bits, dims, plane_offset=t * bits)
-            per_table.append(F.struct(F.lit(t).alias("t"), sig.alias("b")))
-        df = df.withColumn("_tb0", F.array(*per_table))
+            bexpr = None
+            for b in range(bits):
+                bit = F.when(
+                    F.col(f"p_{t * bits + b}") >= 0.0,
+                    F.lit(1 << b).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+                bexpr = bit if bexpr is None else (bexpr + bit)
+            buckets.append(F.struct(F.lit(t).alias("t"), bexpr.alias("b")))
+        return agg.select(id_name, F.array(*buckets).alias("_tb0"))
+
+    def with_buckets(df: DataFrame, probe: bool) -> DataFrame:
+        id_name = df.columns[0]
+        df = df.join(signatures(df, id_name), id_name)
         if probe:
             # expand each (t, b) into itself + all single-bit flips
             df = df.withColumn(
