@@ -247,6 +247,10 @@ class Runner:
             "department_performance": gold_plans.department_performance(
                 s["departments"], s["encounters"], s["transactions"]
             ),
+            # the reference's two placeholder marts (gold.sql:165-169),
+            # completed as declared extensions
+            "financial_metrics": gold_plans.financial_metrics(s["transactions"]),
+            "payor_performance": gold_plans.payor_performance(s["claims"]),
         }
         for name, df in marts.items():
             self._write_replace(df, self._zone("gold", name))
@@ -260,7 +264,8 @@ class Runner:
         self.build_gold()
         out = {}
         for mart in ("provider_charge_summary", "patient_history",
-                     "provider_performance", "department_performance"):
+                     "provider_performance", "department_performance",
+                     "financial_metrics", "payor_performance"):
             out[mart] = self.spark.read.parquet(self._zone("gold", mart)).count()
         self.logger.log("INFO", f"pipeline done: {out}", "run")
         return out

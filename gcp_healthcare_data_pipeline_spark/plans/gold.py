@@ -153,6 +153,59 @@ def provider_performance(
     )
 
 
+def financial_metrics(transactions: DataFrame) -> DataFrame:
+    """Financial metrics mart — declared but unimplemented in the
+    reference (gold.sql:165-167 placeholder); completed here: charges,
+    payments, and outstanding balance per line of business and payor."""
+    t = transactions.filter(F.col("is_quarantined") == False)  # noqa: E712
+    charges = F.sum(F.coalesce(F.col("Amount"), F.lit(0.0)))
+    payments = F.sum(F.coalesce(F.col("PaidAmount"), F.lit(0.0)))
+    return (
+        t.groupBy(
+            F.col("LineOfBusiness").alias("Line_Of_Business"),
+            F.col("PayorID").alias("Payor"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("Num_Transactions"),
+            F.round(charges, 2).alias("Total_Charges"),
+            F.round(payments, 2).alias("Total_Payments"),
+            F.round(charges - payments, 2).alias("Outstanding_Balance"),
+            F.round(
+                safe_divide(payments * F.lit(100.0), F.nullif(charges, F.lit(0.0))),
+                2,
+            ).alias("Collection_Rate_Pct"),
+        )
+    )
+
+
+def payor_performance(claims: DataFrame) -> DataFrame:
+    """Payor performance mart — the reference's second placeholder
+    (gold.sql:168-169): claim outcomes and payment lag per payor."""
+    c = claims.filter(F.col("is_quarantined") == False)  # noqa: E712
+    approved = F.count(F.when(F.col("ClaimStatus") == "Approved", F.lit(1)))
+    n = F.count(F.lit(1))
+    lag_days = (
+        F.col("ClaimDate").cast("long") - F.col("ServiceDate").cast("long")
+    ) / 86400.0
+    return (
+        c.groupBy(F.col("PayorID").alias("Payor"), F.col("PayorType"))
+        .agg(
+            n.alias("Num_Claims"),
+            approved.alias("Approved_Claims"),
+            F.round(
+                safe_divide(approved * F.lit(100.0), F.nullif(n, F.lit(0))), 2
+            ).alias("Approval_Rate_Pct"),
+            F.round(F.sum(F.coalesce(F.col("ClaimAmount"), F.lit(0.0))), 2).alias(
+                "Total_Claim_Amount"
+            ),
+            F.round(F.sum(F.coalesce(F.col("PaidAmount"), F.lit(0.0))), 2).alias(
+                "Total_Paid_Amount"
+            ),
+            F.round(F.avg(lag_days), 2).alias("Avg_Claim_Lag_Days"),
+        )
+    )
+
+
 def department_performance(
     departments: DataFrame, encounters: DataFrame, transactions: DataFrame
 ) -> DataFrame:

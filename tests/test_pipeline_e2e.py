@@ -134,6 +134,28 @@ def test_gold_charge_summary_values(warehouse):
     assert vals[("Alice Adams", "Cardiology")] == pytest.approx(100.50)
 
 
+def test_extension_marts(warehouse):
+    """The reference's placeholder marts (gold.sql:165-169), completed."""
+    fm = warehouse["spark"].read.parquet(
+        f"{warehouse['wh']}/gold/financial_metrics"
+    )
+    rows = {(r.Line_Of_Business, r.Payor): r for r in fm.collect()}
+    # TRX001: commercial/Medicare, 100.50 charged, 80 paid
+    r = rows[("Commercial", "Medicare")]
+    assert r.Total_Charges == pytest.approx(100.50)
+    assert r.Total_Payments == pytest.approx(80.0)
+    assert r.Outstanding_Balance == pytest.approx(20.50)
+
+    pp = warehouse["spark"].read.parquet(
+        f"{warehouse['wh']}/gold/payor_performance"
+    )
+    by_payor = {r.Payor: r for r in pp.collect()}
+    # CLM001 approved (CLM003 is quarantined via 'null' status)
+    assert by_payor["Medicare"].Approval_Rate_Pct == 100.0
+    assert by_payor["Medicare"].Avg_Claim_Lag_Days == pytest.approx(3.0)
+    assert by_payor["BlueCross"].Approved_Claims == 0
+
+
 def test_provider_performance_approval_rate(warehouse):
     mart = warehouse["spark"].read.parquet(
         f"{warehouse['wh']}/gold/provider_performance"
