@@ -230,10 +230,38 @@ GROUP BY 1, 2
 """
 
 
+def q_sql_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure spark.sql text over registered views — the SQL front-end path
+    (same Catalyst plans as the DataFrame API)."""
+    from gcp_healthcare_data_pipeline_spark.plans.sql_interface import (  # noqa: PLC0415
+        revenue_by_segment,
+    )
+
+    return revenue_by_segment(spark, sf_dir)
+
+
+_ORACLE_SQL_REVENUE = """
+SELECT
+  c.c_mktsegment AS segment,
+  n.n_name AS nation,
+  COUNT(DISTINCT o.o_orderkey) AS num_orders,
+  ROUND(SUM(COALESCE(o.o_totalprice, 0.0)), 2) AS total_revenue
+FROM customer c
+LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE n.n_name IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_charge_summary", q_charge_summary, _ORACLE_CHARGE_SUMMARY,
         "J1 J2 A1 P6 P7 F6 F7 F9",
+    ),
+    QuerySpec(
+        "q_sql_revenue_by_segment", q_sql_revenue_by_segment,
+        _ORACLE_SQL_REVENUE, "ext:sql-interface S4",
     ),
     QuerySpec(
         "q_patient_history", q_patient_history, _ORACLE_PATIENT_HISTORY,
