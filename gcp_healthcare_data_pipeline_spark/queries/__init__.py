@@ -20,6 +20,7 @@ def all_queries() -> dict[str, QuerySpec]:
         extended_queries,
         gold_analogs,
         silver_analogs,
+        stats_queries,
         streaming_queries,
         text_queries,
         vector_queries,
@@ -37,4 +38,5 @@ def all_queries() -> dict[str, QuerySpec]:
         extended_queries.QUERIES,
         streaming_queries.QUERIES,
         curation_queries.QUERIES,
+        stats_queries.QUERIES,
     )

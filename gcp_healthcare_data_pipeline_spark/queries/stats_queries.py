@@ -1,0 +1,114 @@
+"""Statistical aggregates + fuzzy record linkage.
+
+- q_percentiles: exact linear-interpolation percentiles (Spark
+  ``percentile`` == DuckDB ``quantile_cont`` on DOUBLE inputs).
+- q_stats_by_flag: correlation / sample stddev / variance per group —
+  distribution-profiling surface for data-quality monitoring.
+- q_fuzzy_name_match: levenshtein-based near-match pairs — the healthcare
+  record-linkage primitive (same-patient detection across hospitals).
+  At scale the pairwise stage would be blocked (e.g. by name prefix /
+  soundex) exactly like the dedup LSH paths; here blocking is by equal
+  name length (the synthetic names are fixed-width).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / p95 order value per priority (exact percentiles)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderpriority").alias("order_priority")
+    ).agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT o_orderpriority AS order_priority,
+  ROUND(quantile_cont(o_totalprice::DOUBLE, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice::DOUBLE, 0.95), 4) AS p95,
+  ROUND(MIN(o_totalprice), 2) AS min_price,
+  ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distribution profile: corr, stddev, variance."""
+    li = load_tables(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("discount_var"),
+    )
+
+
+_ORACLE_STATS_BY_FLAG = """
+SELECT l_returnflag AS return_flag,
+  COUNT(*) AS n_rows,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  ROUND(stddev_samp(l_quantity), 6) AS qty_stddev,
+  ROUND(var_samp(l_discount), 6) AS discount_var
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: supplier-name pairs within edit distance 1
+    (levenshtein over a deterministic subset; blocked by name length)."""
+    sup = load_tables(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = sup.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a")
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.length("name_a") == F.length("name_b")),
+        )
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("name_a", "name_b").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 1)
+    )
+
+
+_ORACLE_FUZZY_NAME_MATCH = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       levenshtein(a.s_name, b.s_name) AS edit_distance
+FROM supplier a
+JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey AND LENGTH(a.s_name) = LENGTH(b.s_name)
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+QUERIES = [
+    QuerySpec("q_percentiles", q_percentiles, _ORACLE_PERCENTILES, "ext:stats"),
+    QuerySpec(
+        "q_stats_by_flag", q_stats_by_flag, _ORACLE_STATS_BY_FLAG, "ext:stats",
+    ),
+    QuerySpec(
+        "q_fuzzy_name_match", q_fuzzy_name_match, _ORACLE_FUZZY_NAME_MATCH,
+        "ext:record-linkage",
+    ),
+]
