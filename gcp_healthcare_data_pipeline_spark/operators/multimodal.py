@@ -101,6 +101,99 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage for image payloads (mapInPandas, Arrow-batched).
+
+    STUB codec: a real deployment decodes with PIL and re-encodes; the
+    stub emits a deterministic truncated-digest payload so the batch
+    shape, schema, and partition parallelism are real and testable.
+    Non-image rows pass through untouched metadata with NULL payload.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_w, out_h = width, height
+        for pdf in it:
+            payloads, ws, hs = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image" and payload is not None:
+                    # stands in for decode->resize->encode
+                    digest = hashlib.sha256(bytes(payload)).digest()
+                    payloads.append(digest[: out_w * out_h % 32 + 4])
+                    ws.append(out_w)
+                    hs.append(out_h)
+                else:
+                    payloads.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": ws,
+                    "height": hs,
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling stage for video payloads: one output row per
+    sampled frame (fan-out inside mapInPandas — batch in, frames out).
+
+    STUB codec: frame count derives from duration_ms / every_ms; each
+    frame payload is a deterministic digest slice. Swap for ffmpeg/pyav
+    in deployment; the row fan-out contract is what downstream stages
+    (per-frame featurization, dedup) depend on.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss, payloads = [], [], [], []
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "video" or payload is None or dur is None:
+                    continue
+                digest = hashlib.sha256(bytes(payload)).digest()
+                n = max(1, int(dur) // every_ms)
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    payloads.append(digest[i % 24: i % 24 + 8])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def exact_media_dedup(features: DataFrame) -> DataFrame:
     """Content-digest dedup over extracted features (binary twin of the
     text exact-dedup operator)."""

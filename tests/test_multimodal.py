@@ -7,6 +7,8 @@ from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     exact_media_dedup,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 
 
@@ -16,8 +18,28 @@ def _media(spark):
         (2, "image", "image/png", b"\x89PNG-fake-bytes-1", 64, 64, None),  # dup payload
         (3, "audio", "audio/wav", b"RIFF-fake-audio", None, None, 1200),
         (4, "image", "image/png", None, None, None, None),  # corrupt
+        (5, "video", "video/mp4", b"\x00mp4-fake-video", 640, 480, 3500),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_resize_stage_shapes(spark):
+    out = {r.media_id: r for r in resize_images(_media(spark), 32, 32).collect()}
+    assert out[1].width == 32 and out[1].height == 32
+    assert out[1].payload == out[2].payload  # deterministic per payload
+    assert out[3].payload is None  # audio passes through untouched
+    assert out[4].payload is None  # corrupt tolerated
+    assert len(out) == 5  # row-per-input contract
+
+
+def test_frame_sampling_fanout(spark):
+    frames = sample_frames(_media(spark), every_ms=1000).collect()
+    # 3500ms video at 1 frame/s -> 3 frames; only video rows fan out
+    assert len(frames) == 3
+    assert [f.frame_idx for f in sorted(frames, key=lambda x: x.frame_idx)] == [0, 1, 2]
+    assert all(f.media_id == 5 for f in frames)
+    assert all(f.frame_ts_ms == f.frame_idx * 1000 for f in frames)
+    assert len({bytes(f.frame_payload) for f in frames}) == 3  # distinct slices
 
 
 def test_feature_extraction_schema_and_determinism(spark):
@@ -44,4 +66,4 @@ def test_corrupt_rows_tolerated(spark):
 def test_digest_dedup(spark):
     dedup = exact_media_dedup(extract_features(_media(spark)))
     got = {r.keeper_id: r.n_copies for r in dedup.collect()}
-    assert got == {1: 2, 3: 1}
+    assert got == {1: 2, 3: 1, 5: 1}
