@@ -360,6 +360,50 @@ GROUP BY 1, 2
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (absent from the reference —
+    SURVEY §2.7 — and free in Spark): customers who ordered in 1997
+    but not in 1998, via except; tagged against the intersect set."""
+    t = load_tables(spark, sf_dir, "orders")
+    y97 = t.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("cust_key"))
+    y98 = t.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select(F.col("o_custkey").alias("cust_key"))
+    # subtract = EXCEPT (set semantics); exceptAll would keep a customer
+    # whose y97 multiplicity exceeds their y98 matches
+    churned = y97.subtract(y98).withColumn("cohort", F.lit("churned"))
+    retained = y97.intersect(y98).withColumn("cohort", F.lit("retained"))
+    return churned.unionByName(retained)
+
+
+_ORACLE_SET_OPS = """
+WITH y97 AS (
+  SELECT o_custkey AS cust_key FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+), y98 AS (
+  SELECT o_custkey AS cust_key FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01'
+)
+SELECT cust_key, 'churned' AS cohort FROM (
+  SELECT DISTINCT cust_key FROM y97
+  EXCEPT
+  SELECT DISTINCT cust_key FROM y98
+)
+UNION ALL
+SELECT cust_key, 'retained' AS cohort FROM (
+  SELECT cust_key FROM y97
+  INTERSECT
+  SELECT cust_key FROM y98
+)
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: events has only 5 event types (hot keys);
     the salted two-phase aggregation spreads each over 16 reducers and
@@ -385,6 +429,7 @@ GROUP BY 1
 QUERIES = [
     QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
     QuerySpec("q_salted_agg", q_salted_agg, _ORACLE_SALTED_AGG, "ext:skew A1 A2"),
+    QuerySpec("q_set_ops", q_set_ops, _ORACLE_SET_OPS, "ext:set-ops §2.7"),
     QuerySpec(
         "q_range_join_shipping", q_range_join_shipping,
         _ORACLE_RANGE_JOIN_SHIPPING, "ext:range-join",
