@@ -39,6 +39,36 @@ def test_brute_force_matches_numpy(spark):
     assert math.isclose(top.cos_sim, round(sims[got[0]], 6), abs_tol=1e-6)
 
 
+def test_python_plane_weights_match_engine_derivation(spark):
+    """lsh_bucket_topk derives hyperplane weights in Python (hashlib md5
+    parity); lsh_signature is the in-engine twin. They must stay in
+    lockstep or buckets silently change."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        lsh_signature,
+    )
+
+    dims, bits = 8, 4
+    vec = [0.3, -0.2, 0.9, -0.5, 0.1, 0.7, -0.8, 0.4]
+    df = spark.createDataFrame([(vec,)], "_v array<double>")
+    engine_bucket = df.select(
+        lsh_signature("_v", bits, dims, plane_offset=0).alias("b")
+    ).first().b
+
+    python_bucket = 0
+    for b in range(bits):
+        s = 0.0
+        for i, v in enumerate(vec):
+            h = hashlib.md5(f"{b}:{i}".encode()).hexdigest()
+            s += v if int(h[0], 16) % 2 == 0 else -v
+        if s >= 0.0:
+            python_bucket += 1 << b
+    assert engine_bucket == python_bucket
+
+
 def test_lsh_topk_subset_of_bucket_and_sane(spark):
     emb = _emb(spark)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
