@@ -404,6 +404,28 @@ SELECT cust_key, 'retained' AS cohort FROM (
 """
 
 
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping combinations including
+    the cross-margins rollup misses."""
+    orders = load_tables(spark, sf_dir, "orders")
+    return orders.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+_ORACLE_CUBE_SALES = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: events has only 5 event types (hot keys);
     the salted two-phase aggregation spreads each over 16 reducers and
@@ -430,6 +452,7 @@ QUERIES = [
     QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
     QuerySpec("q_salted_agg", q_salted_agg, _ORACLE_SALTED_AGG, "ext:skew A1 A2"),
     QuerySpec("q_set_ops", q_set_ops, _ORACLE_SET_OPS, "ext:set-ops §2.7"),
+    QuerySpec("q_cube_sales", q_cube_sales, _ORACLE_CUBE_SALES, "ext:cube"),
     QuerySpec(
         "q_range_join_shipping", q_range_join_shipping,
         _ORACLE_RANGE_JOIN_SHIPPING, "ext:range-join",

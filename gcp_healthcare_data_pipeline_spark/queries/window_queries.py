@@ -108,8 +108,82 @@ GROUP BY 1
 """
 
 
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) price quartiles within each priority, rolled up to
+    quartile boundaries (min/max per bucket)."""
+    orders = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy(
+            F.col("o_orderpriority").alias("order_priority"),
+            F.col("quartile").cast("int").alias("quartile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+_ORACLE_NTILE_QUARTILES = """
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+    NTILE(4) OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+  FROM orders
+)
+SELECT o_orderpriority AS order_priority,
+       CAST(quartile AS INT) AS quartile,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS min_price,
+       ROUND(MAX(o_totalprice), 2) AS max_price
+FROM t
+GROUP BY 1, 2
+"""
+
+
+def q_order_items_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregation: the sorted part list of each order collected
+    into one string column (collect_list -> array_sort -> join)."""
+    li = load_tables(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 50 == 0)
+        .groupBy(F.col("l_orderkey").alias("order_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_partkey").cast("string"))),
+                ",",
+            ).alias("part_list"),
+        )
+    )
+
+
+_ORACLE_ORDER_ITEMS_AGG = """
+SELECT l_orderkey AS order_key,
+       COUNT(*) AS n_items,
+       array_to_string(list_sort(list(CAST(l_partkey AS VARCHAR))), ',')
+         AS part_list
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_topk_orders", q_topk_orders, _ORACLE_TOPK_ORDERS, "ext:window"),
+    QuerySpec(
+        "q_ntile_quartiles", q_ntile_quartiles, _ORACLE_NTILE_QUARTILES,
+        "ext:window ntile",
+    ),
+    QuerySpec(
+        "q_order_items_agg", q_order_items_agg, _ORACLE_ORDER_ITEMS_AGG,
+        "ext:nested-agg collect_list",
+    ),
     QuerySpec(
         "q_customer_running_total", q_customer_running_total,
         _ORACLE_CUSTOMER_RUNNING_TOTAL, "ext:window",
