@@ -426,6 +426,43 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide per-part price columns to long
+    (metric, value) rows — the wide->long reshape twin of q_pivot."""
+    part = load_tables(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("part_key"),
+        F.expr(
+            "stack(2, 'retail', p_retailprice, "
+            "'size_x10', cast(p_size as double) * 10.0) AS (metric, value)"
+        ),
+    )
+
+
+_ORACLE_UNPIVOT = """
+SELECT p_partkey AS part_key, 'retail' AS metric, p_retailprice AS value
+FROM part
+UNION ALL
+SELECT p_partkey AS part_key, 'size_x10' AS metric,
+       CAST(p_size AS DOUBLE) * 10.0 AS value
+FROM part
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct counts — the cardinality path at
+    100 TB where exact COUNT(DISTINCT) would shuffle every key. No SQL
+    oracle (HLL sketches are engine-specific); tests/test_approx.py bounds
+    the estimate against the exact count."""
+    li = load_tables(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+            "approx_orders"
+        ),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: events has only 5 event types (hot keys);
     the salted two-phase aggregation spreads each over 16 reducers and
@@ -453,6 +490,8 @@ QUERIES = [
     QuerySpec("q_salted_agg", q_salted_agg, _ORACLE_SALTED_AGG, "ext:skew A1 A2"),
     QuerySpec("q_set_ops", q_set_ops, _ORACLE_SET_OPS, "ext:set-ops §2.7"),
     QuerySpec("q_cube_sales", q_cube_sales, _ORACLE_CUBE_SALES, "ext:cube"),
+    QuerySpec("q_unpivot_balances", q_unpivot_balances, _ORACLE_UNPIVOT, "ext:unpivot"),
+    QuerySpec("q_approx_distinct", q_approx_distinct, None, "ext:approx HLL"),
     QuerySpec(
         "q_range_join_shipping", q_range_join_shipping,
         _ORACLE_RANGE_JOIN_SHIPPING, "ext:range-join",
