@@ -83,6 +83,89 @@ def lsh_signature(vec_col: str, bits: int, dims: int, plane_offset: int = 0) -> 
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_mod: int = 31,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: the second classic ANN scale path.
+
+    Centroids are a deterministic corpus sample (id % centroid_mod == 0 —
+    a real deployment would k-means them; determinism keeps this
+    oracle-checkable). Every corpus vector is assigned to its nearest
+    centroid once (a broadcast join against the tiny centroid set);
+    queries probe their ``probes`` nearest centroids and score only those
+    clusters. Corpus-side work is O(n * n_centroids) vectorized ops plus
+    one bucket join — never O(n^2).
+    """
+    c_raw = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
+    ).withColumn("_cn", norm(F.col("_v")))
+    cents = (
+        corpus.filter(F.col(id_col) % centroid_mod == 0)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(vec_col).alias("_cv"),
+        )
+        .withColumn("_ccn", norm(F.col("_cv")))
+    )
+
+    def assign(df: DataFrame, vec: str, nrm: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            "*",
+            F.round(
+                cosine_precomputed(
+                    F.col(vec), F.col("_cv"), F.col(nrm), F.col("_ccn")
+                ),
+                6,
+            ).alias("_csim"),
+        )
+        w = Window.partitionBy(df.columns[0]).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= keep)
+            .drop("_cv", "_ccn", "_csim", "_crank")
+        )
+
+    c = assign(c_raw, "_v", "_cn", keep=1)
+    q = assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
+        ).withColumn("_qn", norm(F.col("_qv"))),
+        "_qv", "_qn", keep=probes,
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_precomputed(
+                    F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
