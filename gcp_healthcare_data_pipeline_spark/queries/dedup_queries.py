@@ -205,11 +205,11 @@ WITH d AS (
   FROM documents
 )
 SELECT doc_id,
-  list_sum(list_transform(range(0, 16), j ->
+  CAST(list_sum(list_transform(range(0, 16), j ->
     CASE WHEN 2 * len(list_filter(hs, h ->
         ((strpos('0123456789abcdef', substr(h, 1 + (j // 4), 1)) - 1)
           >> (j % 4)) & 1 = 1)) >= len(hs)
-      THEN (1::BIGINT << j) ELSE 0 END)) AS simhash
+      THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
 FROM d
 """
 

@@ -98,7 +98,8 @@ WITH e AS (
   FROM lagged
 ), sess AS (
   SELECT *,
-    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+    CAST(SUM(new_session)
+         OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT)
       AS session_idx
   FROM flagged
 )

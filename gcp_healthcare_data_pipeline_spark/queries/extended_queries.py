@@ -263,9 +263,9 @@ def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_PIVOT_ORDER_STATUS = """
 SELECT o_orderpriority AS order_priority,
-  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
-  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
-  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending
 FROM orders
 GROUP BY 1
 """

@@ -33,15 +33,18 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(df):
-    """Sort columns by name, then rows; stringify floats to 9 sig digits."""
-    import pandas as pd
+    """Sort columns by name, then rows; stringify values driver-strict.
 
+    The driver hashes raw ``str(value)`` per cell — so a pandas float64
+    ``42.0`` does NOT equal an int64 ``42``.  Round 1 used a ``%.9g``
+    normalizer here that collapsed ``42.0`` -> ``42`` and silently masked
+    three DuckDB HUGEINT->float64 oracle-type bugs the driver then failed.
+    Keep this exactly as strict as the driver: local green must predict
+    driver green.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].map(lambda x: None if pd.isna(x) else f"{x:.9g}")
-        else:
-            df[c] = df[c].map(lambda x: None if x is None or x != x else str(x))
+        df[c] = df[c].map(lambda x: None if x is None or x != x else str(x))
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
         drop=True
     )
