@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from dataclasses import dataclass
 from datetime import datetime
 
@@ -66,11 +67,21 @@ class SourcePaths:
 
 class Runner:
     def __init__(
-        self, spark: SparkSession, warehouse: str, clock: datetime | None = None
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        clock: datetime | None = None,
+        retries: int = 1,
+        retry_delay_s: float = 0.0,
     ):
+        # retries/retry_delay_s mirror the reference DAGs' retry policy
+        # (dags/parent_dag.py:16-17, dags/bq_dag.py:39-40: 1 retry, 5-min
+        # delay); tests pass retry_delay_s=0.
         self.spark = spark
         self.warehouse = warehouse
         self.clock = clock or datetime.utcnow()
+        self.retries = retries
+        self.retry_delay_s = retry_delay_s
         self.ledger = AuditLedger(spark, os.path.join(warehouse, "control"))
         self.logger = PipelineLogger(spark, os.path.join(warehouse, "control"))
 
@@ -93,42 +104,62 @@ class Runner:
         return F.lit(self.clock.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
 
     # -- stage 1: config-driven landing ingest (EP2) -----------------------
+    def _land_table(self, sources: SourcePaths, row) -> int:
+        """Land one config row; returns row count. Raises on failure."""
+        ds, table = row["datasource"], row["tablename"]
+        src_path = sources.emr[ds][table]
+        schema = EMR_TABLES[table][ds]
+        df = read_csv(self.spark, src_path, schema)
+        load_type = (row["loadtype"] or "Full").strip()
+        if load_type.lower() == "incremental" and row["watermark"]:
+            wm = self.ledger.last_watermark(ds, table)
+            if wm is not None:
+                df = df.filter(
+                    F.col(row["watermark"]).cast("timestamp") > F.lit(wm)
+                )
+        landing = self._zone("landing", ds, table)
+        archive_landing_files(
+            landing, self._zone("landing", ds, "archive", table), self.clock,
+        )
+        # count the frame we are about to write — NOT a re-read of the
+        # landing sink, which would cost an extra scan + JSON schema
+        # inference per table per run
+        n = df.count()
+        write_landing_json(df, landing)
+        return n
+
     def ingest_to_landing(self, sources: SourcePaths) -> None:
         config = read_csv(self.spark, sources.load_config, LOAD_CONFIG)
         active = config.filter(F.col("is_active") == "1").collect()  # C1 loop
         for row in active:
             ds, table = row["datasource"], row["tablename"]
-            try:
-                src_path = sources.emr[ds][table]
-                schema = EMR_TABLES[table][ds]
-                df = read_csv(self.spark, src_path, schema)
-                load_type = (row["loadtype"] or "Full").strip()
-                if load_type.lower() == "incremental" and row["watermark"]:
-                    wm = self.ledger.last_watermark(ds, table)
-                    if wm is not None:
-                        df = df.filter(
-                            F.col(row["watermark"]).cast("timestamp") > F.lit(wm)
-                        )
-                landing = self._zone("landing", ds, table)
-                archive_landing_files(
-                    landing, self._zone("landing", ds, "archive", table),
-                    self.clock,
-                )
-                write_landing_json(df, landing)
+            load_type = (row["loadtype"] or "Full").strip()
+            attempts = 1 + max(0, self.retries)
+            for attempt in range(1, attempts + 1):
                 try:
-                    n = self.spark.read.json(landing).count()
-                except Exception:  # zero-row landing: JSON schema inference fails
-                    n = 0
-                self.ledger.record(ds, table, load_type, n, "success", self.clock)
-                self.logger.log("INFO", f"landed {n} rows", "landing", table)
-            except Exception as e:  # C6: isolate per-table failures
-                self.ledger.record(
-                    row["datasource"], row["tablename"],
-                    row["loadtype"] or "Full", 0, "failed", self.clock,
-                )
-                self.logger.log(
-                    "ERROR", str(e), "landing", row["tablename"], error=e
-                )
+                    n = self._land_table(sources, row)
+                    self.ledger.record(
+                        ds, table, load_type, n, "success", self.clock
+                    )
+                    self.logger.log("INFO", f"landed {n} rows", "landing", table)
+                    break
+                except Exception as e:
+                    if attempt < attempts:
+                        self.logger.log(
+                            "WARN",
+                            f"attempt {attempt} failed, retrying: {e}",
+                            "landing", table,
+                        )
+                        if self.retry_delay_s:
+                            time.sleep(self.retry_delay_s)
+                        continue
+                    # C6: isolate per-table failures; one audit row per load
+                    self.ledger.record(
+                        ds, table, load_type, 0, "failed", self.clock,
+                    )
+                    self.logger.log(
+                        "ERROR", str(e), "landing", table, error=e
+                    )
 
     # -- stage 2: bronze ---------------------------------------------------
     def build_bronze(self, sources: SourcePaths) -> None:

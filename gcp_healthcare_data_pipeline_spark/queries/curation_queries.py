@@ -8,14 +8,16 @@ with per-source stats. One oracle checks the whole composition.
 q_events_sliding is the batch twin of the streaming sliding window
 (each event lands in exactly two overlapping 10-min/5-min windows).
 
-q_user_zscore covers the grouped applyInPandas surface: per-user z-score
-normalization in Arrow-batched pandas, oracle-checked against window SQL.
+q_user_zscore is per-user z-score normalization via built-in window
+functions (JVM-side); user_zscore_grouped_map is the same computation on
+the Arrow grouped-map (applyInPandas) surface, kept for API coverage and
+asserted equivalent in tests.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -219,13 +221,40 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user z-score normalization via grouped applyInPandas — the
-    Arrow grouped-map surface, oracle-checked against window SQL."""
+def user_zscore_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via grouped applyInPandas — kept as the API
+    demonstration / test surface for the Arrow grouped-map path.  NOT the
+    registry plan: the same math is expressible with built-in window
+    functions (pure JVM, no Arrow hop), which is what q_user_zscore uses.
+    """
     ev = load_tables(spark, sf_dir, "events").select(
         "event_id", "user_id", "value"
     )
     return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_Z_SCHEMA)
+
+
+def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score normalization with built-in window functions.
+
+    (value - avg) / stddev_samp over Window.partitionBy(user_id): one
+    shuffle on user_id, whole-stage-codegen window evaluation, no Python
+    workers.  Replaces the round-1 applyInPandas plan (~3.3s -> ~0.3s at
+    sf0.1); the grouped-map variant survives as user_zscore_grouped_map,
+    asserted equivalent in tests/test_curation.py.
+    """
+    ev = load_tables(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            (F.col("value") - F.avg("value").over(w))
+            / F.stddev_samp("value").over(w),
+            4,
+        ).alias("zscore"),
+    )
 
 
 _ORACLE_USER_ZSCORE = """
