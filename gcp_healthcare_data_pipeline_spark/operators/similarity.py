@@ -174,17 +174,19 @@ def lsh_bucket_topk(
     dims: int = 64,
     tables: int = 3,
     multiprobe: bool = True,
+    probe_depth: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing any of the
     query's LSH buckets across ``tables`` independent hash tables
     (OR-amplification: recall ≈ 1-(1-p^bits)^tables). With ``multiprobe``,
-    the query side also probes every hamming-1 neighbor bucket (vectors
-    near a hyperplane land one bit away) — recall amplification on the
-    tiny query side only, corpus stays one bucket per table. The bucket
-    join replaces the full cross product; a distinct pass dedups
-    candidates found by several tables/probes before ranking."""
+    the query side also probes every bucket within hamming distance
+    ``probe_depth`` (vectors near a hyperplane land a bit away) — recall
+    amplification on the tiny query side only, corpus stays one bucket
+    per table. The bucket join replaces the full cross product; a
+    distinct pass dedups candidates found by several tables/probes
+    before ranking."""
 
     import hashlib
 
@@ -226,17 +228,27 @@ def lsh_bucket_topk(
             buckets.append(F.struct(F.lit(t).alias("t"), bexpr.alias("b")))
         return agg.select(id_name, F.array(*buckets).alias("_tb0"))
 
+    from itertools import combinations
+
+    # static probe masks: every bit pattern with popcount <= probe_depth;
+    # the flip set is fixed at plan time, so the expansion is a literal
+    # array (no per-row combinatorics)
+    probe_masks = [0]
+    for d in range(1, max(1, probe_depth) + 1):
+        probe_masks += [
+            sum(1 << i for i in c) for c in combinations(range(bits), d)
+        ]
+
     def with_buckets(df: DataFrame, probe: bool) -> DataFrame:
         id_name = df.columns[0]
         df = df.join(signatures(df, id_name), id_name)
         if probe:
-            # expand each (t, b) into itself + all single-bit flips
+            masks = ", ".join(f"cast({m} as bigint)" for m in probe_masks)
             df = df.withColumn(
                 "_tb_all",
                 F.expr(
-                    f"flatten(transform(_tb0, s -> array(s) || "
-                    f"transform(sequence(0, {bits - 1}), "
-                    f"i -> struct(s.t AS t, s.b ^ shiftleft(cast(1 as bigint), i) AS b))))"
+                    f"flatten(transform(_tb0, s -> transform(array({masks}), "
+                    f"m -> struct(s.t AS t, s.b ^ m AS b))))"
                 ),
             )
         else:

@@ -28,14 +28,28 @@ from gcp_healthcare_data_pipeline_spark.functions.bq_compat import (
 
 @dataclass(frozen=True)
 class EntitySpec:
-    """Metadata driving conformance + SCD2 for one silver entity."""
+    """Metadata driving conformance + SCD2 for one silver entity.
+
+    ``null_cols``/``sentinel_cols`` reproduce each entity's reference
+    quarantine CASE verbatim (silver.sql:22-25, 57-60, 105-108, 263-266,
+    399-402, 540-543, 676-679): NULL checks and ``LOWER(x)='null'``
+    sentinel checks apply to *different* column sets per entity, and are
+    evaluated on the PRE-CAST raw values — in BigQuery the CASE references
+    the raw subquery columns, not the cast aliases in the same SELECT.
+
+    ``tracked`` mirrors the reference MERGE change comparator, which spans
+    ALL data columns including datasource and is_quarantined (e.g.
+    silver.sql:146-159 patients, :277-301 transactions) — not just the
+    business attributes.
+    """
 
     name: str
     key_col: str                      # derived business key (id + '-' + datasource)
     rename: dict[str, dict[str, str]]  # datasource -> {target: source col}
     casts: dict[str, str] = field(default_factory=dict)   # target col -> type
-    quarantine_cols: tuple[str, ...] = ()   # NULL or 'null' => quarantined
-    tracked: tuple[str, ...] = ()           # SCD2 change-detector columns
+    null_cols: tuple[str, ...] = ()      # IS NULL => quarantined
+    sentinel_cols: tuple[str, ...] = ()  # LOWER(x)='null' => quarantined
+    tracked: tuple[str, ...] = ()        # SCD2 change-detector columns
     scd2: bool = True
 
 
@@ -53,13 +67,16 @@ def conform_source(
         spec.key_col,
         null_prop_concat(F.col(id_source).cast("string"), "-", datasource),
     )
+    # quarantine BEFORE casts: the reference CASE sees raw strings, so a
+    # malformed-but-present value (e.g. DOB='notadate') is NOT quarantined
+    bad = [F.col(c).isNull() for c in spec.null_cols]
+    bad += [
+        string_null_sentinel(F.col(c).cast("string"))
+        for c in spec.sentinel_cols
+    ]
+    out = out.withColumn("is_quarantined", quarantine_flag(*bad))
     for col, dtype in spec.casts.items():
         out = out.withColumn(col, safe_cast(F.col(col), dtype))
-    bad = []
-    for c in spec.quarantine_cols:
-        bad.append(F.col(c).isNull())
-        bad.append(string_null_sentinel(F.col(c).cast("string")))
-    out = out.withColumn("is_quarantined", quarantine_flag(*bad))
     return out
 
 
@@ -106,9 +123,12 @@ PATIENTS = EntitySpec(
         },
     },
     casts={"DOB": "timestamp", "SRC_ModifiedDate": "timestamp"},
-    quarantine_cols=("SRC_PatientID", "DOB", "FirstName"),  # silver.sql:106
-    tracked=("FirstName", "LastName", "MiddleName", "SSN", "PhoneNumber",
-             "Gender", "DOB", "Address"),
+    null_cols=("SRC_PatientID", "DOB", "FirstName"),    # silver.sql:106
+    sentinel_cols=("FirstName",),                       # silver.sql:106
+    # full reference comparator (silver.sql:146-159)
+    tracked=("SRC_PatientID", "FirstName", "LastName", "MiddleName", "SSN",
+             "PhoneNumber", "Gender", "DOB", "Address", "SRC_ModifiedDate",
+             "datasource", "is_quarantined"),
 )
 
 ENCOUNTERS = EntitySpec(
@@ -125,9 +145,13 @@ ENCOUNTERS = EntitySpec(
         "EncounterDate": "timestamp", "ProcedureCode": "bigint",
         "SRC_InsertedDate": "timestamp", "SRC_ModifiedDate": "timestamp",
     },
-    quarantine_cols=("SRC_EncounterID", "PatientID", "EncounterDate"),  # :400
-    tracked=("PatientID", "EncounterDate", "EncounterType", "ProviderID",
-             "DepartmentID", "ProcedureCode"),
+    null_cols=("SRC_EncounterID", "PatientID", "EncounterDate"),  # :400
+    sentinel_cols=("EncounterType",),                             # :400
+    # full reference comparator (silver.sql:435-445; SRC_InsertedDate is
+    # NOT compared there — it rides along as a carry column)
+    tracked=("SRC_EncounterID", "PatientID", "ProviderID", "DepartmentID",
+             "EncounterDate", "EncounterType", "ProcedureCode",
+             "SRC_ModifiedDate", "datasource", "is_quarantined"),
 )
 
 TRANSACTIONS = EntitySpec(
@@ -152,11 +176,15 @@ TRANSACTIONS = EntitySpec(
         "ProcedureCode": "bigint", "SRC_InsertDate": "timestamp",
         "SRC_ModifiedDate": "timestamp",
     },
-    quarantine_cols=("EncounterID", "PatientID", "SRC_TransactionID",
-                     "VisitDate"),  # silver.sql:264
-    tracked=("EncounterID", "PatientID", "ProviderID", "DeptID", "VisitDate",
-             "ServiceDate", "PaidDate", "VisitType", "Amount", "PaidAmount",
-             "ClaimID", "PayorID"),
+    null_cols=("EncounterID", "PatientID", "SRC_TransactionID",
+               "VisitDate"),  # silver.sql:263-266 (no sentinel checks)
+    # full reference comparator (silver.sql:277-301)
+    tracked=("SRC_TransactionID", "EncounterID", "PatientID", "ProviderID",
+             "DeptID", "VisitDate", "ServiceDate", "PaidDate", "VisitType",
+             "Amount", "AmountType", "PaidAmount", "ClaimID", "PayorID",
+             "ProcedureCode", "ICDCode", "LineOfBusiness", "MedicaidID",
+             "MedicareID", "SRC_InsertDate", "SRC_ModifiedDate",
+             "datasource", "is_quarantined"),
 )
 
 PROVIDERS = EntitySpec(
@@ -168,15 +196,15 @@ PROVIDERS = EntitySpec(
         "DeptID": "DeptID", "NPI": "NPI",
     }),
     casts={"NPI": "bigint"},  # SAFE_CAST AS INT64, silver.sql:55
-    quarantine_cols=(),
+    null_cols=("ProviderID", "DeptID"),  # silver.sql:57-60
     scd2=False,  # truncate-and-reload snapshot (silver.sql:35-65)
 )
 
 DEPARTMENTS = EntitySpec(
     name="departments",
-    key_col="Dept_Key",
-    rename=_same({"DeptID": "DeptID", "Name": "Name"}),
-    quarantine_cols=("DeptID", "Name"),  # silver.sql:22-25
+    key_col="Dept_Id",  # CONCAT(deptid,'-',datasource), silver.sql:18
+    rename=_same({"SRC_Dept_Id": "DeptID", "Name": "Name"}),
+    null_cols=("SRC_Dept_Id", "Name"),  # silver.sql:22-25 (no sentinel)
     scd2=False,
 )
 
@@ -203,28 +231,34 @@ CLAIMS = EntitySpec(
         "Deductible": "double", "Coinsurance": "double", "Copay": "double",
         "SRC_InsertDate": "timestamp", "SRC_ModifiedDate": "timestamp",
     },
-    quarantine_cols=("SRC_ClaimID", "TransactionID", "PatientID",
-                     "ClaimStatus"),  # silver.sql:540-543
-    tracked=("TransactionID", "PatientID", "EncounterID", "ProviderID",
-             "DeptID", "ClaimAmount", "PaidAmount", "ClaimStatus",
-             "PayorType"),
+    null_cols=("SRC_ClaimID", "TransactionID", "PatientID"),  # :540-543
+    sentinel_cols=("ClaimStatus",),                           # :541
+    # full reference comparator (silver.sql:572-592; SRC_InsertDate is
+    # NOT compared there — carry column)
+    tracked=("SRC_ClaimID", "TransactionID", "PatientID", "EncounterID",
+             "ProviderID", "DeptID", "ServiceDate", "ClaimDate", "PayorID",
+             "ClaimAmount", "PaidAmount", "ClaimStatus", "PayorType",
+             "Deductible", "Coinsurance", "Copay", "SRC_ModifiedDate",
+             "datasource", "is_quarantined"),
 )
 
 CPT_CODES = EntitySpec(
     name="cpt_codes",
-    key_col="CPT_Key",
+    key_col="CP_Code_Key",  # silver.sql:692 naming
     rename={
         "cptcodes": {
+            "cpt_codes": "cpt_codes",  # first mapped col drives the key
             "procedure_code_category": "procedure_code_category",
-            "cpt_codes": "cpt_codes",
             "procedure_code_descriptions": "procedure_code_descriptions",
             "code_status": "code_status",
         }
     },
-    quarantine_cols=("cpt_codes", "procedure_code_descriptions",
-                     "code_status"),  # silver.sql:676-679
-    tracked=("procedure_code_category", "procedure_code_descriptions",
-             "code_status"),
+    null_cols=("cpt_codes",),          # silver.sql:676-679
+    sentinel_cols=("code_status",),    # silver.sql:677
+    # full reference comparator (silver.sql:694-701)
+    tracked=("procedure_code_category", "cpt_codes",
+             "procedure_code_descriptions", "code_status", "datasource",
+             "is_quarantined"),
 )
 
 ENTITIES = {

@@ -19,29 +19,37 @@ from gcp_healthcare_data_pipeline_spark.functions.bq_compat import (
 
 
 def _dept_join_key(dept: DataFrame) -> DataFrame:
-    """SPLIT(Dept_Key, '-')[SAFE_OFFSET(0)] computed join key
+    """SPLIT(Dept_Id, '-')[SAFE_OFFSET(0)] computed join key
     (gold.sql:22,158-160)."""
     return dept.withColumn(
-        "dept_id_parsed", safe_offset(F.split("Dept_Key", "-"), 0)
+        "dept_id_parsed", safe_offset(F.split("Dept_Id", "-"), 0)
     )
 
 
 def provider_charge_summary(
     transactions: DataFrame, providers: DataFrame, departments: DataFrame
 ) -> DataFrame:
-    """gold.sql:13-25: trx ⟕ providers ⟕ departments (computed key),
-    SUM(COALESCE(Amount)), non-quarantined, dept name not null."""
+    """gold.sql:13-25: trx ⟕ providers ⟕ departments (computed key).
+
+    Output schema matches the reference CREATE TABLE (gold.sql:5-9):
+    (Provider_Name, Dept_Name, Amount), with COALESCE(name,'') in the
+    concat so a NULL first/last name still yields a group key
+    (gold.sql:15). Amount is ROUND(...,2) for cross-engine float
+    determinism (sum of 2dp money values).
+    """
     t = transactions.filter(F.col("is_quarantined") == False)  # noqa: E712
     p = providers.select(
         "ProviderID",
-        F.concat(F.col("FirstName"), F.lit(" "), F.col("LastName")).alias(
-            "Provider_Name"
-        ),
+        F.concat(
+            F.coalesce(F.col("FirstName"), F.lit("")),
+            F.lit(" "),
+            F.coalesce(F.col("LastName"), F.lit("")),
+        ).alias("Provider_Name"),
         F.col("DeptID").alias("Provider_DeptID"),
     )
-    d = _dept_join_key(
-        departments.filter(F.col("is_quarantined") == False)  # noqa: E712
-    ).select("dept_id_parsed", F.col("Name").alias("Dept_Name"))
+    d = _dept_join_key(departments).select(
+        "dept_id_parsed", F.col("Name").alias("Dept_Name")
+    )
     return (
         t.join(F.broadcast(p), "ProviderID", "left")
         .join(
@@ -54,7 +62,7 @@ def provider_charge_summary(
         .agg(
             F.round(
                 F.sum(F.coalesce(F.col("Amount"), F.lit(0.0))), 2
-            ).alias("Total_Charge_Amount")
+            ).alias("Amount")
         )
     )
 
@@ -66,23 +74,32 @@ def patient_history(
     claims: DataFrame,
 ) -> DataFrame:
     """gold.sql:53-82: 4-way left chain off current patients (fan-out
-    between encounters and transactions preserved deliberately)."""
+    between encounters and transactions preserved deliberately).
+
+    Output schema matches the reference CREATE TABLE (gold.sql:32-51):
+    18 columns from Patient_Key through PayorType.
+    """
     p = patients.filter(F.col("is_current") == True)  # noqa: E712
     e = encounters.select(
         F.col("PatientID").alias("E_PatientID"),
-        F.col("Encounter_Key"),
         F.col("EncounterDate"),
+        F.col("EncounterType"),
     )
     t = transactions.select(
         F.col("PatientID").alias("T_PatientID"),
         F.col("SRC_TransactionID"),
+        F.col("Transaction_Key"),
+        F.col("VisitDate"),
+        F.col("ServiceDate"),
         F.col("Amount"),
         F.col("PaidAmount"),
     )
     c = claims.select(
         F.col("TransactionID").alias("C_TransactionID"),
-        F.col("Claim_Key"),
         F.col("ClaimStatus"),
+        F.col("ClaimAmount"),
+        F.col("PaidAmount").alias("C_PaidAmount"),
+        F.col("PayorType"),
     )
     return (
         p.join(e, p.SRC_PatientID == e.E_PatientID, "left")
@@ -91,16 +108,24 @@ def patient_history(
         .select(
             F.col("Patient_Key"),
             F.col("SRC_PatientID"),
-            F.concat(F.col("FirstName"), F.lit(" "), F.col("LastName")).alias(
-                "Patient_Name"
-            ),
-            F.col("Encounter_Key"),
+            F.col("FirstName"),
+            F.col("LastName"),
+            F.col("Gender"),
+            F.col("DOB"),
+            F.col("Address"),
             F.col("EncounterDate"),
-            F.col("SRC_TransactionID"),
-            F.coalesce(F.col("Amount"), F.lit(0.0)).alias("Amount"),
+            F.col("EncounterType"),
+            F.col("Transaction_Key"),
+            F.col("VisitDate"),
+            F.col("ServiceDate"),
+            F.coalesce(F.col("Amount"), F.lit(0.0)).alias("BilledAmount"),
             F.coalesce(F.col("PaidAmount"), F.lit(0.0)).alias("PaidAmount"),
-            F.col("Claim_Key"),
             F.col("ClaimStatus"),
+            F.coalesce(F.col("ClaimAmount"), F.lit(0.0)).alias("ClaimAmount"),
+            F.coalesce(F.col("C_PaidAmount"), F.lit(0.0)).alias(
+                "ClaimPaidAmount"
+            ),
+            F.col("PayorType"),
         )
     )
 
@@ -112,19 +137,22 @@ def provider_performance(
     claims: DataFrame,
 ) -> DataFrame:
     """gold.sql:103-128: per-provider volumes, charges, approval rate
-    (conditional COUNT DISTINCT + SAFE_DIVIDE*100 ROUND 2)."""
+    (conditional COUNT DISTINCT + SAFE_DIVIDE*100 ROUND 2).
+
+    Output schema matches the reference CREATE TABLE (gold.sql:89-101):
+    ProviderID, FirstName, LastName, Specialization, TotalEncounters,
+    TotalTransactions, TotalBilledAmount, TotalPaidAmount,
+    ApprovedClaims, TotalClaims, ClaimApprovalRate.
+    """
     p = providers.select(
-        "ProviderID",
-        F.concat(F.col("FirstName"), F.lit(" "), F.col("LastName")).alias(
-            "Provider_Name"
-        ),
+        "ProviderID", "FirstName", "LastName", "Specialization"
     )
     e = encounters.select(
         F.col("ProviderID").alias("E_ProviderID"), "Encounter_Key"
     )
     t = transactions.select(
         F.col("ProviderID").alias("T_ProviderID"),
-        "SRC_TransactionID", "Amount",
+        "SRC_TransactionID", "Transaction_Key", "Amount", "PaidAmount",
     )
     c = claims.select(
         F.col("TransactionID").alias("C_TransactionID"),
@@ -139,17 +167,23 @@ def provider_performance(
         F.when(F.col("ClaimStatus") == "Approved", F.col("Claim_Key"))
     )
     total_claims = F.countDistinct("Claim_Key")
-    return joined.groupBy("ProviderID", "Provider_Name").agg(
-        F.countDistinct("Encounter_Key").alias("Total_Encounters"),
-        F.countDistinct("SRC_TransactionID").alias("Total_Transactions"),
+    return joined.groupBy(
+        "ProviderID", "FirstName", "LastName", "Specialization"
+    ).agg(
+        F.countDistinct("Encounter_Key").alias("TotalEncounters"),
+        F.countDistinct("Transaction_Key").alias("TotalTransactions"),
         F.round(F.sum(F.coalesce(F.col("Amount"), F.lit(0.0))), 2).alias(
-            "Total_Charges"
+            "TotalBilledAmount"
         ),
-        total_claims.alias("Total_Claims"),
+        F.round(F.sum(F.coalesce(F.col("PaidAmount"), F.lit(0.0))), 2).alias(
+            "TotalPaidAmount"
+        ),
+        approved.alias("ApprovedClaims"),
+        total_claims.alias("TotalClaims"),
         F.round(
             safe_divide(approved * F.lit(100.0), F.nullif(total_claims, F.lit(0))),
             2,
-        ).alias("Claim_Approval_Rate"),
+        ).alias("ClaimApprovalRate"),
     )
 
 
@@ -210,21 +244,38 @@ def department_performance(
     departments: DataFrame, encounters: DataFrame, transactions: DataFrame
 ) -> DataFrame:
     """gold.sql:145-162: departments ⟕ encounters / transactions on the
-    computed split key, volume + revenue rollup."""
+    computed split key, volume + revenue rollup.
+
+    Output schema matches the reference CREATE TABLE (gold.sql:135-143):
+    Dept_Id, DepartmentName, TotalEncounters, TotalTransactions,
+    TotalBilledAmount, TotalPaidAmount, AvgPaymentPerTransaction.  The
+    e×t fan-out per department is the reference's own join shape
+    (gold.sql:156-160) and is preserved deliberately.
+    """
     d = _dept_join_key(
         departments.filter(F.col("is_quarantined") == False)  # noqa: E712
-    ).select("dept_id_parsed", F.col("Name").alias("Dept_Name"))
+    ).select("Dept_Id", "dept_id_parsed", F.col("Name").alias("DepartmentName"))
     e = encounters.select(
         F.col("DepartmentID").alias("E_DeptID"), "Encounter_Key"
     )
-    t = transactions.select(F.col("DeptID").alias("T_DeptID"), "Amount")
+    t = transactions.select(
+        F.col("DeptID").alias("T_DeptID"),
+        "Transaction_Key", "Amount", "PaidAmount",
+    )
     joined = (
         d.join(e, d.dept_id_parsed == e.E_DeptID, "left")
         .join(t, d.dept_id_parsed == t.T_DeptID, "left")
     )
-    return joined.groupBy("Dept_Name").agg(
-        F.countDistinct("Encounter_Key").alias("Total_Encounters"),
+    return joined.groupBy("Dept_Id", "DepartmentName").agg(
+        F.countDistinct("Encounter_Key").alias("TotalEncounters"),
+        F.countDistinct("Transaction_Key").alias("TotalTransactions"),
         F.round(F.sum(F.coalesce(F.col("Amount"), F.lit(0.0))), 2).alias(
-            "Total_Revenue"
+            "TotalBilledAmount"
+        ),
+        F.round(F.sum(F.coalesce(F.col("PaidAmount"), F.lit(0.0))), 2).alias(
+            "TotalPaidAmount"
+        ),
+        F.round(F.avg(F.coalesce(F.col("PaidAmount"), F.lit(0.0))), 2).alias(
+            "AvgPaymentPerTransaction"
         ),
     )

@@ -19,6 +19,7 @@ def all_queries() -> dict[str, QuerySpec]:
         event_queries,
         extended_queries,
         gold_analogs,
+        pipeline_queries,
         silver_analogs,
         stats_queries,
         streaming_queries,
@@ -39,4 +40,5 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_queries.QUERIES,
         curation_queries.QUERIES,
         stats_queries.QUERIES,
+        pipeline_queries.QUERIES,
     )

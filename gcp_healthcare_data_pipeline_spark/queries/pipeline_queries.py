@@ -1,0 +1,355 @@
+"""End-to-end healthcare-pipeline correctness gate (SURVEY §5 layer 3).
+
+Spark side: run the FULL medallion pipeline (landing -> bronze -> silver
+conformance+SCD2 -> gold) twice over the reference-shaped fixtures — run 1
+initial load at a frozen clock, run 2 with the P002 SCD2 delta — then
+return each gold mart (pipeline/runner.py). The two-run warehouse is
+built once per process and cached; each q_pipeline_* query just reads its
+mart.
+
+Oracle side: a self-contained DuckDB re-derivation of the reference's
+silver.sql + gold.sql over the SAME fixture rows, inlined as VALUES
+(pipeline/fixtures.py is the single source of truth for both sides):
+
+- conformance: per-source renames, raw-value quarantine CASEs, TRY_CAST
+  (SAFE_CAST), NULL-propagating key concat, UNION + DISTINCT
+  (silver.sql:16-30, 48-65, 90-139, 238-266, ...)
+- SCD2: the strict reference MERGE (silver.sql:142-199 et al.) applied
+  across the two runs — expire matched rows whose full-column comparator
+  ORs to literal TRUE, insert only NOT-MATCHED keys (half-SCD2: no
+  re-insert of the changed row's new version) — with the incremental
+  watermark (MAX successful load_timestamp = run-1 clock) filtering the
+  run-2 source for watermarked tables
+- gold: the four reference marts verbatim (gold.sql:13-25, 55-82,
+  105-128, 147-162) plus the two completed placeholder marts
+  (gold.sql:165-169)
+
+Money aggregates are ROUND(...,2) on BOTH sides (cross-engine float-sum
+determinism); the reference leaves them raw FLOAT64.
+
+The oracle's silver CTEs for entities whose two source loads are
+identical (encounters/transactions: empty incremental delta; claims/cpt:
+full reload of unchanged data) reduce to the run-1 initial state — the
+generic delta/changed CTEs are still emitted so the SQL stays faithful
+to the merge, not to this particular fixture set.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcp_healthcare_data_pipeline_spark.pipeline import fixtures as FX
+from gcp_healthcare_data_pipeline_spark.plans.conform import ENTITIES, EntitySpec
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+
+RUN1 = datetime(2024, 6, 1, 5, 0, 0)
+RUN2 = datetime(2025, 6, 1, 5, 0, 0)
+_TS1 = "TIMESTAMP '2024-06-01 05:00:00'"
+_TS2 = "TIMESTAMP '2025-06-01 05:00:00'"
+
+_MARTS = (
+    "provider_charge_summary",
+    "patient_history",
+    "provider_performance",
+    "department_performance",
+    "financial_metrics",
+    "payor_performance",
+)
+
+# ---------------------------------------------------------------------------
+# Spark side: cached two-run pipeline warehouse
+# ---------------------------------------------------------------------------
+
+_CACHE: dict[int, str] = {}
+
+
+def _warehouse(spark: SparkSession) -> str:
+    key = id(spark)
+    wh = _CACHE.get(key)
+    if wh and os.path.isdir(os.path.join(wh, "gold")):
+        return wh
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import (  # noqa: PLC0415
+        Runner,
+        SourcePaths,
+    )
+
+    root = tempfile.mkdtemp(prefix="pipeline_gate_")
+    src, wh = os.path.join(root, "src"), os.path.join(root, "wh")
+    sources = SourcePaths(**FX.write_fixtures(src))
+    # small fixed-size fixtures: drop shuffle width while the pipeline runs
+    prev = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        Runner(spark, wh, clock=RUN1).run(sources)
+        FX.update_patient_for_run2(src)
+        Runner(spark, wh, clock=RUN2).run(sources)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _CACHE[key] = wh
+    return wh
+
+
+def _mart_query(name: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(_warehouse(spark), "gold", name))
+
+    fn.__name__ = f"q_pipeline_{name}"
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Oracle side: DuckDB re-derivation of silver.sql + gold.sql
+# ---------------------------------------------------------------------------
+
+_SQL_TYPES = {"timestamp": "TIMESTAMP", "bigint": "BIGINT", "double": "DOUBLE"}
+
+
+def _branch_sql(spec: EntitySpec, ds: str, values_rel: str) -> str:
+    """One conformed source branch (rename + cast + key + raw-value
+    quarantine), mirroring silver.sql's quality_checks SELECT."""
+    mapping = spec.rename[ds]
+    id_target = next(iter(mapping))
+    id_src = mapping[id_target]
+    cols = []
+    for tgt, src in mapping.items():
+        expr = f'"{src}"'
+        if tgt in spec.casts:
+            expr = f'TRY_CAST("{src}" AS {_SQL_TYPES[spec.casts[tgt]]})'
+        cols.append(f'{expr} AS "{tgt}"')
+    cols.append(f"'{ds}' AS \"datasource\"")
+    cols.append(f'("{id_src}" || \'-{ds}\') AS "{spec.key_col}"')
+    terms = [f'"{mapping[c]}" IS NULL' for c in spec.null_cols]
+    terms += [
+        f'LOWER("{mapping[c]}") = \'null\'' for c in spec.sentinel_cols
+    ]
+    cols.append(
+        "(CASE WHEN "
+        + " OR ".join(terms)
+        + ' THEN TRUE ELSE FALSE END) AS "is_quarantined"'
+    )
+    return f"SELECT {', '.join(cols)} FROM {values_rel}"
+
+
+def _stage_sql(spec: EntitySpec, branches: list[tuple[str, str]]) -> str:
+    inner = "\n    UNION ALL\n    ".join(
+        _branch_sql(spec, ds, rel) for ds, rel in branches
+    )
+    return f"SELECT DISTINCT * FROM (\n    {inner}\n    )"
+
+
+def _scd2_ctes(name: str, spec: EntitySpec, source2_cte: str) -> str:
+    """changed_<name> + silver_<name> CTE bodies implementing the strict
+    reference MERGE across the two frozen-clock runs."""
+    key = spec.key_col
+    diff = " OR ".join(f't."{c}" <> s."{c}"' for c in spec.tracked)
+    changed = (
+        f'changed_{name} AS (\n'
+        f'  SELECT t."{key}" AS k FROM stage_{name}_r1 t\n'
+        f'  JOIN {source2_cte} s ON t."{key}" = s."{key}"\n'
+        f"  WHERE {diff}\n)"
+    )
+    silver = (
+        f"silver_{name} AS (\n"
+        f"  SELECT t.*, {_TS1} AS inserted_date,\n"
+        f"         CASE WHEN c.k IS NOT NULL THEN {_TS2} ELSE {_TS1} END"
+        f" AS modified_date,\n"
+        f"         (c.k IS NULL) AS is_current\n"
+        f'  FROM stage_{name}_r1 t LEFT JOIN changed_{name} c ON t."{key}" = c.k\n'
+        f"  UNION ALL\n"
+        f"  SELECT s.*, {_TS2} AS inserted_date, {_TS2} AS modified_date,"
+        f" TRUE AS is_current\n"
+        f"  FROM {source2_cte} s\n"
+        f'  WHERE s."{key}" IS NULL OR s."{key}" NOT IN\n'
+        f'    (SELECT "{key}" FROM stage_{name}_r1 WHERE "{key}" IS NOT NULL)\n'
+        f")"
+    )
+    return changed + ",\n" + silver
+
+
+def _silver_prefix() -> str:
+    """The WITH body shared by every pipeline oracle: conformed stages for
+    both runs, watermark deltas, SCD2 merges, and snapshot silvers."""
+    v = FX.values_sql
+    ctes: list[str] = []
+
+    # EMR SCD2 entities with incremental watermark: patients (real delta),
+    # encounters + transactions (empty delta - nothing newer than run 1)
+    emr_tables = {
+        "patients": (FX.PATIENTS_A, FX.patients_a_run2(), FX.PATIENTS_B),
+        "encounters": (FX.ENCOUNTERS_A, FX.ENCOUNTERS_A, FX.ENCOUNTERS_B),
+        "transactions": (FX.TRANSACTIONS_A, FX.TRANSACTIONS_A,
+                         FX.TRANSACTIONS_B),
+    }
+    for name, (a_r1, a_r2, b) in emr_tables.items():
+        spec = ENTITIES[name]
+        ctes.append(
+            f"stage_{name}_r1 AS ({_stage_sql(spec, [('hospital_a_db', v(*a_r1)), ('hospital_b_db', v(*b))])})"
+        )
+        ctes.append(
+            f"stage_{name}_r2 AS ({_stage_sql(spec, [('hospital_a_db', v(*a_r2)), ('hospital_b_db', v(*b))])})"
+        )
+        # incremental watermark: rows newer than the run-1 load clock
+        ctes.append(
+            f'delta_{name} AS (SELECT * FROM stage_{name}_r2'
+            f' WHERE "SRC_ModifiedDate" > {_TS1})'
+        )
+        ctes.append(_scd2_ctes(name, spec, f"delta_{name}"))
+
+    # claims: full reload each run (glob scan, no watermark)
+    spec = ENTITIES["claims"]
+    claims_branches = [
+        ("hospital1", v(*FX.CLAIMS_H1)),
+        ("hospital2", v(*FX.CLAIMS_H2)),
+    ]
+    ctes.append(f"stage_claims_r1 AS ({_stage_sql(spec, claims_branches)})")
+    ctes.append(_scd2_ctes("claims", spec, "stage_claims_r1"))
+
+    # cpt codes: full reload each run, normalized headers
+    spec = ENTITIES["cpt_codes"]
+    cpt_header = [c.replace(" ", "_").lower() for c in FX.CPTCODES[0]]
+    cpt_rel = v(cpt_header, FX.CPTCODES[1])
+    ctes.append(
+        f"stage_cpt_codes_r1 AS ({_stage_sql(spec, [('cptcodes', cpt_rel)])})"
+    )
+    ctes.append(_scd2_ctes("cpt_codes", spec, "stage_cpt_codes_r1"))
+
+    # snapshot (truncate-and-reload) entities
+    for name, a_rel, b_rel in (
+        ("providers", v(*FX.PROVIDERS_A), v(*FX.PROVIDERS_B)),
+        ("departments", v(*FX.DEPARTMENTS_A), v(*FX.DEPARTMENTS_B)),
+    ):
+        spec = ENTITIES[name]
+        ctes.append(
+            f"silver_{name} AS ({_stage_sql(spec, [('hospital_a_db', a_rel), ('hospital_b_db', b_rel)])})"
+        )
+
+    return ",\n".join(ctes)
+
+
+def _oracle(mart_select: str) -> str:
+    return f"WITH\n{_silver_prefix()}\n{mart_select}"
+
+
+# gold.sql:13-25
+_SEL_CHARGE_SUMMARY = """
+SELECT CONCAT(COALESCE(p.FirstName, ''), ' ', COALESCE(p.LastName, ''))
+         AS Provider_Name,
+       d.Name AS Dept_Name,
+       ROUND(SUM(COALESCE(t.Amount, 0.0)), 2) AS Amount
+FROM silver_transactions t
+LEFT JOIN silver_providers p ON p.ProviderID = t.ProviderID
+LEFT JOIN silver_departments d ON string_split(d.Dept_Id, '-')[1] = p.DeptID
+WHERE t.is_quarantined = FALSE AND d.Name IS NOT NULL
+GROUP BY 1, 2
+"""
+
+# gold.sql:55-82
+_SEL_PATIENT_HISTORY = """
+SELECT p.Patient_Key, p.SRC_PatientID, p.FirstName, p.LastName, p.Gender,
+       p.DOB, p.Address, e.EncounterDate, e.EncounterType,
+       t.Transaction_Key, t.VisitDate, t.ServiceDate,
+       COALESCE(t.Amount, 0.0) AS BilledAmount,
+       COALESCE(t.PaidAmount, 0.0) AS PaidAmount,
+       c.ClaimStatus,
+       COALESCE(c.ClaimAmount, 0.0) AS ClaimAmount,
+       COALESCE(c.PaidAmount, 0.0) AS ClaimPaidAmount,
+       c.PayorType
+FROM silver_patients p
+LEFT JOIN silver_encounters e ON p.SRC_PatientID = e.PatientID
+LEFT JOIN silver_transactions t ON p.SRC_PatientID = t.PatientID
+LEFT JOIN silver_claims c ON t.SRC_TransactionID = c.TransactionID
+WHERE p.is_current = TRUE
+"""
+
+# gold.sql:105-128
+_SEL_PROVIDER_PERFORMANCE = """
+SELECT pr.ProviderID, pr.FirstName, pr.LastName, pr.Specialization,
+  COUNT(DISTINCT e.Encounter_Key) AS TotalEncounters,
+  COUNT(DISTINCT t.Transaction_Key) AS TotalTransactions,
+  ROUND(SUM(COALESCE(t.Amount, 0.0)), 2) AS TotalBilledAmount,
+  ROUND(SUM(COALESCE(t.PaidAmount, 0.0)), 2) AS TotalPaidAmount,
+  COUNT(DISTINCT CASE WHEN c.ClaimStatus = 'Approved' THEN c.Claim_Key END)
+    AS ApprovedClaims,
+  COUNT(DISTINCT c.Claim_Key) AS TotalClaims,
+  ROUND(COUNT(DISTINCT CASE WHEN c.ClaimStatus = 'Approved'
+                            THEN c.Claim_Key END) * 100.0
+        / NULLIF(COUNT(DISTINCT c.Claim_Key), 0), 2) AS ClaimApprovalRate
+FROM silver_providers pr
+LEFT JOIN silver_encounters e ON pr.ProviderID = e.ProviderID
+LEFT JOIN silver_transactions t ON pr.ProviderID = t.ProviderID
+LEFT JOIN silver_claims c ON t.SRC_TransactionID = c.TransactionID
+GROUP BY 1, 2, 3, 4
+"""
+
+# gold.sql:147-162
+_SEL_DEPARTMENT_PERFORMANCE = """
+SELECT d.Dept_Id, d.Name AS DepartmentName,
+  COUNT(DISTINCT e.Encounter_Key) AS TotalEncounters,
+  COUNT(DISTINCT t.Transaction_Key) AS TotalTransactions,
+  ROUND(SUM(COALESCE(t.Amount, 0.0)), 2) AS TotalBilledAmount,
+  ROUND(SUM(COALESCE(t.PaidAmount, 0.0)), 2) AS TotalPaidAmount,
+  ROUND(AVG(COALESCE(t.PaidAmount, 0.0)), 2) AS AvgPaymentPerTransaction
+FROM silver_departments d
+LEFT JOIN silver_encounters e ON string_split(d.Dept_Id, '-')[1] = e.DepartmentID
+LEFT JOIN silver_transactions t ON string_split(d.Dept_Id, '-')[1] = t.DeptID
+WHERE d.is_quarantined = FALSE
+GROUP BY 1, 2
+"""
+
+# completed placeholder mart (gold.sql:165-167), plans/gold.py semantics
+_SEL_FINANCIAL_METRICS = """
+SELECT LineOfBusiness AS Line_Of_Business, PayorID AS Payor,
+  COUNT(*) AS Num_Transactions,
+  ROUND(SUM(COALESCE(Amount, 0.0)), 2) AS Total_Charges,
+  ROUND(SUM(COALESCE(PaidAmount, 0.0)), 2) AS Total_Payments,
+  ROUND(SUM(COALESCE(Amount, 0.0)) - SUM(COALESCE(PaidAmount, 0.0)), 2)
+    AS Outstanding_Balance,
+  ROUND(SUM(COALESCE(PaidAmount, 0.0)) * 100.0
+        / NULLIF(SUM(COALESCE(Amount, 0.0)), 0.0), 2) AS Collection_Rate_Pct
+FROM silver_transactions
+WHERE is_quarantined = FALSE
+GROUP BY 1, 2
+"""
+
+# completed placeholder mart (gold.sql:168-169), plans/gold.py semantics
+_SEL_PAYOR_PERFORMANCE = """
+SELECT PayorID AS Payor, PayorType,
+  COUNT(*) AS Num_Claims,
+  COUNT(CASE WHEN ClaimStatus = 'Approved' THEN 1 END) AS Approved_Claims,
+  ROUND(COUNT(CASE WHEN ClaimStatus = 'Approved' THEN 1 END) * 100.0
+        / NULLIF(COUNT(*), 0), 2) AS Approval_Rate_Pct,
+  ROUND(SUM(COALESCE(ClaimAmount, 0.0)), 2) AS Total_Claim_Amount,
+  ROUND(SUM(COALESCE(PaidAmount, 0.0)), 2) AS Total_Paid_Amount,
+  ROUND(AVG((epoch(ClaimDate) - epoch(ServiceDate)) / 86400.0), 2)
+    AS Avg_Claim_Lag_Days
+FROM silver_claims
+WHERE is_quarantined = FALSE
+GROUP BY 1, 2
+"""
+
+_SELECTS = {
+    "provider_charge_summary": _SEL_CHARGE_SUMMARY,
+    "patient_history": _SEL_PATIENT_HISTORY,
+    "provider_performance": _SEL_PROVIDER_PERFORMANCE,
+    "department_performance": _SEL_DEPARTMENT_PERFORMANCE,
+    "financial_metrics": _SEL_FINANCIAL_METRICS,
+    "payor_performance": _SEL_PAYOR_PERFORMANCE,
+}
+
+QUERIES = [
+    QuerySpec(
+        f"q_pipeline_{name}",
+        _mart_query(name),
+        _oracle(_SELECTS[name]),
+        "pipeline gate: S2-S10,P1-P9,J1-J6,A1-A8,F1-F13,§2.6,U1,C1-C7",
+    )
+    for name in _MARTS
+]

@@ -50,7 +50,7 @@ def test_union_tolerates_column_order_drift(spark):
     b = spark.createDataFrame([("Radiology", "D2")], "Name string, DeptID string")
     ca = conform_source(a, ENTITIES["departments"], "hospital_a_db")
     cb = conform_source(b, ENTITIES["departments"], "hospital_b_db")
-    rows = {r.Dept_Key: r.Name for r in conform_union([ca, cb]).collect()}
+    rows = {r.Dept_Id: r.Name for r in conform_union([ca, cb]).collect()}
     assert rows == {"D1-hospital_a_db": "Emergency", "D2-hospital_b_db": "Radiology"}
 
 

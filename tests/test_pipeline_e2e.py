@@ -59,7 +59,7 @@ def test_quarantine_rules(warehouse):
 
 def test_shared_business_key_disambiguated_by_datasource(warehouse):
     dept = _silver(warehouse, "departments")
-    keys = {r.Dept_Key for r in dept.select("Dept_Key").collect()}
+    keys = {r.Dept_Id for r in dept.select("Dept_Id").collect()}
     assert "DEPT001-hospital_a_db" in keys and "DEPT001-hospital_b_db" in keys
 
 
@@ -124,7 +124,7 @@ def test_gold_charge_summary_values(warehouse):
         f"{warehouse['wh']}/gold/provider_charge_summary"
     )
     vals = {
-        (r.Provider_Name, r.Dept_Name): r.Total_Charge_Amount
+        (r.Provider_Name, r.Dept_Name): r.Amount
         for r in mart.collect()
     }
     # TRX002 (200.25, PROV002/DEPT001-Emergency appears for A and B dept rows)
@@ -160,8 +160,8 @@ def test_provider_performance_approval_rate(warehouse):
     mart = warehouse["spark"].read.parquet(
         f"{warehouse['wh']}/gold/provider_performance"
     )
-    rows = {r.Provider_Name: r for r in mart.collect()}
+    rows = {(r.FirstName, r.LastName): r for r in mart.collect()}
     # PROV001: CLM001 approved of 1 claim -> 100.0
-    assert rows["Alice Adams"].Claim_Approval_Rate == 100.0
+    assert rows[("Alice", "Adams")].ClaimApprovalRate == 100.0
     # PROV002: CLM002 pending + CLM003 'null' -> 0.0 approval
-    assert rows["Bob Brown"].Claim_Approval_Rate == 0.0
+    assert rows[("Bob", "Brown")].ClaimApprovalRate == 0.0
