@@ -190,6 +190,11 @@ def lsh_bucket_topk(
 
     import hashlib
 
+    if probe_depth < 1:
+        raise ValueError(
+            f"probe_depth must be >= 1 (got {probe_depth}); "
+            "pass multiprobe=False for exact-bucket lookups"
+        )
     spark = corpus.sparkSession
     n_planes = tables * bits
 
@@ -234,7 +239,7 @@ def lsh_bucket_topk(
     # the flip set is fixed at plan time, so the expansion is a literal
     # array (no per-row combinatorics)
     probe_masks = [0]
-    for d in range(1, max(1, probe_depth) + 1):
+    for d in range(1, probe_depth + 1):
         probe_masks += [
             sum(1 << i for i in c) for c in combinations(range(bits), d)
         ]

@@ -104,7 +104,7 @@ class Runner:
         return F.lit(self.clock.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
 
     # -- stage 1: config-driven landing ingest (EP2) -----------------------
-    def _land_table(self, sources: SourcePaths, row) -> int:
+    def _land_table(self, sources: SourcePaths, row, attempt: int = 1) -> int:
         """Land one config row; returns row count. Raises on failure."""
         ds, table = row["datasource"], row["tablename"]
         src_path = sources.emr[ds][table]
@@ -118,9 +118,15 @@ class Runner:
                     F.col(row["watermark"]).cast("timestamp") > F.lit(wm)
                 )
         landing = self._zone("landing", ds, table)
-        archive_landing_files(
-            landing, self._zone("landing", ds, "archive", table), self.clock,
-        )
+        if attempt == 1:
+            archive_landing_files(
+                landing, self._zone("landing", ds, "archive", table), self.clock,
+            )
+        elif os.path.isdir(landing):
+            # retry: the landing dir holds partial output from the failed
+            # attempt, not prior-run data (that was archived on attempt 1)
+            # — wipe it rather than pollute the dated archive with it
+            shutil.rmtree(landing, ignore_errors=True)
         # count the frame we are about to write — NOT a re-read of the
         # landing sink, which would cost an extra scan + JSON schema
         # inference per table per run
@@ -137,7 +143,7 @@ class Runner:
             attempts = 1 + max(0, self.retries)
             for attempt in range(1, attempts + 1):
                 try:
-                    n = self._land_table(sources, row)
+                    n = self._land_table(sources, row, attempt)
                     self.ledger.record(
                         ds, table, load_type, n, "success", self.clock
                     )

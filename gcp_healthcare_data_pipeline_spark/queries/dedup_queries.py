@@ -36,11 +36,12 @@ _DF_CAP = 50  # n-gram inverted-index document-frequency cap
 # the same shingled corpus; compute + checkpoint it once per (session,
 # sf_dir) so the second query reuses the materialized shingles instead of
 # re-tokenizing the whole corpus (~1s duplicated work per bench run).
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): object ids can be reused after GC
+    key = (spark.sparkContext.applicationId, sf_dir)
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
         docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")

@@ -36,6 +36,7 @@ to the merge, not to this particular fixture set.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -65,11 +66,16 @@ _MARTS = (
 # Spark side: cached two-run pipeline warehouse
 # ---------------------------------------------------------------------------
 
-_CACHE: dict[int, str] = {}
+# keyed on applicationId, not id(spark): CPython can reuse an object id
+# after a stopped session is garbage-collected, which would hand back a
+# warehouse bound to the dead session
+_CACHE: dict[str, str] = {}
+_GATE_ROOTS: list[str] = []
+atexit.register(lambda: [shutil.rmtree(r, ignore_errors=True) for r in _GATE_ROOTS])
 
 
 def _warehouse(spark: SparkSession) -> str:
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     wh = _CACHE.get(key)
     if wh and os.path.isdir(os.path.join(wh, "gold")):
         return wh
@@ -79,6 +85,7 @@ def _warehouse(spark: SparkSession) -> str:
     )
 
     root = tempfile.mkdtemp(prefix="pipeline_gate_")
+    _GATE_ROOTS.append(root)  # removed at process exit, not leaked
     src, wh = os.path.join(root, "src"), os.path.join(root, "wh")
     sources = SourcePaths(**FX.write_fixtures(src))
     # small fixed-size fixtures: drop shuffle width while the pipeline runs

@@ -89,3 +89,47 @@ def test_permanent_failure_exhausts_retries(spark, tmp_path):
         & (F.col("status") == "success")
     )
     assert ok_b.count() > 0
+
+
+def test_retry_attempt_wipes_partial_output_instead_of_archiving(
+    spark, tmp_path
+):
+    """A retry must NOT move the failed attempt's partial landing output
+    into the dated archive (that would pollute it alongside legitimate
+    prior-run data); it wipes the landing dir and rewrites fresh."""
+    import os
+
+    paths = write_fixtures(str(tmp_path / "src"))
+    wh = str(tmp_path / "wh")
+    runner = Runner(spark, wh, clock=CLOCK)
+    config = [
+        r
+        for r in runner.spark.read.csv(
+            paths["load_config"], header=True
+        ).collect()
+        if r["datasource"] == "hospital_a_db" and r["tablename"] == "patients"
+    ]
+    row = config[0]
+    sources = SourcePaths(
+        emr=paths["emr"],
+        claims_glob=paths["claims_glob"],
+        cptcodes=paths["cptcodes"],
+        load_config=paths["load_config"],
+    )
+    landing = os.path.join(wh, "landing", "hospital_a_db", "patients")
+    archive = os.path.join(wh, "landing", "hospital_a_db", "archive", "patients")
+
+    # seed the landing dir with a "partial output" file from a failed
+    # first attempt, then land with attempt=2
+    os.makedirs(landing, exist_ok=True)
+    junk = os.path.join(landing, "part-partial-from-failed-attempt.json")
+    with open(junk, "w") as f:
+        f.write('{"broken": tru')
+    n = runner._land_table(sources, row, attempt=2)
+    assert n > 0
+    # partial file gone from landing, and never archived
+    assert not os.path.exists(junk)
+    archived = []
+    for root, _, files in os.walk(archive):
+        archived += files
+    assert "part-partial-from-failed-attempt.json" not in archived
