@@ -182,11 +182,18 @@ class Runner:
                         # declared schema: stable columns even for empty
                         # deltas, and no inference scan over the landing
                         reader = reader.schema(schema)
-                    try:
-                        df = reader.json(self._zone("landing", ds, table))
-                    except Exception:
-                        df = None
-                    if df is None or not df.columns:
+                    path = self._zone("landing", ds, table)
+                    # empty-delta landing dirs have no JSON part files;
+                    # skip them up front (a bare read would raise an
+                    # AnalysisException that Spark logs with a full
+                    # ERROR stack trace even when handled)
+                    if not any(
+                        f.endswith(".json") or f.startswith("part-")
+                        for f in os.listdir(path)
+                    ):
+                        continue
+                    df = reader.json(path)
+                    if not df.columns:
                         # unknown-table empty delta: keep existing bronze
                         continue
                     self._write_replace(df, self._zone("bronze", ds, table))

@@ -208,6 +208,63 @@ FROM j WHERE t_key IS NULL
 """
 
 
+def q_scd2_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corrected SCD2 merge (``strict_reference_semantics=False``):
+    unlike the reference's half-SCD2 (silver.sql:142-199, which expires a
+    changed row but never inserts its new version), changed keys get BOTH
+    an expired old version and a fresh current version."""
+    target, source = _scd2_snapshots(spark, sf_dir)
+    return scd2_merge(
+        target,
+        source,
+        key_cols=["entity_key"],
+        tracked_cols=["name", "acctbal", "segment"],
+        ts=F.lit(_TS2).cast("timestamp"),
+        strict_reference_semantics=False,
+    )
+
+
+_ORACLE_SCD2_CORRECTED = f"""
+WITH target AS (
+  SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal,
+         c_mktsegment AS segment,
+         TIMESTAMP '{_TS1}' AS inserted_date,
+         TIMESTAMP '{_TS1}' AS modified_date,
+         TRUE AS is_current
+  FROM customer WHERE c_custkey % 10 < 8
+), source AS (
+  SELECT c_custkey AS entity_key, c_name AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN ROUND(c_acctbal + 10.0, 2)
+              ELSE c_acctbal END AS acctbal,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL
+              ELSE c_mktsegment END AS segment
+  FROM customer WHERE c_custkey % 10 >= 2
+), j AS (
+  SELECT t.entity_key AS t_key, s.entity_key AS s_key,
+         t.name AS t_name, s.name AS s_name,
+         t.acctbal AS t_acctbal, s.acctbal AS s_acctbal,
+         t.segment AS t_segment, s.segment AS s_segment,
+         t.inserted_date AS inserted_date, t.modified_date AS modified_date,
+         (t.name <> s.name OR t.acctbal <> s.acctbal
+          OR t.segment <> s.segment) AS changed
+  FROM target t FULL OUTER JOIN source s ON t.entity_key = s.entity_key
+)
+SELECT t_key AS entity_key, t_name AS name, t_acctbal AS acctbal,
+       t_segment AS segment, inserted_date,
+       CASE WHEN s_key IS NOT NULL AND changed THEN TIMESTAMP '{_TS2}'
+            ELSE modified_date END AS modified_date,
+       CASE WHEN s_key IS NOT NULL AND changed THEN FALSE
+            ELSE TRUE END AS is_current
+FROM j WHERE t_key IS NOT NULL
+UNION ALL
+SELECT s_key, s_name, s_acctbal, s_segment,
+       TIMESTAMP '{_TS2}', TIMESTAMP '{_TS2}', TRUE
+FROM j
+WHERE t_key IS NULL
+   OR (s_key IS NOT NULL AND COALESCE(changed, FALSE))
+"""
+
+
 def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental load: scalar MAX watermark lookup, then filter + agg.
 
@@ -254,6 +311,10 @@ QUERIES = [
     ),
     QuerySpec(
         "q_scd2_customer", q_scd2_customer, _ORACLE_SCD2_CUSTOMER, "J6 §2.6",
+    ),
+    QuerySpec(
+        "q_scd2_corrected", q_scd2_corrected, _ORACLE_SCD2_CORRECTED,
+        "J6 §2.6 corrected mode",
     ),
     QuerySpec(
         "q_incremental_watermark", q_incremental_watermark,

@@ -119,14 +119,37 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra wall-clock vs the round-1 3x4/hamming-1 config (88/100) — the
     probe expansion rides the tiny broadcast query side, the corpus still
     emits one bucket per table. Not SQL-oracled (nested-HOF signature is
-    Spark-specific); the driver records rows-only, and
-    tests/test_similarity.py checks recall against brute force.
+    Spark-specific); the driver records rows-only, so the result itself
+    carries a ``subsample_recall`` column (vs exact brute force on a
+    fixed query subsample) that pins quality inside the recorded rows;
+    tests/test_similarity.py asserts it is 1.0.
     """
     emb = load_tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return lsh_bucket_topk(
+    lsh = lsh_bucket_topk(
         emb, queries, k=_K, bits=4, dims=64, tables=4, probe_depth=2
+    ).localCheckpoint(eager=False)  # reused by the recall pin below
+
+    # quality pin for the rows-only driver check: the result embeds its
+    # own recall vs EXACT brute force on a fixed deterministic query
+    # subsample (vec_id % 1000 == 0, a tenth of the query set) — so a
+    # regression in bucketing/probing shows up as subsample_recall < 1.0
+    # in the recorded rows, not just in a local tool run. The exact pass
+    # only scores |subsample| x corpus — a sliver of the LSH work itself.
+    sub_q = emb.filter(F.col("vec_id") % 1000 == 0)
+    exact = brute_force_topk(emb, sub_q, k=_K).select("query_id", "neighbor_id")
+    hits = lsh.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    recall = (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("subsample_recall")
+        )
     )
+    return lsh.crossJoin(F.broadcast(recall))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -85,3 +85,29 @@ def test_lsh_topk_subset_of_bucket_and_sane(spark):
     bf_pairs = {(r.query_id, r.neighbor_id) for r in bf.collect()}
     lsh_pairs = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(bf_pairs & lsh_pairs) > 0
+
+
+def test_q_ann_lsh_embeds_perfect_subsample_recall(spark):
+    """The registry query's self-reported quality pin: every result row
+    carries subsample_recall (vs exact brute force on the fixed
+    vec_id % 1000 == 0 query subsample), and at test SF it is 1.0."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        q_ann_lsh,
+    )
+
+    df = q_ann_lsh(spark, "/root/testdata/sf0.001")
+    assert "subsample_recall" in df.columns
+    vals = {r[0] for r in df.select("subsample_recall").distinct().collect()}
+    assert vals == {1.0}
+
+
+def test_lsh_probe_depth_zero_rejected(spark):
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        lsh_bucket_topk,
+    )
+    import pytest
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    with pytest.raises(ValueError, match="probe_depth"):
+        lsh_bucket_topk(emb, queries, k=5, probe_depth=0)
