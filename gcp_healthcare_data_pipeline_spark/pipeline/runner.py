@@ -47,7 +47,10 @@ from gcp_healthcare_data_pipeline_spark.schemas import (
     EMR_TABLES,
     LOAD_CONFIG,
 )
-from gcp_healthcare_data_pipeline_spark.sources.readers import read_csv
+from gcp_healthcare_data_pipeline_spark.sources.readers import (
+    read_csv,
+    read_csv_reporting,
+)
 from gcp_healthcare_data_pipeline_spark.sources.writers import (
     archive_landing_files,
     write_landing_json,
@@ -109,7 +112,19 @@ class Runner:
         ds, table = row["datasource"], row["tablename"]
         src_path = sources.emr[ds][table]
         schema = EMR_TABLES[table][ds]
-        df = read_csv(self.spark, src_path, schema)
+        df, drift = read_csv_reporting(self.spark, src_path, schema)
+        if (drift["missing"] or drift["unexpected"]) and attempt == 1:
+            # SURVEY §1.3: diagnose drift, don't just tolerate it — one
+            # DRIFT control row per (source, table, load) naming exactly
+            # which declared columns the header dropped and which novel
+            # columns it added (the hospital-B Updated_Date case)
+            self.logger.log(
+                "DRIFT",
+                f"header drift: missing={drift['missing']} "
+                f"unexpected={drift['unexpected']}",
+                "landing",
+                table,
+            )
         load_type = (row["loadtype"] or "Full").strip()
         if load_type.lower() == "incremental" and row["watermark"]:
             wm = self.ledger.last_watermark(ds, table)

@@ -28,18 +28,40 @@ def read_csv(
     tolerate_drift: bool = True,
 ) -> DataFrame:
     """Header CSV scan with declared schema and header-drift tolerance."""
+    df, _ = read_csv_reporting(
+        spark, path, schema, tolerate_drift=tolerate_drift
+    )
+    return df
+
+
+def read_csv_reporting(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    tolerate_drift: bool = True,
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """``read_csv`` plus a schema-drift report (SURVEY §1.3
+    tolerate/diagnose): ``{"missing": [declared cols absent from the
+    header], "unexpected": [header cols not declared]}`` — both empty
+    when the header matches. The caller decides where to record it
+    (the runner logs non-empty reports to ``pipeline_logs``)."""
     raw = spark.read.csv(path, header=True)  # names from file header
-    if not tolerate_drift:
-        return spark.read.csv(path, header=True, schema=schema)
     expected = schema.fieldNames()
     actual = set(raw.columns)
+    report = {
+        "missing": [c for c in expected if c not in actual],
+        "unexpected": sorted(actual - set(expected)),
+    }
+    if not tolerate_drift:
+        return spark.read.csv(path, header=True, schema=schema), report
     cols = [
         F.col(c).cast("string").alias(c)
         if c in actual
         else F.lit(None).cast("string").alias(c)
         for c in expected
     ]
-    return raw.select(*cols)
+    return raw.select(*cols), report
 
 
 def read_landing_json(spark: SparkSession, path: str) -> DataFrame:
