@@ -24,6 +24,7 @@ def all_queries() -> dict[str, QuerySpec]:
         stats_queries,
         streaming_queries,
         text_queries,
+        training_queries,
         vector_queries,
         window_queries,
     )
@@ -40,5 +41,6 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_queries.QUERIES,
         curation_queries.QUERIES,
         stats_queries.QUERIES,
+        training_queries.QUERIES,
         pipeline_queries.QUERIES,
     )
