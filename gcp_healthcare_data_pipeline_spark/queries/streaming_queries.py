@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.session import load_tables
 from gcp_healthcare_data_pipeline_spark.streaming.stateful import (
     running_user_profiles,
 )
@@ -88,6 +89,85 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` on a
+    synthetic duplicate-bearing key (event_id DIV 2 collapses adjacent
+    ids), then per-type counts of the surviving stream. The state store
+    holds only keys inside the watermark horizon — the unbounded-stream
+    analog of exact dedup."""
+    ev = read_events_stream(spark, sf_dir)
+    # the dedup key includes event_type, so whichever duplicate row the
+    # state store happens to see first, the surviving (type, count)
+    # distribution is identical — the oracle never depends on arrival
+    # order across input splits
+    deduped = (
+        ev.withColumn("dup_key", F.expr("event_id DIV 2"))
+        .withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_type", "dup_key"])
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events")
+    )
+    out = _drain(agg, spark)
+    # update-mode sink: keep each type's final (largest) count emission
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n_unique_events").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", "n_unique_events")
+    )
+
+
+# batch twin: one survivor per (event_type, dup_key) — a pure DISTINCT,
+# independent of which physical row the stream's state store kept
+_ORACLE_STREAM_DEDUP = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT event_id // 2) AS BIGINT) AS n_unique_events
+FROM events
+GROUP BY 1
+"""
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — the dimension never
+    becomes stream state), then per-segment revenue-weighted counts."""
+    ev = read_events_stream(spark, sf_dir)
+    customer = (
+        load_tables(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    joined = ev.withColumn(
+        "cust_key", (F.col("user_id") % 1000) + 1
+    ).join(F.broadcast(customer), "cust_key")
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = _drain(agg, spark)
+    w = Window.partitionBy("segment").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("segment", "n_events", "total_value")
+    )
+
+
+_ORACLE_STREAM_STATIC_JOIN = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = (e.user_id % 1000) + 1
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_stream_stateful_profiles", q_stream_stateful_profiles,
@@ -96,5 +176,13 @@ QUERIES = [
     QuerySpec(
         "q_stream_tumbling", q_stream_tumbling, _ORACLE_STREAM_TUMBLING,
         "ext:streaming withWatermark F.window",
+    ),
+    QuerySpec(
+        "q_stream_dedup", q_stream_dedup, _ORACLE_STREAM_DEDUP,
+        "ext:streaming dropDuplicatesWithinWatermark",
+    ),
+    QuerySpec(
+        "q_stream_static_join", q_stream_static_join,
+        _ORACLE_STREAM_STATIC_JOIN, "ext:streaming stream-static join",
     ),
 ]
