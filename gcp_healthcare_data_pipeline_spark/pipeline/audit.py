@@ -3,9 +3,18 @@
 Parquet-backed equivalents of the reference's BigQuery control tables
 (configs/audit_table_ddl.sql, init_bq_tables.py:54-62): one audit row per
 table load drives the incremental high-watermark; pipeline_logs captures
-structured events. Appends are tiny single-row DataFrames — the ledger
-stays small, reads are driver-side scalar lookups like the reference's
-``SELECT MAX(load_timestamp)`` (hospitalA_mysqlToLanding.py:124-137).
+structured events.
+
+Rows are BUFFERED on the driver and flushed as one batched append per
+pipeline stage (``flush()``), not one Spark job per row — a full run
+emits dozens of control rows, and a per-row ``createDataFrame().write``
+costs a whole job each (~0.3-0.5 s of pure scheduling). Reads
+(``last_watermark``, ``read``) flush first, so visibility semantics are
+identical to write-through: a recorded row is always observable by any
+subsequent read through the same ledger, and prior runs' rows are always
+on disk. The tradeoff vs the reference's per-event BigQuery insert is
+crash durability of the CURRENT stage's buffer — acceptable for a
+control table that is rebuilt by rerunning the idempotent stage.
 """
 
 from __future__ import annotations
@@ -20,20 +29,39 @@ from pyspark.sql import functions as F
 from gcp_healthcare_data_pipeline_spark.schemas import AUDIT_LOG, PIPELINE_LOGS
 
 
-class AuditLedger:
-    def __init__(self, spark: SparkSession, root: str):
+class _BufferedAppender:
+    """Shared buffer-then-batch-append machinery for control tables."""
+
+    def __init__(self, spark: SparkSession, path: str, schema):
         self.spark = spark
-        self.path = os.path.join(root, "audit_log")
+        self.path = path
+        self.schema = schema
+        self._buf: list[tuple] = []
 
     def _exists(self) -> bool:
         return os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
 
+    def flush(self) -> None:
+        """Write all buffered rows as ONE append job."""
+        if not self._buf:
+            return
+        rows, self._buf = self._buf, []
+        self.spark.createDataFrame(rows, self.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(self.path)
+
     def read(self) -> DataFrame:
+        self.flush()
         if not self._exists():
-            return self.spark.createDataFrame([], AUDIT_LOG)
-        return self.spark.read.schema(AUDIT_LOG).parquet(self.path)
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(self.path)
+
+
+class AuditLedger(_BufferedAppender):
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark, os.path.join(root, "audit_log"), AUDIT_LOG)
 
     def record(
         self,
@@ -45,13 +73,13 @@ class AuditLedger:
         when: datetime | None = None,
     ) -> None:
         when = when or datetime.now(timezone.utc).replace(tzinfo=None)
-        row = [(data_source, tablename, load_type, record_count, when, status)]
-        self.spark.createDataFrame(row, AUDIT_LOG).write.mode("append").parquet(
-            self.path
+        self._buf.append(
+            (data_source, tablename, load_type, record_count, when, status)
         )
 
     def last_watermark(self, data_source: str, tablename: str):
         """MAX(load_timestamp) of successful loads for (source, table)."""
+        self.flush()
         if not self._exists():
             return None
         return (
@@ -66,12 +94,13 @@ class AuditLedger:
         )
 
 
-class PipelineLogger:
+class PipelineLogger(_BufferedAppender):
     """Structured logs to console + parquet (C3)."""
 
     def __init__(self, spark: SparkSession, root: str):
-        self.spark = spark
-        self.path = os.path.join(root, "pipeline_logs")
+        super().__init__(
+            spark, os.path.join(root, "pipeline_logs"), PIPELINE_LOGS
+        )
 
     def log(
         self,
@@ -84,7 +113,4 @@ class PipelineLogger:
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         trace = "".join(traceback.format_exception(error)) if error else None
         print(f"[{now:%H:%M:%S}] {event_type} {step}/{tablename}: {message}")
-        row = [(now, event_type, message, step, tablename, trace)]
-        self.spark.createDataFrame(row, PIPELINE_LOGS).write.mode(
-            "append"
-        ).parquet(self.path)
+        self._buf.append((now, event_type, message, step, tablename, trace))

@@ -181,6 +181,9 @@ class Runner:
                     self.logger.log(
                         "ERROR", str(e), "landing", table, error=e
                     )
+        # one batched control-table append for the whole landing stage
+        self.ledger.flush()
+        self.logger.flush()
 
     # -- stage 2: bronze ---------------------------------------------------
     def build_bronze(self, sources: SourcePaths) -> None:
@@ -327,4 +330,6 @@ class Runner:
                      "financial_metrics", "payor_performance"):
             out[mart] = self.spark.read.parquet(self._zone("gold", mart)).count()
         self.logger.log("INFO", f"pipeline done: {out}", "run")
+        self.ledger.flush()
+        self.logger.flush()
         return out
