@@ -104,6 +104,31 @@ def minhash_signatures(
     )
 
 
+def band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    bands: int = 6,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """(id, band_key): one row per LSH band per document — the join key
+    space for candidate generation (self-join for full-corpus dedup,
+    batch-vs-corpus join for incremental dedup)."""
+    r = rows_per_band
+    band_parts = ", ':', ".join(
+        f"cast({sig_col}[{r} * b + {i}] as string)" for i in range(r)
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> concat(cast(b as string), ':', {band_parts}))"
+            )
+        ).alias("band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -117,19 +142,7 @@ def lsh_candidate_pairs(
     because random minhash collisions are rare, so this scales linearly
     with the number of true near-duplicates.
     """
-    r = rows_per_band
-    band_parts = ", ':', ".join(
-        f"cast({sig_col}[{r} * b + {i}] as string)" for i in range(r)
-    )
-    banded = df.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> concat(cast(b as string), ':', {band_parts}))"
-            )
-        ).alias("band_key"),
-    )
+    banded = band_keys(df, id_col, sig_col, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -223,3 +236,58 @@ def with_simhash(
             f"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
         ),
     ).drop("_hs")
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; component = MIN
+    reachable vertex id, via min-label propagation to fixpoint.
+
+    This is the step that turns near-dup PAIRS into dedup GROUPS (pick
+    one keeper per component). Near-dup graphs have small, dense
+    components — duplicate clusters — so the label front converges in
+    O(component diameter) rounds, typically 2-4. Each round costs one
+    join + min-aggregate shuffle on the (stable) edge partitioning;
+    labels are eagerly ``localCheckpoint``'d so plan lineage stays flat
+    across iterations instead of growing a join per round. The only
+    driver-side value is the scalar changed-label count that decides
+    convergence (the standard Spark iterative pattern — GraphX CC does
+    the same); no row data ever reaches the driver.
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("lbl")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                labels["id"],
+                labels["lbl"].alias("_old"),
+                F.least(
+                    labels["lbl"], F.coalesce("nlbl", labels["lbl"])
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("lbl") != F.col("_old")).count()
+        labels = stepped.select("id", "lbl")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("component"))

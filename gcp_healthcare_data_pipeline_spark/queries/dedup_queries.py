@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+    band_keys,
+    connected_components,
     exact_dedup,
     jaccard,
     jaccard_from_counts,
@@ -208,6 +210,191 @@ WHERE CAST(p.n_shared AS DOUBLE) / (x.n_sh + y.n_sh - p.n_shared)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup GROUPS: connected components over the
+    verified MinHash-LSH pair graph, one keeper (min doc_id) per
+    component plus the component size — the final step of a corpus
+    dedup pass (keep ``is_keeper = 1``, drop the rest)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        "component",
+        "cluster_size",
+        (F.col("id") == F.col("component")).cast("int").alias("is_keeper"),
+    )
+
+
+# The pair CTEs are the (already value-checked) minhash oracle; the CC
+# itself is a recursive min-reachable-label closure — UNION-distinct
+# recursion terminates because the reachability set is finite.
+_ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+  FROM d WHERE len(toks) >= 3
+), based AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles,
+      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS bases
+  FROM sh
+), sig AS (
+  SELECT doc_id, shingles,
+    list_transform(range(0, 12),
+      j -> list_min(list_transform(bases,
+             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
+  FROM based
+), bands AS (
+  SELECT doc_id,
+    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
+      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+  FROM sig, UNNEST(range(0, 6)) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b
+  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        / len(list_distinct(x.shingles || y.shingles)) >= {_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+), comp AS (
+  SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+), sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT comp.id AS doc_id, comp.component, sizes.cluster_size,
+  CAST(comp.id = comp.component AS INT) AS is_keeper
+FROM comp JOIN sizes USING (component)
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup: screen an incoming BATCH (doc_id % 10 = 0) against
+    the existing CORPUS (the rest) without re-deduping the corpus.
+
+    The production pattern for a growing 100 TB corpus: the batch side
+    of every join is the small delta, so per-ingest cost scales with
+    |batch|, not |corpus| — exact matches via a hash join on md5(text),
+    near-dups via an ASYMMETRIC batch-vs-corpus LSH band join (never a
+    corpus self-join), exact-Jaccard verified on candidates only.
+    """
+    is_batch = F.col("doc_id") % 10 == 0
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    # exact: corpus text-hash profile joined onto batch hashes
+    ch = (
+        docs.filter(~is_batch)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    exact = (
+        docs.filter(is_batch)
+        .select("doc_id", F.md5("text").alias("h"))
+        .join(ch, "h", "left")
+        .select("doc_id", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
+    )
+    # near: band keys for each side from the shared shingle/signature path
+    sh = _shared_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh, "doc_id", "shingles", k=12).localCheckpoint(
+        eager=False
+    )
+    keys_b = band_keys(sig.filter(is_batch), "doc_id", "sig", 6, 2)
+    keys_c = band_keys(sig.filter(~is_batch), "doc_id", "sig", 6, 2).select(
+        F.col("doc_id").alias("corpus_id"), "band_key"
+    )
+    cand = keys_b.join(keys_c, "band_key").select("doc_id", "corpus_id").distinct()
+    a = sh.select(F.col("doc_id"), F.col("shingles").alias("sh_a"))
+    b = sh.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    near = (
+        cand.join(a, "doc_id")
+        .join(b, "corpus_id")
+        .select(
+            "doc_id", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("j")
+        )
+        .filter(F.col("j") >= _JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(F.max("j").alias("best_jaccard"))
+    )
+    return exact.join(near, "doc_id", "left").select(
+        "doc_id",
+        "n_exact",
+        F.coalesce("best_jaccard", F.lit(-1.0)).alias("best_jaccard"),
+        (
+            (F.col("n_exact") > 0) | F.col("best_jaccard").isNotNull()
+        ).cast("int").alias("is_dup"),
+    )
+
+
+_ORACLE_DEDUP_INCREMENTAL = f"""
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), ch AS (
+  SELECT md5(text) AS h, COUNT(*) AS n_exact
+  FROM d WHERE doc_id % 10 <> 0 GROUP BY 1
+), exact AS (
+  SELECT b.doc_id, COALESCE(ch.n_exact, 0) AS n_exact
+  FROM d b LEFT JOIN ch ON md5(b.text) = ch.h
+  WHERE b.doc_id % 10 = 0
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+  FROM d WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, shingles,
+    list_transform(range(0, 12),
+      j -> list_min(list_transform(
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT),
+             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id,
+    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
+      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
+  FROM sig, UNNEST(range(0, 6)) AS t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id, c.doc_id AS corpus_id
+  FROM bands a JOIN bands c ON a.band_key = c.band_key
+  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+), near AS (
+  SELECT cand.doc_id, MAX(ROUND(
+    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+    / len(list_distinct(x.shingles || y.shingles)), 6)) AS best_jaccard
+  FROM cand
+  JOIN sh x ON x.doc_id = cand.doc_id
+  JOIN sh y ON y.doc_id = cand.corpus_id
+  WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        / len(list_distinct(x.shingles || y.shingles)) >= {_JACCARD_THRESHOLD}
+  GROUP BY 1
+)
+SELECT e.doc_id, e.n_exact,
+  COALESCE(near.best_jaccard, -1.0) AS best_jaccard,
+  CAST(e.n_exact > 0 OR near.best_jaccard IS NOT NULL AS INT) AS is_dup
+FROM exact e LEFT JOIN near ON e.doc_id = near.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit simhash signature per document."""
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
@@ -242,5 +429,13 @@ QUERIES = [
     ),
     QuerySpec(
         "q_dedup_simhash", q_dedup_simhash, _ORACLE_DEDUP_SIMHASH, "ext:dedup",
+    ),
+    QuerySpec(
+        "q_dedup_clusters", q_dedup_clusters, _ORACLE_DEDUP_CLUSTERS,
+        "ext:dedup (pairs -> components -> keeper)",
+    ),
+    QuerySpec(
+        "q_dedup_incremental", q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL,
+        "ext:dedup (delta batch vs corpus, asymmetric band join)",
     ),
 ]

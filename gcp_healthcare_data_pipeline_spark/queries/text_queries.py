@@ -201,6 +201,98 @@ FROM documents
 """
 
 
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of word 3-gram occurrences
+    that are repeats (1 - distinct/total). A standard LLM-corpus quality
+    signal (boilerplate / template spam scores high). Pure per-row HOFs
+    — narrow plan, no shuffle, scales linearly with corpus bytes."""
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    gram = "_toks[i] || ' ' || _toks[i + 1] || ' ' || _toks[i + 2]"
+    return (
+        docs.withColumn("_toks", tokens("text"))
+        .filter(F.size("_toks") >= 3)
+        .withColumn(
+            "_grams",
+            F.expr(f"transform(sequence(0, size(_toks) - 3), i -> {gram})"),
+        )
+        .select(
+            "doc_id",
+            F.size("_grams").alias("n_grams"),
+            F.size(F.array_distinct("_grams")).alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_grams")) / F.size("_grams"),
+                6,
+            ).alias("rep_ratio"),
+        )
+    )
+
+
+_ORACLE_REPETITION_RATIO = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
+  FROM d WHERE len(toks) >= 3
+)
+SELECT doc_id,
+  len(grams) AS n_grams,
+  len(list_distinct(grams)) AS n_distinct,
+  ROUND(1.0 - len(list_distinct(grams)) / len(grams), 6) AS rep_ratio
+FROM g
+"""
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gating: keep documents at or above their
+    language's median quality score (corpus curation's usual 'filter by
+    per-slice quantile' step). percent_rank over (lang, rounded score)
+    is deterministic because ties rank equally; one window shuffle on
+    lang — at 100 TB the partition count follows the language count, so
+    heavy languages would be range-partitioned by score instead (same
+    semantics, Spark does this automatically for window ORDER BY)."""
+    from pyspark.sql import Window
+
+    scored = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("quality_score")
+    return (
+        docs.join(scored, "doc_id")
+        .withColumn("lang_pct", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("lang_pct") >= 0.5)
+        .select("doc_id", "lang", "quality_score", "lang_pct")
+    )
+
+
+_ORACLE_QUALITY_GATE = f"""
+WITH d AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS DOUBLE) AS n_tok,
+    CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) AS stop,
+    CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         AS DOUBLE) / LENGTH(text) AS punct_ratio
+  FROM d
+), scored AS (
+  SELECT doc_id, lang,
+    ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+        + 0.4 * (1.0 - punct_ratio)
+        + 0.2 * LEAST(stop / n_tok * 5.0, 1.0), 6) AS quality_score
+  FROM m
+), ranked AS (
+  SELECT doc_id, lang, quality_score,
+    ROUND(PERCENT_RANK() OVER (
+      PARTITION BY lang ORDER BY quality_score), 6) AS lang_pct
+  FROM scored
+)
+SELECT doc_id, lang, quality_score, lang_pct
+FROM ranked WHERE lang_pct >= 0.5
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
     QuerySpec(
@@ -214,4 +306,12 @@ QUERIES = [
     QuerySpec("q_text_quality", q_text_quality, _ORACLE_TEXT_QUALITY, "ext:text"),
     QuerySpec("q_lang_id", q_lang_id, _ORACLE_LANG_ID, "ext:text"),
     QuerySpec("q_fingerprint", q_fingerprint, _ORACLE_FINGERPRINT, "ext:text"),
+    QuerySpec(
+        "q_repetition_ratio", q_repetition_ratio, _ORACLE_REPETITION_RATIO,
+        "ext:text (intra-doc repetition quality signal)",
+    ),
+    QuerySpec(
+        "q_quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE,
+        "ext:text (per-language quantile gating)",
+    ),
 ]

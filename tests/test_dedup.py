@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     jaccard,
     lsh_candidate_pairs,
@@ -69,3 +70,29 @@ def test_simhash_exact_dups_equal_signatures(spark):
     # near-dup should be closer in hamming distance than unrelated doc
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(out[1], out[2]) <= ham(out[1], out[3])
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # pair 10-11, and an untouched vertex pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.id: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_max_iter_caps_rounds(spark):
+    # a long chain with max_iter=1: one propagation round cannot carry
+    # the min label to the far end — labels are a valid partial state
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert got[2] == 1 and got[5] == 4  # one hop of min-propagation only
