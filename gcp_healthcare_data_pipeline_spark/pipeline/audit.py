@@ -48,7 +48,10 @@ class _BufferedAppender:
         if not self._buf:
             return
         rows, self._buf = self._buf, []
-        self.spark.createDataFrame(rows, self.schema).coalesce(1).write.mode(
+        # repartition(1), NOT coalesce(1): one file per flush either way,
+        # but coalesce on a LocalRelation plans ~10x slower here (measured
+        # ~5s vs ~0.5s per append on local[32] with AQE on)
+        self.spark.createDataFrame(rows, self.schema).repartition(1).write.mode(
             "append"
         ).parquet(self.path)
 
