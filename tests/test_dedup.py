@@ -96,3 +96,41 @@ def test_connected_components_max_iter_caps_rounds(spark):
         for r in connected_components(edges, max_iter=1).collect()
     }
     assert got[2] == 1 and got[5] == 4  # one hop of min-propagation only
+
+
+def test_connected_components_matches_union_find(spark):
+    # property check vs a driver-side union-find reference on a few
+    # deterministic pseudo-random graphs (hypothesis-style, but with
+    # fixed seeds: a Spark session per example is too slow for shrinking)
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n, m = 40, 55
+        es = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(m)
+            }
+        )
+        es = [(a, b) for a, b in es if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            parent[find(a)] = find(b)
+        want = {
+            v: min(u for u in range(n) if find(u) == find(v))
+            for v in range(n)
+            if any(v in e for e in es)
+        }
+        edges = spark.createDataFrame(es, "id_a bigint, id_b bigint")
+        got = {
+            r.id: r.component for r in connected_components(edges).collect()
+        }
+        assert got == want, f"seed {seed}"
