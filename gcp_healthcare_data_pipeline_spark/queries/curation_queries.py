@@ -249,10 +249,13 @@ def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(
-            (F.col("value") - F.avg("value").over(w))
-            / F.stddev_samp("value").over(w),
-            4,
+        (
+            F.round(
+                (F.col("value") - F.avg("value").over(w))
+                / F.stddev_samp("value").over(w),
+                4,
+            )
+            + F.lit(0.0)  # -0.0 + 0.0 = +0.0: normalize IEEE negative zero
         ).alias("zscore"),
     )
 
@@ -260,7 +263,7 @@ def q_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_USER_ZSCORE = """
 SELECT event_id, user_id,
   ROUND((value - AVG(value) OVER (PARTITION BY user_id))
-        / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) AS zscore
+        / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 4) + 0.0 AS zscore
 FROM events
 """
 

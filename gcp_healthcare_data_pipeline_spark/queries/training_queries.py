@@ -409,6 +409,165 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q_domain_mix: rebalance sources toward a weighted target mixture
+# ---------------------------------------------------------------------------
+
+# premium sources get twice the target share of the rest — the usual
+# "upweight curated domains, downsample the crawl" rebalancing move
+_PREMIUM_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute per-source keep-rates FROM the target mixture and the
+    observed counts, then hash-filter to them. Unlike the fixed-rate
+    stratified sample, the rates here are derived: every source is
+    scaled so per-target-share volume matches the most constrained
+    source (integer percent, deterministic md5 bucketing).
+
+    Shape at 100 TB: one groupBy for source counts (tiny result — one
+    row per source), a window-min over that tiny frame, a broadcast
+    join of the rates back onto the corpus, and a map-side filter. The
+    corpus is never shuffled.
+    """
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.when(F.col("source").isin(*_PREMIUM_SOURCES), F.lit(2)).otherwise(
+        F.lit(1)
+    )
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("_w", w)
+        .withColumn("_scaled2", F.expr("(2 * n_docs) div _w"))
+    )
+    allw = Window.partitionBy()  # the frame is one row per source: tiny
+    rates = (
+        counts.withColumn("_m2", F.min("_scaled2").over(allw))
+        .withColumn(
+            "keep_rate",
+            F.least(
+                F.lit(100).cast("bigint"), F.expr("(100 * _m2) div _scaled2")
+            ),
+        )
+        .select("source", "n_docs", "keep_rate")
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_hash_bucket(F.col("doc_id")) < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        "keep_rate",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+    )
+
+
+_PREMIUM_SQL = ", ".join(f"'{s}'" for s in _PREMIUM_SOURCES)
+
+_ORACLE_DOMAIN_MIX = f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CASE WHEN source IN ({_PREMIUM_SQL}) THEN 2 ELSE 1 END AS w
+  FROM documents GROUP BY 1
+), s AS (
+  SELECT source, n_docs, (2 * n_docs) // w AS scaled2 FROM c
+), r AS (
+  SELECT source, n_docs,
+    LEAST(CAST(100 AS BIGINT),
+          (100 * (MIN(scaled2) OVER ())) // scaled2) AS keep_rate
+  FROM s
+), k AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN r ON d.source = r.source
+  WHERE {_SQL_BUCKET} < r.keep_rate
+  GROUP BY 1
+)
+SELECT r.source, r.n_docs, r.keep_rate,
+  COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+FROM r LEFT JOIN k USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_token_budget: best-quality docs per language under a token budget
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 10_000  # per-language token budget
+
+# same stopword lexicon as the quality score (functions/text.py) — the
+# oracle inlines it so both engines rank by the identical score
+from gcp_healthcare_data_pipeline_spark.functions.text import (  # noqa: E402
+    STOPWORDS as _QUALITY_STOPWORDS,
+)
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in _QUALITY_STOPWORDS)
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the highest-quality documents per language until the token
+    budget fills: rank by quality (tie-break doc_id), cumulative token
+    sum, keep while the running total fits. The 'give me the best N
+    tokens per slice' selection every data-mix recipe needs.
+
+    The window is per-language; a heavy language at 100 TB would be
+    range-partitioned by the ORDER BY key (Spark's window exchange
+    does this), so the cumulative sum stays parallel across partitions
+    of the sort order, not serialized on one task.
+    """
+    from gcp_healthcare_data_pipeline_spark.queries.text_queries import (
+        q_text_quality,
+    )
+
+    scored = q_text_quality(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.join(scored, "doc_id")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= _TOKEN_BUDGET)
+        .select("doc_id", "lang", "quality_score", "n_tokens", "cum_tokens")
+    )
+
+
+_ORACLE_TOKEN_BUDGET = f"""
+WITH d AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CAST(len(toks) AS DOUBLE) AS n_tok,
+    CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) AS stop,
+    CAST(LENGTH(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         AS DOUBLE) / LENGTH(text) AS punct_ratio
+  FROM d
+), scored AS (
+  SELECT doc_id, lang, n_tokens,
+    ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+        + 0.4 * (1.0 - punct_ratio)
+        + 0.2 * LEAST(stop / n_tok * 5.0, 1.0), 6) AS quality_score
+  FROM m
+), cum AS (
+  SELECT doc_id, lang, quality_score, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY quality_score DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, lang, quality_score, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET}
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_train_split", q_train_split, _ORACLE_TRAIN_SPLIT,
@@ -433,5 +592,13 @@ QUERIES = [
     QuerySpec(
         "q_sequence_packing", q_sequence_packing, _ORACLE_SEQUENCE_PACKING,
         "ext:training packing",
+    ),
+    QuerySpec(
+        "q_domain_mix", q_domain_mix, _ORACLE_DOMAIN_MIX,
+        "ext:training mixture rebalancing",
+    ),
+    QuerySpec(
+        "q_token_budget", q_token_budget, _ORACLE_TOKEN_BUDGET,
+        "ext:training token-budget selection",
     ),
 ]
