@@ -405,6 +405,70 @@ FROM exact e LEFT JOIN near ON e.doc_id = near.doc_id
 """
 
 
+_CONTAINMENT_THRESHOLD = 0.8
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset detection: containment = |A∩B| / min(|A|,
+    |B|). Catches the quote-inclusion / excerpt case that symmetric
+    Jaccard misses (a 50-shingle doc embedded in a 500-shingle doc has
+    jaccard ≈ 0.1 but containment 1.0). Same df-capped inverted-index
+    plan as the n-gram path — the posting lists are shared via the
+    session shingle cache."""
+    sh = _shared_shingles(spark, sf_dir)
+    pairs = pair_intersections(sh, min_df=2, max_df=_DF_CAP).filter(
+        F.col("n_shared") >= 5
+    )
+    sizes = shingle_sizes(sh)
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(
+                F.col("n_shared") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_THRESHOLD)
+    )
+
+
+_ORACLE_DEDUP_CONTAINMENT = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+  FROM d WHERE len(toks) >= 3
+), posting AS (
+  SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+), rare AS (
+  SELECT shingle FROM posting GROUP BY 1
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_DF_CAP}
+), rp AS (
+  SELECT p.doc_id, p.shingle FROM posting p JOIN rare r USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+)
+SELECT p.doc_a, p.doc_b,
+  ROUND(CAST(p.n_shared AS DOUBLE) / LEAST(x.n_sh, y.n_sh), 6) AS containment
+FROM pairs p
+JOIN sizes x ON x.doc_id = p.doc_a
+JOIN sizes y ON y.doc_id = p.doc_b
+WHERE CAST(p.n_shared AS DOUBLE) / LEAST(x.n_sh, y.n_sh)
+      >= {_CONTAINMENT_THRESHOLD}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit simhash signature per document."""
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
@@ -447,5 +511,9 @@ QUERIES = [
     QuerySpec(
         "q_dedup_incremental", q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL,
         "ext:dedup (delta batch vs corpus, asymmetric band join)",
+    ),
+    QuerySpec(
+        "q_dedup_containment", q_dedup_containment, _ORACLE_DEDUP_CONTAINMENT,
+        "ext:dedup (asymmetric near-superset containment)",
     ),
 ]

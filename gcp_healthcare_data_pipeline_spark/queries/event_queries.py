@@ -139,6 +139,125 @@ GROUP BY 1
 """
 
 
+# epoch micros of 2024-01-01 UTC — fixed cohort origin, so week indexes
+# are small ints instead of timestamps (no timestamp rendering in compare)
+_WEEK_ORIGIN_US = 1_704_067_200 * 1_000_000
+_WEEK_US = 7 * _DAY_US
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase.
+
+    Each stage's entry time must FOLLOW the previous stage's (a later
+    click on an earlier view doesn't count backwards). Three per-user
+    min-aggregates with an inequality join back to the events — each
+    stage shuffles on user_id only, and the stage frames shrink
+    monotonically, so at 100 TB every join is a per-user co-partitioned
+    merge, never event-by-event state.
+    """
+    ev = load_tables(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_us().alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    rows = [
+        v.select(F.lit("1_view").alias("stage"), "user_id"),
+        c.select(F.lit("2_click").alias("stage"), "user_id"),
+        p.select(F.lit("3_purchase").alias("stage"), "user_id"),
+    ]
+    stages = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return stages.groupBy("stage").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_ORACLE_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), v AS (
+  SELECT user_id, MIN(us) AS v_us FROM e
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.us) AS c_us FROM e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.us > v.v_us GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.us) AS p_us FROM e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us > c.c_us GROUP BY 1
+), stages AS (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL SELECT '2_click', user_id FROM c
+  UNION ALL SELECT '3_purchase', user_id FROM p
+)
+SELECT stage, COUNT(DISTINCT user_id) AS n_users
+FROM stages GROUP BY 1
+"""
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted as retained in each later week they were active. One
+    per-user min-aggregate (the cohort dim, broadcast back), then a
+    distinct count per (cohort_week, week_offset) cell — the retention
+    matrix is O(weeks²) rows regardless of corpus size."""
+    ev = load_tables(spark, sf_dir, "events").select(
+        "user_id", _ts_us().alias("us")
+    )
+    week = ((F.col("us") - F.lit(_WEEK_ORIGIN_US)) / F.lit(_WEEK_US)).cast(
+        "bigint"
+    )
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.min("us").alias("first_us"))
+        .select(
+            "user_id",
+            (
+                (F.col("first_us") - F.lit(_WEEK_ORIGIN_US)) / F.lit(_WEEK_US)
+            ).cast("bigint").alias("cohort_week"),
+        )
+    )
+    return (
+        ev.withColumn("event_week", week)
+        .join(F.broadcast(first), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("event_week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_ORACLE_EVENTS_RETENTION = f"""
+WITH e AS (
+  SELECT user_id,
+    (epoch_us(ts) - {_WEEK_ORIGIN_US}) // {_WEEK_US} AS event_week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(event_week) AS cohort_week FROM e GROUP BY 1
+)
+SELECT f.cohort_week, e.event_week - f.cohort_week AS week_offset,
+  COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_events_tumbling", q_events_tumbling, _ORACLE_EVENTS_TUMBLING,
@@ -151,5 +270,13 @@ QUERIES = [
     QuerySpec(
         "q_events_error_rate", q_events_error_rate, _ORACLE_EVENTS_ERROR_RATE,
         "ext:streaming-batch A3 A4",
+    ),
+    QuerySpec(
+        "q_events_funnel", q_events_funnel, _ORACLE_EVENTS_FUNNEL,
+        "ext:analytics (ordered conversion funnel)",
+    ),
+    QuerySpec(
+        "q_retention_cohorts", q_retention_cohorts, _ORACLE_EVENTS_RETENTION,
+        "ext:analytics (weekly cohort retention)",
     ),
 ]
