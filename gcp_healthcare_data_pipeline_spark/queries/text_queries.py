@@ -293,6 +293,93 @@ FROM ranked WHERE lang_pct >= 0.5
 """
 
 
+_CHUNK_TOKENS = 64
+_CHUNK_STRIDE = 48  # 16-token overlap between adjacent chunks
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap (the
+    standard pre-training chunking step). Chunk starts come from a
+    per-row sequence HOF + posexplode — the fan-out happens inside the
+    scan stage with no shuffle at all; chunk text is emitted as an md5
+    so the compare pins every chunk's exact content without shipping
+    the text itself."""
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.withColumn("_toks", tokens("text"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(_toks) - 1, {_CHUNK_STRIDE}),"
+                    f" s -> slice(_toks, s + 1, {_CHUNK_TOKENS}))"
+                )
+            ).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("_chunk").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_hash"),
+        )
+    )
+
+
+_ORACLE_DOC_CHUNKING = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), starts AS (
+  SELECT doc_id, toks, s, CAST(s / {_CHUNK_STRIDE} AS INT) AS chunk_idx
+  FROM d, UNNEST(range(0, len(toks), {_CHUNK_STRIDE})) AS t(s)
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+    list_slice(toks, s + 1, s + {_CHUNK_TOKENS}) AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+  len(chunk) AS n_chunk_tokens,
+  md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks
+"""
+
+
+def q_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus frequency of each document's tokens — a statistical
+    commonness/rarity proxy (very low = unusual vocabulary or noise,
+    very high = boilerplate). Two stages: corpus unigram counts
+    (explode -> groupBy token, map-side combined), then a token join
+    back and a per-doc average. All integer sums until the final
+    division — no libm transcendentals, so the oracle matches exactly.
+    No global window or sort anywhere, unlike rank-based scores."""
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    posting = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    vocab = posting.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        posting.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("tf"), 4).alias("mean_token_freq"),
+        )
+    )
+
+
+_ORACLE_RARITY_SCORE = """
+WITH posting AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM posting GROUP BY 1
+)
+SELECT p.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(AVG(v.tf), 4) AS mean_token_freq
+FROM posting p JOIN vocab v USING (token)
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
     QuerySpec(
@@ -313,5 +400,13 @@ QUERIES = [
     QuerySpec(
         "q_quality_gate", q_quality_gate, _ORACLE_QUALITY_GATE,
         "ext:text (per-language quantile gating)",
+    ),
+    QuerySpec(
+        "q_doc_chunking", q_doc_chunking, _ORACLE_DOC_CHUNKING,
+        "ext:text (overlapping token-window chunking)",
+    ),
+    QuerySpec(
+        "q_rarity_score", q_rarity_score, _ORACLE_RARITY_SCORE,
+        "ext:text (corpus-frequency rarity proxy)",
     ),
 ]
