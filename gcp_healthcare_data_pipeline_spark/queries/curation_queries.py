@@ -268,10 +268,78 @@ FROM events
 """
 
 
+_BOILER_MIN_DF = 2  # shingle counts as boilerplate if >= this many docs of a source share it
+
+
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level boilerplate detection (CCNet/RefinedWeb line-dedup
+    analog, adapted to token shingles since the corpus has no newlines).
+
+    A 3-gram shingle is boilerplate *within a source* when >=
+    ``_BOILER_MIN_DF`` documents of that source contain it (headers,
+    footers, navigation chrome repeat across a crawl domain's pages).
+    Emits each doc's boilerplate fraction — the upstream signal a real
+    pipeline thresholds on before training.
+
+    Plan shape: one explode of distinct shingles, one partial-aggregated
+    groupBy(source, shingle) for document frequency, one co-partitioned
+    join back on the same keys, one per-doc re-aggregation. No self-join;
+    shuffle volume is bounded by the distinct (source, shingle) space.
+    """
+    docs = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = with_shingles(docs, "text", n=3)
+    ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
+    df_counts = ex.groupBy("source", "s").agg(
+        F.count(F.lit(1)).alias("shingle_df")
+    )
+    is_boiler = (F.col("shingle_df") >= _BOILER_MIN_DF).cast("int")
+    return (
+        ex.join(df_counts, ["source", "s"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(is_boiler).alias("n_boiler"),
+            F.round(
+                F.sum(is_boiler).cast("double") / F.count(F.lit(1)), 6
+            ).alias("boiler_ratio"),
+        )
+    )
+
+
+_ORACLE_BOILERPLATE = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
+  FROM d WHERE len(toks) >= 3
+), ex AS (
+  SELECT doc_id, source, UNNEST(shingles) AS s FROM sh
+), dfc AS (
+  SELECT source, s, COUNT(*) AS shingle_df FROM ex GROUP BY 1, 2
+)
+SELECT ex.doc_id, ex.source,
+  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN dfc.shingle_df >= {_BOILER_MIN_DF} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_boiler,
+  ROUND(CAST(SUM(CASE WHEN dfc.shingle_df >= {_BOILER_MIN_DF} THEN 1 ELSE 0
+             END) AS DOUBLE) / COUNT(*), 6) AS boiler_ratio
+FROM ex JOIN dfc USING (source, s)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_corpus_curation", q_corpus_curation, _ORACLE_CORPUS_CURATION,
         "ext:curation (quality+lang+dedup composition)",
+    ),
+    QuerySpec(
+        "q_boilerplate", q_boilerplate, _ORACLE_BOILERPLATE,
+        "ext:curation (per-source boilerplate shingle fraction)",
     ),
     QuerySpec(
         "q_events_sliding", q_events_sliding, _ORACLE_EVENTS_SLIDING,

@@ -380,6 +380,49 @@ GROUP BY 1
 """
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent tokens per language (exact heavy hitters).
+
+    Plan: explode -> partial-aggregated groupBy(lang, token) -> per-lang
+    top-k window. The groupBy map-side combine collapses the exploded
+    token stream before the shuffle, so shuffle volume is bounded by
+    |vocab| x |langs|, not corpus token count — the property that keeps
+    this viable at 100 TB. Tie-break on token for rank stability.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "token", "n_occurrences", "rank")
+    )
+
+
+_ORACLE_HEAVY_HITTERS = """
+WITH posting AS (
+  SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM posting GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, token, n_occurrences,
+    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         ORDER BY n_occurrences DESC, token ASC) AS INT) AS rank
+  FROM counts
+)
+SELECT lang, token, n_occurrences, rank FROM ranked WHERE rank <= 10
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
     QuerySpec(
@@ -408,5 +451,9 @@ QUERIES = [
     QuerySpec(
         "q_rarity_score", q_rarity_score, _ORACLE_RARITY_SCORE,
         "ext:text (corpus-frequency rarity proxy)",
+    ),
+    QuerySpec(
+        "q_heavy_hitters", q_heavy_hitters, _ORACLE_HEAVY_HITTERS,
+        "ext:text (exact per-language heavy hitters)",
     ),
 ]

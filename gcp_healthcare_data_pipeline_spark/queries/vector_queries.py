@@ -222,6 +222,73 @@ FROM ranked WHERE rank <= {_K}
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance outliers (mislabeled-example mining).
+
+    Computes each label's centroid (per-dimension mean via posexplode +
+    partial-aggregated groupBy — one shuffle bounded by |labels| x dims),
+    broadcasts the tiny centroid table back onto the corpus, and ranks
+    vectors by euclidean distance from their label centroid; the top-5
+    farthest per label are the candidate label errors a curation pipeline
+    routes to review. Distance is a sequential ``F.aggregate`` fold so the
+    accumulation order matches the oracle's ``list_sum`` exactly.
+    """
+    from pyspark.sql import Window
+
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    dims = emb.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    ).groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    centroids = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("c")
+    )
+    diff_sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(centroids), "label").select(
+        "label", "vec_id", F.round(F.sqrt(diff_sq), 6).alias("centroid_dist")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_dist").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("label", "vec_id", "centroid_dist", "rank")
+    )
+
+
+_ORACLE_EMBEDDING_OUTLIERS = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), dims AS (
+  SELECT label, i AS pos, AVG(v[i]) AS cval
+  FROM e, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(cval ORDER BY pos) AS c FROM dims GROUP BY 1
+), scored AS (
+  SELECT e.label, e.vec_id,
+    ROUND(SQRT(list_sum(list_transform(range(1, len(v) + 1),
+      i -> (v[i] - c[i]) * (v[i] - c[i])))), 6) AS centroid_dist
+  FROM e JOIN cent USING (label)
+), ranked AS (
+  SELECT label, vec_id, centroid_dist,
+    CAST(ROW_NUMBER() OVER (PARTITION BY label
+         ORDER BY centroid_dist DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT label, vec_id, centroid_dist, rank FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = [
     QuerySpec("q_ann_topk", q_ann_topk, _ORACLE_ANN_TOPK, "ext:similarity"),
     QuerySpec("q_ann_ivf", q_ann_ivf, _ORACLE_ANN_IVF, "ext:similarity IVF"),
@@ -230,4 +297,9 @@ QUERIES = [
         "ext:dedup ext:similarity",
     ),
     QuerySpec("q_ann_lsh", q_ann_lsh, None, "ext:similarity"),
+    QuerySpec(
+        "q_embedding_outliers", q_embedding_outliers,
+        _ORACLE_EMBEDDING_OUTLIERS,
+        "ext:similarity (per-label centroid-distance outliers)",
+    ),
 ]
