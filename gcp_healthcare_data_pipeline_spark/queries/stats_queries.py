@@ -133,8 +133,52 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram per language, with each
+    bin's share of its language.
+
+    Binning is pure integer arithmetic (``n_chars div 50 * 50``) so both
+    engines bucket identically; the share denominator is a partition-wide
+    window sum (no second shuffle — reuses the groupBy partitioning).
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")
+    binned = docs.select(
+        "lang", F.expr("(n_chars div 50) * 50").alias("bin_start")
+    )
+    hist = binned.groupBy("lang", "bin_start").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return hist.select(
+        "lang",
+        F.col("bin_start").cast("bigint").alias("bin_start"),
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / total, 6).alias("lang_share"),
+    )
+
+
+_ORACLE_LENGTH_HISTOGRAM = """
+WITH hist AS (
+  SELECT lang, CAST((n_chars // 50) * 50 AS BIGINT) AS bin_start,
+    CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, bin_start, n_docs,
+  ROUND(CAST(n_docs AS DOUBLE)
+        / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+    AS lang_share
+FROM hist
+"""
+
+
 QUERIES = [
     QuerySpec("q_percentiles", q_percentiles, _ORACLE_PERCENTILES, "ext:stats"),
+    QuerySpec(
+        "q_length_histogram", q_length_histogram, _ORACLE_LENGTH_HISTOGRAM,
+        "ext:stats (fixed-width histogram + partition share)",
+    ),
     QuerySpec(
         "q_stats_by_flag", q_stats_by_flag, _ORACLE_STATS_BY_FLAG, "ext:stats",
     ),

@@ -289,6 +289,124 @@ SELECT label, vec_id, centroid_dist, rank FROM ranked WHERE rank <= 5
 """
 
 
+_KMEANS_K = 8
+
+
+def _dist_to_centroid() -> "F.Column":
+    """Rounded euclidean distance between ``v`` and ``c`` as a sequential
+    fold. Rounding to 6dp happens BEFORE the argmin so assignment
+    tie-breaks are identical across engines."""
+    sq = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(F.sqrt(sq), 6)
+
+
+def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k x dims centroid table,
+    score all pairs map-side, keep the per-vector argmin (dist asc,
+    centroid_id asc). The cross join never shuffles the corpus — only the
+    per-vector top-1 window does, on vec_id."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist", _dist_to_centroid()
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "centroid_id", "dist")
+    )
+
+
+def _kmeans_recompute(assigned: DataFrame) -> DataFrame:
+    """New centroids = per-dimension mean of each cluster's members
+    (posexplode + partial-aggregated groupBy, shuffle bounded by
+    k x dims)."""
+    dims = assigned.select(
+        "centroid_id", F.posexplode("v").alias("pos", "val")
+    ).groupBy("centroid_id", "pos").agg(F.avg("val").alias("cval"))
+    return dims.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s["cval"],
+        ).alias("c")
+    )
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means over the embedding corpus,
+    expressed entirely as DataFrame ops (no MLlib, no driver-side data).
+
+    Iterative distributed ML on the DataFrame surface: deterministic init
+    (the k lowest vec_ids), broadcast-centroid assignment, explode/avg
+    recompute. The unrolled 2-iteration plan is fully oracle-checkable;
+    at scale each extra iteration is one more broadcast-assign +
+    k x dims aggregation, with the corpus never shuffled by key.
+    """
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    assigned = None
+    for _ in range(2):
+        assigned = _kmeans_assign(emb, centroids)
+        centroids = _kmeans_recompute(assigned)
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+_KM_DIST_SQL = """
+ROUND(SQRT(list_sum(list_transform(range(1, len(v) + 1),
+  i -> (v[i] - c[i]) * (v[i] - c[i])))), 6)
+"""
+
+_ORACLE_KMEANS = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+), s1 AS (
+  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
+), d1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
+), s2 AS (
+  SELECT e.vec_id, c1.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT vec_id, centroid_id, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
+)
+SELECT centroid_id,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  ROUND(AVG(dist), 6) AS avg_dist,
+  MIN(vec_id) AS min_vec_id
+FROM a2 GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_ann_topk", q_ann_topk, _ORACLE_ANN_TOPK, "ext:similarity"),
     QuerySpec("q_ann_ivf", q_ann_ivf, _ORACLE_ANN_IVF, "ext:similarity IVF"),
@@ -301,5 +419,9 @@ QUERIES = [
         "q_embedding_outliers", q_embedding_outliers,
         _ORACLE_EMBEDDING_OUTLIERS,
         "ext:similarity (per-label centroid-distance outliers)",
+    ),
+    QuerySpec(
+        "q_kmeans", q_kmeans, _ORACLE_KMEANS,
+        "ext:iterative (2-iteration Lloyd k-means on DataFrames)",
     ),
 ]
