@@ -463,6 +463,22 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles (``approx_percentile``) —
+    the percentile path at 100 TB, where the sketch merges map-side and
+    only k summary tuples per partition cross the shuffle (exact
+    percentiles would sort every value). No SQL oracle (sketch internals
+    are engine-specific); tests/test_approx.py bounds each estimate
+    against the exact percentile at the configured accuracy."""
+    li = load_tables(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    )
+    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        pcts[0].alias("p50"), pcts[1].alias("p95"), pcts[2].alias("p99")
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation: events has only 5 event types (hot keys);
     the salted two-phase aggregation spreads each over 16 reducers and
@@ -492,6 +508,10 @@ QUERIES = [
     QuerySpec("q_cube_sales", q_cube_sales, _ORACLE_CUBE_SALES, "ext:cube"),
     QuerySpec("q_unpivot_balances", q_unpivot_balances, _ORACLE_UNPIVOT, "ext:unpivot"),
     QuerySpec("q_approx_distinct", q_approx_distinct, None, "ext:approx HLL"),
+    QuerySpec(
+        "q_approx_quantiles", q_approx_quantiles, None,
+        "ext:approx quantile sketch",
+    ),
     QuerySpec(
         "q_range_join_shipping", q_range_join_shipping,
         _ORACLE_RANGE_JOIN_SHIPPING, "ext:range-join",

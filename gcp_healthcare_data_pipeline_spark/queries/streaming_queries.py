@@ -25,12 +25,14 @@ from gcp_healthcare_data_pipeline_spark.streaming.windows import (
 )
 
 
-def _drain(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain(
+    stream_df: DataFrame, spark: SparkSession, mode: str = "update"
+) -> DataFrame:
     name = f"q_stream_{uuid.uuid4().hex[:10]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -168,6 +170,65 @@ GROUP BY 1
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: view->purchase attribution
+    within a 10-minute horizon.
+
+    Both sides carry watermarks and the join condition bounds event time
+    (``buy_time`` within [view_time, view_time + 10 min]), so each side's
+    buffered state is evictable once the watermark passes — the property
+    that makes stream-stream joins feasible on unbounded input. Drained
+    in append mode (the only mode stream-stream joins support), then
+    batch-aggregated per user.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", "10 minutes")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_time").alias("buy_time"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_time", "10 minutes")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = b_user AND buy_time >= view_time "
+            "AND buy_time <= view_time + interval 10 minutes"
+        ),
+        "inner",
+    )
+    out = _drain(joined, spark, mode="append")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("buy_value"), 2).alias("total_attr_value"),
+    )
+
+
+_ORACLE_STREAM_STREAM_JOIN = """
+SELECT v.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(SUM(b.value), 2) AS total_attr_value
+FROM events v
+JOIN events b
+  ON b.user_id = v.user_id
+ AND v.event_type = 'view' AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) >= epoch_us(v.ts)
+ AND epoch_us(b.ts) <= epoch_us(v.ts) + 600000000
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_stream_stateful_profiles", q_stream_stateful_profiles,
@@ -184,5 +245,10 @@ QUERIES = [
     QuerySpec(
         "q_stream_static_join", q_stream_static_join,
         _ORACLE_STREAM_STATIC_JOIN, "ext:streaming stream-static join",
+    ),
+    QuerySpec(
+        "q_stream_stream_join", q_stream_stream_join,
+        _ORACLE_STREAM_STREAM_JOIN,
+        "ext:streaming watermarked stream-stream interval join",
     ),
 ]

@@ -423,6 +423,106 @@ SELECT lang, token, n_occurrences, rank FROM ranked WHERE rank <= 10
 """
 
 
+_BM25_TERMS = ("hash", "merge", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-10 documents for a fixed term set.
+
+    The inverted-index shape at scale: the token explode is filtered to
+    the query terms BEFORE any shuffle (a scan-stage filter, so shuffle
+    volume is |matching postings|, not corpus tokens); document frequency
+    and the corpus-wide N / avgdl statistics ride tiny broadcast frames.
+    Per-(doc, term) BM25 contributions sum per doc, global top-10.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.size(tokens("text")).alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col("dl").cast("double")).alias("_avgdl"),
+    )
+    postings = docs.select(
+        "doc_id", "dl", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = postings.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_score",
+            F.col("_idf")
+            * F.col("tf")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (
+                    1.0
+                    - _BM25_B
+                    + _BM25_B * F.col("dl") / F.col("_avgdl")
+                )
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum("_score"), 6).alias("bm25"),
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "n_terms_matched", "bm25", "rank")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_ORACLE_BM25_SEARCH = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl, text FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM d
+), postings AS (
+  SELECT doc_id, dl, t.term
+  FROM d, UNNEST(string_split(text, ' ')) AS t(term)
+  WHERE t.term IN ({_BM25_TERMS_SQL})
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM postings GROUP BY 1, 2, 3
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+      * tf.tf * ({_BM25_K1} + 1.0)
+      / (tf.tf + {_BM25_K1}
+         * (1.0 - {_BM25_B} + {_BM25_B} * tf.dl / s.avgdl)) AS score
+  FROM tf JOIN dft USING (term) CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         ROUND(SUM(score), 6) AS bm25
+  FROM contrib GROUP BY 1
+)
+SELECT doc_id, n_terms_matched, bm25,
+  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rank
+FROM scored QUALIFY rank <= 10
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
     QuerySpec(
@@ -455,5 +555,9 @@ QUERIES = [
     QuerySpec(
         "q_heavy_hitters", q_heavy_hitters, _ORACLE_HEAVY_HITTERS,
         "ext:text (exact per-language heavy hitters)",
+    ),
+    QuerySpec(
+        "q_bm25_search", q_bm25_search, _ORACLE_BM25_SEARCH,
+        "ext:text (BM25 inverted-index retrieval)",
     ),
 ]
