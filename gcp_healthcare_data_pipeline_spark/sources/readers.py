@@ -69,6 +69,26 @@ def read_landing_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; filters and column pruning push into the ORC reader the
+    same way they do for parquet (verified in tests/test_sources.py)."""
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan (row-major interchange format, common for Kafka-landed
+    data). The spark-avro module is not bundled with the pip pyspark
+    distribution; raises a clear error when absent so callers can gate.
+    """
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - depends on jar presence
+        raise NotImplementedError(
+            "spark-avro jar not available in this deployment; add "
+            "org.apache.spark:spark-avro to spark.jars.packages"
+        ) from exc
+
+
 def jdbc_subquery_reader(
     spark: SparkSession,
     url: str,

@@ -35,6 +35,22 @@ def write_zone_parquet(
     w.parquet(path)
 
 
+def write_zone_orc(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """ORC zone write — the second columnar interchange format (some
+    warehouse estates standardize on ORC rather than parquet); same
+    partitioned-pruning layout contract as ``write_zone_parquet``."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

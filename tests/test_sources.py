@@ -101,3 +101,48 @@ def test_jdbc_pushdown_executes_against_embedded_derby(spark, tmp_path):
     # full-load path over the same live endpoint
     full = jdbc_subquery_reader(spark, url, "patients", properties=props).load()
     assert full.count() == 4
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC zone write/read round-trips exactly and pushes filters +
+    column pruning into the ORC scan (same contract as parquet)."""
+    from gcp_healthcare_data_pipeline_spark.sources.readers import read_orc
+    from gcp_healthcare_data_pipeline_spark.sources.writers import (
+        write_zone_orc,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs_orc")
+    write_zone_orc(docs, path, partition_by=("lang",))
+
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+
+    # filter + projection reach the ORC scan
+    q = back.filter(back.lang == "en").select("doc_id", "n_chars")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id" in plan
+    # partition pruning on the lang partition column
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    en_expected = docs.filter(docs.lang == "en").count()
+    assert q.count() == en_expected
+
+
+def test_avro_reader_gated_when_jar_missing(spark, tmp_path):
+    """Without the spark-avro jar the reader raises the documented
+    NotImplementedError (rather than an opaque ClassNotFound at action
+    time); with the jar present it must round-trip."""
+    import pytest as _pytest
+
+    from gcp_healthcare_data_pipeline_spark.sources.readers import read_avro
+
+    try:
+        df = read_avro(spark, str(tmp_path / "nothing.avro"))
+    except NotImplementedError:
+        return  # expected in this container (pip pyspark has no avro jar)
+    except Exception:
+        _pytest.fail("read_avro must raise NotImplementedError when gated")
+    # jar present: an actual read of a missing path raises AnalysisException
+    # at load; reaching here means format resolution worked
+    assert df is not None
