@@ -57,12 +57,35 @@ def main() -> None:
         print(f"# {name}: {sec:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # like-for-like continuity number: the registry grows every round, so
+    # the all-queries total is not comparable across rounds. Sum the exact
+    # query set of the round-1 baseline run (BENCH_r01.json) so the
+    # "vs BASELINE.md 58.05s" comparison stays apples-to-apples.
+    baseline_comparable = None
+    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    try:
+        with open(r1_path) as fh:
+            r1_names = set(json.load(fh)["parsed"]["queries"])
+        common = {k: v for k, v in timings.items() if k in r1_names}
+        common.update({k: v for k, v in exempt.items() if k in r1_names})
+        baseline_comparable = {
+            "queries_in_common": len(common),
+            "of_baseline": len(r1_names),
+            "total": round(sum(common.values()), 3),
+            "note": "sum over the round-1 baseline query set only "
+            "(incl. its 2 streaming queries, as r1 counted them)",
+        }
+    except (OSError, KeyError, ValueError):
+        pass
+
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "baseline_comparable": baseline_comparable,
                 "queries": timings,
                 "exempt_fixed_overhead": {
                     "queries": exempt,

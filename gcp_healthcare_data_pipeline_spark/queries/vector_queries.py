@@ -407,6 +407,107 @@ FROM a2 GROUP BY 1
 """
 
 
+_SEMDEDUP_THR = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster first, then search near-dup
+    cosine pairs ONLY within a cluster (Abbas et al. 2023 shape).
+
+    The cluster assignment (deterministic 1-iteration k-means, k lowest
+    vec_ids as seeds) acts as dedup *blocking*: the self-join key is
+    centroid_id, so the all-pairs blowup divides by k and the corpus
+    never self-joins globally — at 100 TB this is the difference between
+    an impossible cross product and k bounded bucket joins, same as the
+    IVF search path. A document is dropped when a lower-vec_id document
+    in its cluster has rounded cosine >= threshold; ``duplicate_of`` is
+    the lowest such keeper (single-link variant: a keeper may itself be
+    dropped against an even lower id — documented, deterministic).
+    """
+    from pyspark.sql import Window
+
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)  # shared by seed + assign branches
+    )
+    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    assigned = (
+        _kmeans_assign(emb, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+        .localCheckpoint(eager=False)  # both sides of the bucket self-join
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_keep"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_drop"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THR)
+    )
+    w = Window.partitionBy("id_drop").orderBy(F.col("id_keep").asc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id_drop",
+            F.col("id_keep").alias("duplicate_of"),
+            "centroid_id",
+            "cos_sim",
+        )
+    )
+
+
+_ORACLE_SEMDEDUP = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+), s1 AS (
+  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
+), pairs AS (
+  SELECT b.vec_id AS id_drop, a.vec_id AS id_keep, a.centroid_id,
+         a.v AS qv, b.v AS cv
+  FROM a1 a JOIN a1 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT id_drop, id_keep, centroid_id, {_COS_SQL} AS cos_sim FROM pairs
+)
+SELECT id_drop, id_keep AS duplicate_of, centroid_id, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY id_drop
+    ORDER BY id_keep ASC) AS rn
+  FROM scored WHERE cos_sim >= {_SEMDEDUP_THR})
+WHERE rn = 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_ann_topk", q_ann_topk, _ORACLE_ANN_TOPK, "ext:similarity"),
     QuerySpec("q_ann_ivf", q_ann_ivf, _ORACLE_ANN_IVF, "ext:similarity IVF"),
@@ -423,5 +524,9 @@ QUERIES = [
     QuerySpec(
         "q_kmeans", q_kmeans, _ORACLE_KMEANS,
         "ext:iterative (2-iteration Lloyd k-means on DataFrames)",
+    ),
+    QuerySpec(
+        "q_semdedup", q_semdedup, _ORACLE_SEMDEDUP,
+        "ext:dedup (SemDeDup cluster-scoped embedding near-dup pruning)",
     ),
 ]
