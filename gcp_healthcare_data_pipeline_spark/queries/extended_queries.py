@@ -426,6 +426,126 @@ GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form under cube/rollup: only
+    the requested margins are computed ((status, priority), (status), ()),
+    with grouping_id disambiguating a real NULL key from a rolled-up one.
+    One shuffle; Spark expands the sets map-side like cube does."""
+    orders = load_tables(spark, sf_dir, "orders")
+    status = F.col("o_orderstatus")
+    priority = F.col("o_orderpriority")
+    return (
+        orders.groupingSets(
+            [[status, priority], [status], []], status, priority
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+"""
+
+
+_GAP_FILL_USER_MOD = 25  # deterministic user subset keeps output bounded
+_US_PER_HOUR = 3_600_000_000
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per-user hourly grid (sequence + explode over
+    each user's observed span) left-joined to the hourly aggregate, with
+    forward-fill of the last observed hourly average (last IGNORE NULLS).
+
+    The standard regularize-then-impute step before windowed feature
+    extraction. Scale shape: the grid explode is bounded by span-hours
+    per user (no cross join against a global calendar), and both the
+    join and the fill window partition on user_id — one co-partitioned
+    exchange end to end. Event-time math in integer micros (the parquet
+    is TIMESTAMP(NANOS); see session.py) so both engines bucket
+    identically.
+    """
+    ev = load_tables(spark, sf_dir, "events").filter(
+        F.col("user_id") % _GAP_FILL_USER_MOD == 0
+    )
+    hourly = (
+        ev.select(
+            "user_id",
+            F.expr(f"(ts DIV 1000) DIV {_US_PER_HOUR}").alias("hour"),
+            "value",
+        )
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias(
+            "n_events"
+        ),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("n_events").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_gap"
+        ),
+    )
+
+
+_ORACLE_GAP_FILL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_HOUR} AS hour, value
+  FROM events WHERE user_id % {_GAP_FILL_USER_MOD} = 0
+), hourly AS (
+  SELECT user_id, hour, CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(AVG(value), 4) AS avg_value
+  FROM e GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, UNNEST(range(h0, h1 + 1)) AS hour FROM span
+)
+SELECT g.user_id, g.hour,
+  COALESCE(h.n_events, 0) AS n_events,
+  h.avg_value,
+  last_value(h.avg_value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.hour
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+  CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap
+FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+"""
+
+
 def q_unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (stack): wide per-part price columns to long
     (metric, value) rows — the wide->long reshape twin of q_pivot."""
@@ -506,6 +626,14 @@ QUERIES = [
     QuerySpec("q_salted_agg", q_salted_agg, _ORACLE_SALTED_AGG, "ext:skew A1 A2"),
     QuerySpec("q_set_ops", q_set_ops, _ORACLE_SET_OPS, "ext:set-ops §2.7"),
     QuerySpec("q_cube_sales", q_cube_sales, _ORACLE_CUBE_SALES, "ext:cube"),
+    QuerySpec(
+        "q_grouping_sets", q_grouping_sets, _ORACLE_GROUPING_SETS,
+        "ext:grouping-sets (explicit margin list + grouping_id)",
+    ),
+    QuerySpec(
+        "q_gap_fill", q_gap_fill, _ORACLE_GAP_FILL,
+        "ext:timeseries (hourly grid + forward-fill imputation)",
+    ),
     QuerySpec("q_unpivot_balances", q_unpivot_balances, _ORACLE_UNPIVOT, "ext:unpivot"),
     QuerySpec("q_approx_distinct", q_approx_distinct, None, "ext:approx HLL"),
     QuerySpec(

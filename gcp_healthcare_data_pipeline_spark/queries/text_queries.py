@@ -41,13 +41,10 @@ FROM documents
 """
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length / punctuation / stopword-ratio heuristics.
-
-    Score formula is plain double arithmetic (identical expression tree in
-    the oracle => bit-identical), rounded to 6dp.
-    """
-    docs = load_tables(spark, sf_dir, "documents")
+def _quality_parts(docs: DataFrame):
+    """(docs_with_toks, n_tok, punct_ratio, stop_ratio, score) — the
+    shared quality formula, plain double arithmetic so the identical
+    expression tree in the oracle is bit-identical."""
     docs = docs.withColumn("_toks", tokens("text"))
     n_tok = F.size("_toks").cast("double")
     stop = F.size(
@@ -62,6 +59,18 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.4) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
         + F.lit(0.4) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.2) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    )
+    return docs, n_tok, punct_ratio, stop_ratio, score
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio heuristics.
+
+    Score formula is plain double arithmetic (identical expression tree in
+    the oracle => bit-identical), rounded to 6dp.
+    """
+    docs, n_tok, punct_ratio, stop_ratio, score = _quality_parts(
+        load_tables(spark, sf_dir, "documents")
     )
     return docs.select(
         "doc_id",

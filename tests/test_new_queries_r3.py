@@ -1,0 +1,92 @@
+"""Unit tests for the round-3 additions: SemDeDup cluster-scoped pruning,
+explicit GROUPING SETS, and time-series gap fill (the DuckDB oracle gate
+covers value parity; these pin the *semantics* independently)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.queries.extended_queries import (
+    q_gap_fill,
+    q_grouping_sets,
+)
+from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+    _SEMDEDUP_THR,
+    q_semdedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_semdedup_drops_are_within_cluster_and_above_threshold(spark):
+    out = q_semdedup(spark, SF_DIR).collect()
+    assert out, "expected at least one semantic near-dup at sf0.001"
+    for r in out:
+        # the keeper is always a lower id (deterministic canonical)
+        assert r.duplicate_of < r.id_drop
+        assert r.cos_sim >= _SEMDEDUP_THR
+    # one row per dropped doc, never more
+    ids = [r.id_drop for r in out]
+    assert len(ids) == len(set(ids))
+
+
+def test_semdedup_never_crosses_clusters(spark):
+    # recompute each doc's cluster independently and verify every
+    # (drop, keep) pair shares it
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _KMEANS_K,
+        _kmeans_assign,
+    )
+    from gcp_healthcare_data_pipeline_spark.functions.vectors import as_double
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    cluster = {
+        r.vec_id: r.centroid_id
+        for r in _kmeans_assign(emb, centroids).collect()
+    }
+    for r in q_semdedup(spark, SF_DIR).collect():
+        assert cluster[r.id_drop] == cluster[r.duplicate_of] == r.centroid_id
+
+
+def test_grouping_sets_margins_are_consistent(spark):
+    rows = q_grouping_sets(spark, SF_DIR).collect()
+    total = [r for r in rows if r.gid == 3]
+    per_status = {r.status: r for r in rows if r.gid == 1}
+    detail = [r for r in rows if r.gid == 0]
+    assert len(total) == 1
+    # detail rows re-aggregate to the status margin, margins to the total
+    for s, m in per_status.items():
+        assert m.n_orders == sum(r.n_orders for r in detail if r.status == s)
+    assert total[0].n_orders == sum(r.n_orders for r in detail)
+    # only the three requested sets — no cube cross-margin (gid == 2)
+    assert {r.gid for r in rows} == {0, 1, 3}
+
+
+def test_gap_fill_grid_is_dense_and_forward_filled(spark):
+    rows = q_gap_fill(spark, SF_DIR).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.hour)
+        hours = [r.hour for r in rs]
+        # dense hourly grid over the observed span
+        assert hours == list(range(hours[0], hours[-1] + 1))
+        # first and last grid points are real observations by construction
+        assert rs[0].n_events > 0 and rs[-1].n_events > 0
+        last_seen = None
+        for r in rs:
+            if r.is_gap:
+                assert r.n_events == 0 and r.avg_value is None
+                assert r.filled_value == last_seen
+            else:
+                assert r.n_events > 0
+                assert r.filled_value == r.avg_value
+                last_seen = r.avg_value
