@@ -532,6 +532,68 @@ FROM scored QUALIFY rank <= 10
 """
 
 
+_BPE_TOP_MERGES = 20
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-learning iteration: the corpus's top adjacent
+    character-pair counts — the statistic a tokenizer trainer maximizes
+    at each merge step.
+
+    Scale shape (how real BPE trainers distribute): counts come from the
+    frequency-weighted VOCABULARY, not the raw corpus — explode tokens
+    once into a (token, count) table (map-side combined, shuffle bounded
+    by |vocab|), then enumerate each distinct word's character pairs and
+    sum word counts per pair. A 100 TB corpus with a 10M-word vocab does
+    the pair work on 10M rows, not 10T tokens. The final top-k window is
+    a single partition over |distinct pairs| (~alphabet^2) rows.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = vocab.filter(F.length("tok") >= 2).select(
+        "wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BPE_TOP_MERGES)
+        .select("pair", "n", "rank")
+    )
+
+
+_ORACLE_BPE_MERGES = f"""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS wc FROM toks GROUP BY 1
+), pairs AS (
+  SELECT substr(tok, CAST(i AS INT), 2) AS pair, wc
+  FROM vocab, UNNEST(range(1, length(tok))) t(i)
+  WHERE length(tok) >= 2
+), agg AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY 1
+), ranked AS (
+  SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS rank
+  FROM agg
+)
+SELECT pair, n, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_BPE_TOP_MERGES}
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
     QuerySpec(
@@ -544,6 +606,10 @@ QUERIES = [
     ),
     QuerySpec("q_text_quality", q_text_quality, _ORACLE_TEXT_QUALITY, "ext:text"),
     QuerySpec("q_lang_id", q_lang_id, _ORACLE_LANG_ID, "ext:text"),
+    QuerySpec(
+        "q_bpe_merges", q_bpe_merges, _ORACLE_BPE_MERGES,
+        "ext:text (BPE merge-learning statistic on the weighted vocab)",
+    ),
     QuerySpec("q_fingerprint", q_fingerprint, _ORACLE_FINGERPRINT, "ext:text"),
     QuerySpec(
         "q_repetition_ratio", q_repetition_ratio, _ORACLE_REPETITION_RATIO,
