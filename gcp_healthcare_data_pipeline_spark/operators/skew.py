@@ -43,3 +43,32 @@ def salted_agg(
         F.round(F.sum("_s"), 2).alias("total"),
         F.round(F.sum("_s") / F.sum("_n"), 4).alias("avg"),
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_unique: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (possibly hot-keyed) fact side with a
+    deterministic mod over a unique column and replicate the dim side once
+    per salt, so one hot join key spreads over ``salts`` reducers instead
+    of funneling through one.
+
+    This is the manual form of AQE's skew-join split — useful when the
+    skew is known ahead of time (AQE only reacts to runtime partition
+    stats) or when AQE is off. Result is row-identical to the plain join;
+    the replication factor costs ``salts`` copies of the (small) dim side
+    in the shuffle, never a copy of the fact side.
+    """
+    salt = F.pmod(F.col(fact_unique), F.lit(salts))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(salts)]))
+    )
+    cond = (f[fact_key] == d[dim_key]) & (f["_salt"] == d["_salt"])
+    return f.join(d, cond, how).drop("_salt")

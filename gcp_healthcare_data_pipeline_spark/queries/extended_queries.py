@@ -621,9 +621,49 @@ GROUP BY 1
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: lineitem salted on a unique column, part replicated
+    once per salt, so a hot part key spreads over 8 reducers — the manual
+    form of AQE's skew-join split for skew known ahead of runtime. The
+    oracle is the PLAIN join + aggregate: salting must be invisible in
+    the result."""
+    from gcp_healthcare_data_pipeline_spark.operators.skew import (  # noqa: PLC0415
+        salted_join,
+    )
+
+    li = load_tables(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    part = load_tables(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = li.withColumn(
+        "_uid",
+        F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber"),
+    )
+    joined = salted_join(
+        li, part, "l_partkey", "p_partkey", "_uid", salts=8
+    )
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+SELECT p.p_brand AS brand,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
     QuerySpec("q_salted_agg", q_salted_agg, _ORACLE_SALTED_AGG, "ext:skew A1 A2"),
+    QuerySpec(
+        "q_salted_join", q_salted_join, _ORACLE_SALTED_JOIN,
+        "ext:skew (salted fact + replicated dim equi-join)",
+    ),
     QuerySpec("q_set_ops", q_set_ops, _ORACLE_SET_OPS, "ext:set-ops §2.7"),
     QuerySpec("q_cube_sales", q_cube_sales, _ORACLE_CUBE_SALES, "ext:cube"),
     QuerySpec(

@@ -68,6 +68,28 @@ def test_grouping_sets_margins_are_consistent(spark):
     assert {r.gid for r in rows} == {0, 1, 3}
 
 
+def test_salted_join_matches_plain_join(spark):
+    from gcp_healthcare_data_pipeline_spark.operators.skew import salted_join
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn(
+            "_uid", F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")
+        )
+    )
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    salted = salted_join(li, part, "l_partkey", "p_partkey", "_uid", salts=4)
+    plain = li.join(part, li.l_partkey == part.p_partkey)
+    assert salted.count() == plain.count()
+    assert "_salt" not in salted.columns
+    a = {tuple(r) for r in salted.select("l_orderkey", "l_linenumber", "p_brand").collect()}
+    b = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "p_brand").collect()}
+    assert a == b
+
+
 def test_gap_fill_grid_is_dense_and_forward_filled(spark):
     rows = q_gap_fill(spark, SF_DIR).collect()
     by_user: dict[int, list] = {}
