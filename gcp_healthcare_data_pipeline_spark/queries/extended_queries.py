@@ -621,6 +621,94 @@ GROUP BY 1
 """
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate: a
+    precomputed base partial (9/10 of events) merged with a delta partial
+    (the remaining 1/10) by re-aggregating the PARTIALS, never rescanning
+    the base rows.
+
+    The pattern behind incremental gold-mart refreshes: COUNT/SUM are
+    distributive, so new data folds in at cost O(|delta| + |groups|).
+    The oracle is the from-scratch aggregate over everything — the merge
+    must be indistinguishable. (AVG and variance derive from merged
+    SUM/COUNT; MIN/MAX merge the same way; only holistic aggregates like
+    exact median force a rescan.)
+    """
+    ev = load_tables(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_s")
+        )
+
+    base = partial(ev.filter(F.col("event_id") % 10 != 0))
+    delta = partial(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("_n").alias("n_rows"),
+            F.round(F.sum("_s"), 2).alias("total"),
+        )
+    )
+
+
+_ORACLE_INCREMENTAL_AGG = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 2) AS total
+FROM events
+GROUP BY 1
+"""
+
+
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 30-day rolling revenue via a RANGE window frame
+    (value-based, not row-based: the frame is 'orders within the last 30
+    DAYS', so same-day peers aggregate together regardless of row order).
+
+    One shuffle on o_custkey; the frame bound is computed on an integer
+    epoch-day column so both engines agree exactly.
+    """
+    orders = load_tables(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    sel = orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        day.alias("day"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("cust_key")
+        .orderBy("day")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return sel.select(
+        "order_key",
+        "cust_key",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_30d"),
+    )
+
+
+_ORACLE_ROLLING_REVENUE = """
+SELECT o_orderkey AS order_key, o_custkey AS cust_key, day,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_30d,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS rolling_30d
+FROM (
+  SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS day,
+         o_totalprice
+  FROM orders
+)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe join: lineitem salted on a unique column, part replicated
     once per salt, so a hot part key spreads over 8 reducers — the manual
@@ -663,6 +751,14 @@ QUERIES = [
     QuerySpec(
         "q_salted_join", q_salted_join, _ORACLE_SALTED_JOIN,
         "ext:skew (salted fact + replicated dim equi-join)",
+    ),
+    QuerySpec(
+        "q_incremental_agg", q_incremental_agg, _ORACLE_INCREMENTAL_AGG,
+        "ext:incremental (partial-merge view maintenance)",
+    ),
+    QuerySpec(
+        "q_rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING_REVENUE,
+        "ext:window (RANGE frame 30-day rolling aggregate)",
     ),
     QuerySpec("q_set_ops", q_set_ops, _ORACLE_SET_OPS, "ext:set-ops §2.7"),
     QuerySpec("q_cube_sales", q_cube_sales, _ORACLE_CUBE_SALES, "ext:cube"),
