@@ -621,6 +621,76 @@ GROUP BY 1
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed generation: diff two table snapshots into
+    insert/update/delete rows — the inverse of the SCD2 MERGE (which
+    *consumes* such a feed).
+
+    Old snapshot = customers with c_custkey % 11 != 0; new snapshot =
+    customers with c_custkey % 13 != 0, balance bumped where
+    c_custkey % 7 == 0 — both derived deterministically from the same
+    table so the expected diff is oracle-computable and all three change
+    types occur. One full-outer join on the key, classification
+    by null-side and value inequality, unchanged rows dropped. At scale
+    this is a single co-partitioned exchange; with bucketed snapshots it
+    is exchange-free.
+    """
+    cust = load_tables(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    old = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("old_bal")
+    )
+    new = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("key"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(10.0)
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("new_bal"),
+    )
+    j = old.join(new, "key", "full_outer")
+    change = (
+        F.when(F.col("old_bal").isNull(), F.lit("insert"))
+        .when(F.col("new_bal").isNull(), F.lit("delete"))
+        .when(F.col("old_bal") != F.col("new_bal"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select(
+            "key",
+            "change_type",
+            F.round("old_bal", 2).alias("old_bal"),
+            F.round("new_bal", 2).alias("new_bal"),
+        )
+    )
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT c_custkey AS key, c_acctbal AS old_bal
+  FROM customer WHERE c_custkey % 11 != 0
+), new AS (
+  SELECT c_custkey AS key,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0
+              ELSE c_acctbal END AS new_bal
+  FROM customer WHERE c_custkey % 13 != 0
+), j AS (
+  SELECT COALESCE(o.key, n.key) AS key, o.old_bal, n.new_bal,
+    CASE WHEN o.key IS NULL THEN 'insert'
+         WHEN n.key IS NULL THEN 'delete'
+         WHEN o.old_bal != n.new_bal THEN 'update'
+         ELSE 'unchanged' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.key = n.key
+)
+SELECT key, change_type,
+       ROUND(old_bal, 2) AS old_bal, ROUND(new_bal, 2) AS new_bal
+FROM j WHERE change_type != 'unchanged'
+"""
+
+
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance for a distributive aggregate: a
     precomputed base partial (9/10 of events) merged with a delta partial
@@ -755,6 +825,10 @@ QUERIES = [
     QuerySpec(
         "q_incremental_agg", q_incremental_agg, _ORACLE_INCREMENTAL_AGG,
         "ext:incremental (partial-merge view maintenance)",
+    ),
+    QuerySpec(
+        "q_snapshot_diff", q_snapshot_diff, _ORACLE_SNAPSHOT_DIFF,
+        "ext:cdc (snapshot diff -> insert/update/delete feed)",
     ),
     QuerySpec(
         "q_rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING_REVENUE,

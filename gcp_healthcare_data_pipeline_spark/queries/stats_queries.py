@@ -173,6 +173,96 @@ FROM hist
 """
 
 
+_PROFILE_NUM = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_STR = ("o_orderstatus", "o_orderpriority")
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null count, exact distinct
+    count, and typed min/max for ``orders``, in ONE scan.
+
+    All metrics come out of a single .agg() (the multi-COUNT-DISTINCT
+    becomes one Expand pass — the cost a 100 TB profile wants, instead of
+    one full scan per column), then a driver-side stack reshapes the
+    1-row metric vector to one row per column. Numeric min/max land in
+    (min_num, max_num); string columns report (min_str, max_str); the
+    timestamp column is profiled in tz-free epoch days.
+    """
+    orders = load_tables(spark, sf_dir, "orders")
+    cols = list(_PROFILE_NUM) + list(_PROFILE_STR) + ["o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    for c in _PROFILE_NUM:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__max"))
+    for c in _PROFILE_STR:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    # timestamp profiled in tz-free epoch DAYS (date cast of an NTZ
+    # timestamp never consults the session timezone; epoch-micros would)
+    od_day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("double")
+    aggs.append(F.min(od_day).alias("o_orderdate__min"))
+    aggs.append(F.max(od_day).alias("o_orderdate__max"))
+    one = orders.agg(*aggs)
+    branches = []
+    for c in cols:
+        if c in _PROFILE_STR:
+            mn, mx = "cast(null as double)", "cast(null as double)"
+            smn, smx = f"`{c}__min`", f"`{c}__max`"
+        else:
+            mn, mx = f"`{c}__min`", f"`{c}__max`"
+            smn, smx = "cast(null as string)", "cast(null as string)"
+        branches.append(
+            f"'{c}', `{c}__nulls`, `{c}__nd`, {mn}, {mx}, {smn}, {smx}"
+        )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {', '.join(branches)}) AS "
+            "(col_name, n_nulls, n_distinct, min_num, max_num, "
+            "min_str, max_str)"
+        )
+    )
+
+
+def _profile_branch(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"CAST(MIN({col}) AS DOUBLE)"
+        mx = f"CAST(MAX({col}) AS DOUBLE)"
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    elif kind == "str":
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        smn, smx = f"MIN({col})", f"MAX({col})"
+    else:  # timestamp profiled in tz-free epoch days
+        mn = (
+            f"CAST(MIN(datediff('day', DATE '1970-01-01', {col}::DATE))"
+            " AS DOUBLE)"
+        )
+        mx = (
+            f"CAST(MAX(datediff('day', DATE '1970-01-01', {col}::DATE))"
+            " AS DOUBLE)"
+        )
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    return f"""
+SELECT '{col}' AS col_name,
+  CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+  {mn} AS min_num, {mx} AS max_num, {smn} AS min_str, {smx} AS max_str
+FROM orders"""
+
+
+_ORACLE_PROFILE_TABLE = " UNION ALL ".join(
+    [_profile_branch(c, "num") for c in _PROFILE_NUM]
+    + [_profile_branch(c, "str") for c in _PROFILE_STR]
+    + [_profile_branch("o_orderdate", "ts")]
+)
+
+
 QUERIES = [
     QuerySpec("q_percentiles", q_percentiles, _ORACLE_PERCENTILES, "ext:stats"),
     QuerySpec(
@@ -185,5 +275,9 @@ QUERIES = [
     QuerySpec(
         "q_fuzzy_name_match", q_fuzzy_name_match, _ORACLE_FUZZY_NAME_MATCH,
         "ext:record-linkage",
+    ),
+    QuerySpec(
+        "q_profile_table", q_profile_table, _ORACLE_PROFILE_TABLE,
+        "ext:stats (single-scan per-column table profile)",
     ),
 ]
