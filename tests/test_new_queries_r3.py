@@ -9,6 +9,12 @@ from pyspark.sql import functions as F
 from gcp_healthcare_data_pipeline_spark.queries.extended_queries import (
     q_gap_fill,
     q_grouping_sets,
+    q_incremental_agg,
+    q_rolling_revenue,
+    q_snapshot_diff,
+)
+from gcp_healthcare_data_pipeline_spark.queries.stats_queries import (
+    q_profile_table,
 )
 from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
     _SEMDEDUP_THR,
@@ -88,6 +94,59 @@ def test_salted_join_matches_plain_join(spark):
     a = {tuple(r) for r in salted.select("l_orderkey", "l_linenumber", "p_brand").collect()}
     b = {tuple(r) for r in plain.select("l_orderkey", "l_linenumber", "p_brand").collect()}
     assert a == b
+
+
+def test_snapshot_diff_classifies_all_three_types(spark):
+    rows = q_snapshot_diff(spark, SF_DIR).collect()
+    kinds = {r.change_type for r in rows}
+    assert kinds == {"insert", "update", "delete"}
+    for r in rows:
+        if r.change_type == "insert":
+            assert r.key % 11 == 0 and r.old_bal is None
+        elif r.change_type == "delete":
+            assert r.key % 13 == 0 and r.new_bal is None
+        else:
+            assert r.key % 7 == 0
+            assert abs(r.new_bal - r.old_bal - 10.0) < 0.011
+
+
+def test_incremental_agg_equals_direct_aggregate(spark):
+    merged = {
+        r.event_type: (r.n_rows, r.total)
+        for r in q_incremental_agg(spark, SF_DIR).collect()
+    }
+    direct = {
+        r.event_type: (r.n, round(r.s, 2))
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_rolling_revenue_matches_bruteforce_for_one_customer(spark):
+    out = q_rolling_revenue(spark, SF_DIR)
+    cust = out.select("cust_key").first().cust_key
+    rows = out.filter(F.col("cust_key") == cust).collect()
+    days = [r.day for r in rows]
+    # brute-force the RANGE frame: all orders of the customer within
+    # [day-29, day], including same-day peers
+    for r in rows:
+        expected_n = sum(1 for d in days if r.day - 29 <= d <= r.day)
+        assert r.n_orders_30d == expected_n
+
+
+def test_profile_table_basic_invariants(spark):
+    prof = {r.col_name: r for r in q_profile_table(spark, SF_DIR).collect()}
+    n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    pk = prof["o_orderkey"]
+    assert pk.n_nulls == 0 and pk.n_distinct == n
+    assert pk.min_num is not None and pk.min_str is None
+    st = prof["o_orderstatus"]
+    assert st.min_num is None and st.min_str is not None
+    od = prof["o_orderdate"]
+    assert od.min_num is not None and od.min_num <= od.max_num
 
 
 def test_gap_fill_grid_is_dense_and_forward_filled(spark):
