@@ -36,6 +36,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     exempt: dict[str, float] = {}
+    errors: dict[str, str] = {}
     specs = {
         # q_pipeline_* run the fixture-sized healthcare pipeline (constant
         # work regardless of sf) — correctness-gate only, excluded so the
@@ -45,8 +46,16 @@ def main() -> None:
         if not name.startswith("q_pipeline_")
     }
     for name, spec in specs.items():
+        # per-query failure isolation: one broken query costs one error
+        # row, never the whole artifact (round 4 lost its entire bench to
+        # a single analysis-time failure aborting the loop)
         t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
+        try:
+            n = spec.fn(spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         sec = round(time.perf_counter() - t0, 3)
         # q_stream_* each pay ~2-3s of FIXED Structured-Streaming drain
         # machinery (stream start, state store, availableNow commit log)
@@ -87,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "baseline_comparable": baseline_comparable,
                 "queries": timings,
+                "errors": errors,
                 "exempt_fixed_overhead": {
                     "queries": exempt,
                     "total": round(sum(exempt.values()), 3),

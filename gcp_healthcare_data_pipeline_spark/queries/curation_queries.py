@@ -34,7 +34,7 @@ from gcp_healthcare_data_pipeline_spark.operators.dedup import (
     with_shingles,
 )
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
-from gcp_healthcare_data_pipeline_spark.session import load_tables
+from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
 
 _QUALITY_MIN = 0.6
 _JACCARD_MIN = 0.6
@@ -167,7 +167,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes to exactly two overlapping windows (explode of the two
     covering window starts)."""
     ev = load_tables(spark, sf_dir, "events")
-    base = (F.floor(F.expr("ts DIV 1000") / 300_000_000) * 300).cast("bigint")
+    base = (F.floor(event_ts_us(ev) / 300_000_000) * 300).cast("bigint")
     win = F.explode(F.array(base - 300, base)).alias("window_start")
     n_err = F.count(F.when(F.col("event_type") == "error", F.lit(1)))
     return (

@@ -6,10 +6,10 @@ sessionization (the batch twin of streaming session windows — the
 streaming variants live in streaming/windows.py over the same table),
 and conditional error-rate rollups.
 
-Event-time arithmetic is integer **microseconds**: Spark reads the
-table's TIMESTAMP(NANOS) as raw nanos BIGINT (session.py conf) and
-``ts DIV 1000`` truncates exactly like DuckDB's micros-based
-TIMESTAMP_NS read (``epoch_us``), so both engines see identical
+Event-time arithmetic is integer **microseconds** via
+``session.event_ts_us`` (encoding-dispatched: raw-nanos BIGINT or
+TIMESTAMP/TIMESTAMP_NTZ parquet both resolve to the same epoch-micros
+integers DuckDB's ``epoch_us`` produces), so both engines see identical
 integers — no float time, no timestamp rendering in the compare.
 """
 
@@ -19,20 +19,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
-from gcp_healthcare_data_pipeline_spark.session import load_tables
+from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
 
 _BUCKET_US = 300 * 1_000_000  # 5-minute tumbling window
 _GAP_US = 1800 * 1_000_000  # 30-minute session gap
 _DAY_US = 86400 * 1_000_000
 
-def _ts_us():
-    return F.expr("ts DIV 1000")  # nanos -> micros, truncating
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window aggregation by event type."""
     ev = load_tables(spark, sf_dir, "events")
-    bucket_start = (F.floor(_ts_us() / _BUCKET_US) * 300).cast("bigint")
+    bucket_start = (F.floor(event_ts_us(ev) / _BUCKET_US) * 300).cast("bigint")
     return (
         ev.groupBy(bucket_start.alias("bucket_start"), "event_type")
         .agg(
@@ -64,7 +62,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_tables(spark, sf_dir, "events")
     ev = ev.select(
-        "user_id", "event_id", _ts_us().alias("ts_us"), "value"
+        "user_id", "event_id", event_ts_us(ev).alias("ts_us"), "value"
     )
     order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     ev = ev.withColumn("prev_ts", F.lag("ts_us").over(order)).withColumn(
@@ -117,7 +115,7 @@ def q_events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily conditional rollup: error share per day (A3/A4-style
     conditional aggregation on the events table)."""
     ev = load_tables(spark, sf_dir, "events")
-    day = (F.floor(_ts_us() / _DAY_US) * 86400).cast("bigint")
+    day = (F.floor(event_ts_us(ev) / _DAY_US) * 86400).cast("bigint")
     n_err = F.count(F.when(F.col("event_type") == "error", F.lit(1)))
     n_all = F.count(F.lit(1))
     return ev.groupBy(day.alias("day_start")).agg(
@@ -155,9 +153,8 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonically, so at 100 TB every join is a per-user co-partitioned
     merge, never event-by-event state.
     """
-    ev = load_tables(spark, sf_dir, "events").select(
-        "user_id", "event_type", _ts_us().alias("us")
-    )
+    ev = load_tables(spark, sf_dir, "events")
+    ev = ev.select("user_id", "event_type", event_ts_us(ev).alias("us"))
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -216,9 +213,8 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user min-aggregate (the cohort dim, broadcast back), then a
     distinct count per (cohort_week, week_offset) cell — the retention
     matrix is O(weeks²) rows regardless of corpus size."""
-    ev = load_tables(spark, sf_dir, "events").select(
-        "user_id", _ts_us().alias("us")
-    )
+    ev = load_tables(spark, sf_dir, "events")
+    ev = ev.select("user_id", event_ts_us(ev).alias("us"))
     week = ((F.col("us") - F.lit(_WEEK_ORIGIN_US)) / F.lit(_WEEK_US)).cast(
         "bigint"
     )

@@ -20,7 +20,7 @@ from gcp_healthcare_data_pipeline_spark.queries.silver_analogs import (
     _scd2_snapshots,
     _TS2,
 )
-from gcp_healthcare_data_pipeline_spark.session import load_tables
+from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
 
 _TS3 = "2024-12-01"
 
@@ -209,7 +209,7 @@ def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a tagged union of both inputs.
     """
     ev = load_tables(spark, sf_dir, "events")
-    ts_us = F.expr("ts DIV 1000")
+    ts_us = event_ts_us(ev)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -477,8 +477,8 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction. Scale shape: the grid explode is bounded by span-hours
     per user (no cross join against a global calendar), and both the
     join and the fill window partition on user_id — one co-partitioned
-    exchange end to end. Event-time math in integer micros (the parquet
-    is TIMESTAMP(NANOS); see session.py) so both engines bucket
+    exchange end to end. Event-time math in integer micros
+    (encoding-dispatched event_ts_us, session.py) so both engines bucket
     identically.
     """
     ev = load_tables(spark, sf_dir, "events").filter(
@@ -487,7 +487,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(
             "user_id",
-            F.expr(f"(ts DIV 1000) DIV {_US_PER_HOUR}").alias("hour"),
+            F.floor(event_ts_us(ev) / _US_PER_HOUR).cast("bigint").alias("hour"),
             "value",
         )
         .groupBy("user_id", "hour")

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
-from gcp_healthcare_data_pipeline_spark.session import load_tables
+from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
 from gcp_healthcare_data_pipeline_spark.streaming.stateful import (
     running_user_profiles,
 )
@@ -43,9 +43,8 @@ def _drain(
 def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running profile, drained to its
     final state (== the batch aggregate for a bounded input)."""
-    ev = read_events_stream(spark, sf_dir).withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    ev = read_events_stream(spark, sf_dir)
+    ev = ev.withColumn("ts_us", event_ts_us(ev))
     out = _drain(running_user_profiles(ev), spark)
     # keep only each user's final emission (update-mode sinks append one
     # row per micro-batch that touched the key)

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def default_parallelism() -> int:
@@ -58,10 +59,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # -- Arrow for any pandas_udf / toPandas hop ----------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # -- events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        #    reader rejects; read as raw nanos-since-epoch BIGINT and do
-        #    event-time math in integer microseconds (ts DIV 1000), which
-        #    matches DuckDB's micros-truncating TIMESTAMP_NS read exactly.
+        # -- events.parquet MAY carry TIMESTAMP(NANOS), which the
+        #    vectorized reader rejects; this conf reads those as raw
+        #    nanos-since-epoch BIGINT. For micros-encoded writers (Spark's
+        #    own default) the conf is inert and ts resolves as TIMESTAMP.
+        #    event_ts_us() dispatches on the resolved dtype either way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # quiet progress bars in test output
         .config("spark.ui.showConsoleProgress", "false")
@@ -73,6 +75,41 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def event_ts_us(df: DataFrame, col: str = "ts") -> Column:
+    """Event time as integer epoch **microseconds**, independent of the
+    parquet writer's physical encoding of ``col``.
+
+    Writers differ: pyarrow may emit TIMESTAMP(NANOS) (which, under the
+    ``nanosAsLong`` conf pinned in :func:`get_spark`, Spark surfaces as a
+    raw nanos-since-epoch BIGINT), while Spark itself and most other
+    writers emit TIMESTAMP(MICROS) (surfaced as TIMESTAMP /
+    TIMESTAMP_NTZ). Dispatching on the resolved dtype makes every
+    event-time operator work on both:
+
+    - BIGINT (raw nanos)        -> ``col DIV 1000``  (truncating)
+    - TIMESTAMP / TIMESTAMP_NTZ -> ``unix_micros(cast(col as timestamp))``
+
+    Under the pinned UTC session timezone both branches produce integers
+    identical to DuckDB's ``epoch_us(col)``, so oracle comparisons stay
+    exact. Works on batch and streaming DataFrames (schema-only dispatch,
+    resolved once at plan time — no per-row type checks).
+    """
+    dtype = df.schema[col].dataType.typeName()
+    if dtype in ("long", "integer"):
+        return F.expr(f"{col} DIV 1000")  # raw nanos -> micros, truncating
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def event_time_col(df: DataFrame, col: str = "ts") -> Column:
+    """Event time as a proper TIMESTAMP column (for Structured Streaming
+    watermarks / window functions), same encoding dispatch as
+    :func:`event_ts_us`."""
+    dtype = df.schema[col].dataType.typeName()
+    if dtype in ("long", "integer"):
+        return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+    return F.col(col).cast("timestamp")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

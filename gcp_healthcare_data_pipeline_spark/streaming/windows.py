@@ -8,15 +8,17 @@ are the oracle-checked twins.
 
 Source: the parquet ``events`` table read as a stream (file-source
 micro-batches); on a real deployment the source swaps for Kafka/rate
-without touching the aggregation logic. ``ts`` arrives as raw nanos
-BIGINT (see session.py) and becomes a proper event-time column via
-``timestamp_micros(ts DIV 1000)``.
+without touching the aggregation logic. ``ts`` becomes a proper
+event-time column via ``session.event_time_col`` (encoding-dispatched:
+raw-nanos BIGINT and TIMESTAMP/TIMESTAMP_NTZ parquet both work).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.session import event_time_col
 
 
 def read_events_stream(
@@ -33,7 +35,7 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("event_time", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("event_time", event_time_col(df))
 
 
 def tumbling_counts(

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gcp_healthcare_data_pipeline_spark.session import event_ts_us
 from gcp_healthcare_data_pipeline_spark.sources.writers import (
     write_zone_parquet,
 )
@@ -12,9 +13,9 @@ from gcp_healthcare_data_pipeline_spark.sources.writers import (
 
 def test_partition_pruning_on_day_partitioned_events(spark, tmp_path):
     path = str(tmp_path / "events_by_day")
-    ev = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("day", F.expr("CAST((ts DIV 1000) DIV 86400000000 AS BIGINT)"))
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = ev.withColumn(
+        "day", F.floor(event_ts_us(ev) / 86400000000).cast("bigint")
     )
     write_zone_parquet(ev, path, partition_by=("day",))
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from gcp_healthcare_data_pipeline_spark.session import event_ts_us
 from gcp_healthcare_data_pipeline_spark.streaming.stateful import (
     running_user_profiles,
 )
@@ -19,9 +20,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 def test_state_accumulates_across_microbatches(spark, tmp_path):
     src = str(tmp_path / "events_split")
-    batch = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts_us", F.expr("ts DIV 1000")
-    )
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = batch.withColumn("ts_us", event_ts_us(batch))
     batch.select("user_id", "value", "ts_us", "event_id").repartition(
         2
     ).write.parquet(src)

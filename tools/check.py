@@ -69,12 +69,26 @@ def main() -> int:
     for name in names:
         spec = specs[name]
         t0 = time.time()
-        sdf = spec.fn(spark, args.sf).toPandas()
+        # per-query failure isolation: a raising query prints one FAIL row
+        # and the sweep continues (mirrors bench.py; see VERDICT r4)
+        try:
+            sdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            print(f"[FAIL raise] {name}: {msg}")
+            continue
         t_spark = time.time() - t0
         if spec.oracle is None:
             print(f"[rows-only] {name}: {len(sdf)} rows  ({t_spark:.1f}s)")
             continue
-        odf = con.sql(spec.oracle).df()
+        try:
+            odf = con.sql(spec.oracle).df()
+        except Exception as exc:  # noqa: BLE001
+            failures += 1
+            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
+            print(f"[FAIL oracle] {name}: {msg}")
+            continue
         a, b = normalize(sdf), normalize(odf)
         status = "OK"
         if list(a.columns) != list(b.columns):
