@@ -102,6 +102,9 @@ _DRIVER_PRIORITY = [
     # rows-only but self-certifying (embedded subsample_recall column) —
     # kept inside the driver window so the quality pin is recorded
     "q_ann_lsh",
+    # round-5 additions (no driver row yet)
+    "q_dedup_passages",
+    "q_shuffle_export",
     # extended ops past old slot 50 (never checked)
     "q_incremental_agg",
     "q_snapshot_diff",
@@ -111,9 +114,7 @@ _DRIVER_PRIORITY = [
     "q_grouping_sets",
     "q_unpivot_balances",
     "q_approx_distinct",
-    "q_approx_quantiles",
     "q_range_join_shipping",
-    "q_rollup_sales",
     "q_customers_no_orders",
     "q_pivot_order_status",
 ]

@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.operators.dedup import (
@@ -469,6 +469,102 @@ WHERE CAST(p.n_shared AS DOUBLE) / LEAST(x.n_sh, y.n_sh)
 """
 
 
+_PASSAGE_W = 5  # words per passage (fixed-window passage granularity)
+
+
+def q_dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage-level exact dedup (the C4 / RefinedWeb "remove
+    repeated spans, keep the first occurrence" step, one level below
+    document dedup): split every document into fixed 5-word passages,
+    keep only the FIRST occurrence (min doc_id, then passage index) of
+    each distinct passage across the whole corpus, and reassemble each
+    document from its surviving passages in order.
+
+    Scale shape (100 TB): passage extraction is a single explode of a
+    HOF-built array (no Python, stays in codegen); first-occurrence
+    selection is ONE shuffle — a row_number window partitioned by the
+    passage string (Spark partitions on its hash, so the key is
+    balanced unless one literal passage dominates, which is exactly the
+    boilerplate case q_boilerplate handles separately); reassembly is
+    one shuffle on doc_id. No driver-side state, no all-pairs anywhere.
+    """
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    n_pass = F.ceil(F.size(ws) / F.lit(_PASSAGE_W)).cast("int")
+    passages = F.transform(
+        F.sequence(F.lit(0), n_pass - 1),
+        lambda i: F.struct(
+            i.alias("pidx"),
+            F.array_join(
+                F.slice(ws, i * _PASSAGE_W + 1, _PASSAGE_W), " "
+            ).alias("passage"),
+        ),
+    )
+    ex = docs.select("doc_id", F.explode(passages).alias("p")).select(
+        "doc_id", F.col("p.pidx").alias("pidx"), F.col("p.passage").alias("passage")
+    )
+    first = Window.partitionBy("passage").orderBy("doc_id", "pidx")
+    kept = (
+        ex.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "passage"))),
+                lambda s: s["passage"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    # n_passages is pure per-row arithmetic — compute it from the base
+    # scan instead of re-aggregating the exploded frame (saves a full
+    # explode + shuffle branch)
+    totals = docs.select("doc_id", n_pass.cast("bigint").alias("n_passages"))
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_passages",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+_ORACLE_DEDUP_PASSAGES = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), p AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(0, CAST(ceil(len(ws) / {_PASSAGE_W}.0) AS BIGINT)),
+      i -> {{'pidx': i,
+             'passage': array_to_string(
+               ws[i * {_PASSAGE_W} + 1 : i * {_PASSAGE_W} + {_PASSAGE_W}],
+               ' ')}})) AS u
+  FROM d
+), ex AS (
+  SELECT doc_id, CAST(u.pidx AS INT) AS pidx, u.passage AS passage FROM p
+), kept AS (
+  SELECT doc_id, pidx, passage FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY passage ORDER BY doc_id, pidx) AS rn
+    FROM ex
+  ) WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    string_agg(passage, ' ' ORDER BY pidx) AS cleaned_text
+  FROM kept GROUP BY 1
+), totals AS (
+  SELECT doc_id, COUNT(*) AS n_passages FROM ex GROUP BY 1
+)
+SELECT t.doc_id, t.n_passages,
+  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+  COALESCE(r.cleaned_text, '') AS cleaned_text
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit simhash signature per document."""
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
@@ -515,5 +611,9 @@ QUERIES = [
     QuerySpec(
         "q_dedup_containment", q_dedup_containment, _ORACLE_DEDUP_CONTAINMENT,
         "ext:dedup (asymmetric near-superset containment)",
+    ),
+    QuerySpec(
+        "q_dedup_passages", q_dedup_passages, _ORACLE_DEDUP_PASSAGES,
+        "ext:dedup (corpus-wide passage-level first-occurrence dedup)",
     ),
 ]

@@ -568,10 +568,80 @@ FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET}
 """
 
 
+# ---------------------------------------------------------------------------
+# q_shuffle_export: deterministic corpus shuffle + shard manifest
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+
+def q_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-and-shard for a training export: every doc
+    gets a reproducible pseudorandom position from md5(doc_id, seed);
+    shard = position mod N, read order within a shard = the position
+    itself. Emits the per-shard manifest (doc count, token mass, head
+    doc, position span) a downstream trainer would consume.
+
+    Scale shape (100 TB): shard assignment is a pure map-side expression
+    — NO global sort and NO global row_number (either would funnel the
+    whole corpus through one partition/driver). The physical export is
+    ``df.repartition(N, shard_id).sortWithinPartitions(pos)`` — each
+    shard sorts independently; this query materializes the manifest the
+    same plan produces. The hash seed makes reshuffles (new seed) and
+    reproductions (same seed) both one-liner changes.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                  F.lit("seed42"))),
+                1, 12,
+            ),
+            16, 10,
+        ).cast("bigint")
+    )  # int48 position: collision-free in practice, range-safe in int64
+    d = docs.select(
+        "doc_id",
+        pos.alias("pos"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    ).withColumn("shard_id", (F.col("pos") % _N_SHARDS).cast("int"))
+    return d.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min_by("doc_id", "pos").alias("head_doc_id"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+    )
+
+
+_ORACLE_SHUFFLE_EXPORT = f"""
+WITH d AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':seed42'), 1, 12))::BIGINT
+      AS pos,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT CAST(pos % {_N_SHARDS} AS INT) AS shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  arg_min(doc_id, pos) AS head_doc_id,
+  MIN(pos) AS first_pos,
+  MAX(pos) AS last_pos
+FROM d
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_train_split", q_train_split, _ORACLE_TRAIN_SPLIT,
         "ext:training split",
+    ),
+    QuerySpec(
+        "q_shuffle_export", q_shuffle_export, _ORACLE_SHUFFLE_EXPORT,
+        "ext:training shuffle-and-shard export manifest",
     ),
     QuerySpec(
         "q_stratified_sample", q_stratified_sample,
