@@ -44,7 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         training_queries.QUERIES,
         pipeline_queries.QUERIES,
     )
-    ordered = {n: out.pop(n) for n in _DRIVER_PRIORITY}
+    ordered = {n: out.pop(n) for n in _DRIVER_PRIORITY if n in out}
     ordered.update(out)
     return ordered
 
