@@ -594,8 +594,76 @@ FROM ranked WHERE rank <= {_BPE_TOP_MERGES}
 """
 
 
+_VOCAB_V = 24  # tokenizer vocabulary size (top-V corpus tokens)
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage analysis: the vocabulary is the top-V corpus
+    tokens by frequency (ties broken on token text), and every document
+    reports its out-of-vocabulary token fraction — the sanity check run
+    before committing a tokenizer to a corpus.
+
+    Scale shape: ONE corpus shuffle (token frequency groupBy, map-side
+    combined), then the tiny top-V aggregate collapses to a single-row
+    array that broadcast-crossJoins back; the per-doc OOV count is a
+    map-side HOF filter against that array — no explode and no second
+    corpus shuffle.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .count()
+    )
+    vocab = (
+        freq.orderBy(F.col("count").desc(), F.col("tok"))
+        .limit(_VOCAB_V)
+        .agg(F.collect_list("tok").alias("vocab"))
+    )
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(
+                F.filter(
+                    toks, lambda t: ~F.array_contains(F.col("vocab"), t)
+                )
+            ).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_pct",
+            F.round(F.col("n_oov") * 100.0 / F.col("n_tokens"), 4),
+        )
+    )
+
+
+_ORACLE_OOV_RATE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), freq AS (
+  SELECT u AS tok, COUNT(*) AS c
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1
+), vocab AS (
+  SELECT list(tok ORDER BY c DESC, tok ASC)[1:{_VOCAB_V}] AS v FROM freq
+)
+SELECT doc_id, lang,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(t, x -> NOT list_contains(v, x))) AS BIGINT) AS n_oov,
+  ROUND(len(list_filter(t, x -> NOT list_contains(v, x))) * 100.0
+        / len(t), 4) AS oov_pct
+FROM toks, vocab
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
+    QuerySpec(
+        "q_oov_rate", q_oov_rate, _ORACLE_OOV_RATE,
+        "ext:text (tokenizer vocabulary coverage / OOV fraction)",
+    ),
     QuerySpec(
         "q_token_count_bpe", q_token_count_bpe, _ORACLE_TOKEN_COUNT_BPE,
         "ext:text",

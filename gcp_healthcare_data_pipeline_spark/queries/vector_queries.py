@@ -508,8 +508,73 @@ WHERE rn = 1
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric scalar quantization of the embedding column — the
+    standard 4x storage/serving compression step before ANN at scale.
+    Per-vector scale = max|x| / 127; emits the quantization quality
+    manifest (scale, mean-squared and max-abs reconstruction error).
+
+    Engine parity notes: quantization uses ``floor(x/scale + 0.5)``
+    (round-half-toward-+inf) because both engines define ``floor`` on
+    doubles identically, whereas ROUND tie-breaking can differ; errors
+    are rounded well above double noise. Pure per-row HOF arithmetic —
+    a map-only stage, zero shuffles at any scale.
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")
+    d = emb.select("vec_id", as_double(F.col("embedding")).alias("_v"))
+    d = d.withColumn(
+        "_scale",
+        F.array_max(F.transform("_v", lambda x: F.abs(x))) / F.lit(127.0),
+    ).filter(F.col("_scale") > 0)  # all-zero vectors carry no signal
+    d = d.withColumn(
+        "_err",
+        F.transform(
+            F.col("_v"),
+            lambda x: x
+            - F.floor(x / F.col("_scale") + F.lit(0.5)) * F.col("_scale"),
+        ),
+    )
+    return d.select(
+        "vec_id",
+        F.round("_scale", 9).alias("scale"),
+        F.round(
+            F.aggregate("_err", F.lit(0.0), lambda a, x: a + x * x)
+            / F.size("_v"),
+            12,
+        ).alias("mse"),
+        F.round(
+            F.array_max(F.transform("_err", lambda x: F.abs(x))), 9
+        ).alias("max_err"),
+    )
+
+
+_ORACLE_EMBEDDING_QUANTIZE = """
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM d
+), e AS (
+  SELECT vec_id, scale, len(v) AS n,
+    list_transform(v, x -> x - floor(x / scale + 0.5) * scale) AS err
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+  ROUND(scale, 9) AS scale,
+  ROUND(list_sum(list_transform(err, x -> x * x)) / n, 12) AS mse,
+  ROUND(list_max(list_transform(err, x -> abs(x))), 9) AS max_err
+FROM e
+"""
+
+
 QUERIES = [
     QuerySpec("q_ann_topk", q_ann_topk, _ORACLE_ANN_TOPK, "ext:similarity"),
+    QuerySpec(
+        "q_embedding_quantize", q_embedding_quantize,
+        _ORACLE_EMBEDDING_QUANTIZE,
+        "ext:similarity (int8 scalar quantization manifest)",
+    ),
     QuerySpec("q_ann_ivf", q_ann_ivf, _ORACLE_ANN_IVF, "ext:similarity IVF"),
     QuerySpec(
         "q_embedding_neardup", q_embedding_neardup, _ORACLE_EMBEDDING_NEARDUP,
