@@ -21,6 +21,8 @@ from gcp_healthcare_data_pipeline_spark.streaming.stateful import (
 )
 from gcp_healthcare_data_pipeline_spark.streaming.windows import (
     read_events_stream,
+    session_aggregates,
+    sliding_rates,
     tumbling_counts,
 )
 
@@ -87,6 +89,85 @@ SELECT
   ROUND(SUM(value), 2) AS total_value
 FROM events
 GROUP BY 1, 2
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window error-rate monitor (10-min windows every
+    5 min — each event lands in two overlapping windows), drained in
+    complete mode so the sink holds the final full window state."""
+    ev = read_events_stream(spark, sf_dir)
+    out = _drain(sliding_rates(ev), spark, mode="complete")
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_start"),
+        "n_events",
+        "n_errors",
+        "error_pct",
+    )
+
+
+# batch twin: explode each event into its two covering window starts
+_ORACLE_STREAM_SLIDING = """
+WITH e AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS base,
+         event_type
+  FROM events
+), exploded AS (
+  SELECT base - 300 AS window_start, event_type FROM e
+  UNION ALL
+  SELECT base AS window_start, event_type FROM e
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+       ROUND(COUNT(CASE WHEN event_type = 'error' THEN 1 END) * 100.0
+             / COUNT(*), 4) AS error_pct
+FROM exploded
+GROUP BY 1
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows per user (F.session_window,
+    30-min gap), drained in complete mode. The batch lag/cumsum
+    sessionization defines the same sessions, so its SQL is the oracle:
+    session start = first event, end = last event + gap."""
+    ev = read_events_stream(spark, sf_dir)
+    out = _drain(session_aggregates(ev), spark, mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("bigint").alias("start_s"),
+        F.unix_timestamp("session_end").cast("bigint").alias("end_s"),
+        "n_events",
+        "total_value",
+    )
+
+
+_ORACLE_STREAM_SESSION = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+), lagged AS (
+  SELECT *,
+    LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+  FROM e
+), flagged AS (
+  SELECT *,
+    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0
+      END AS new_session
+  FROM lagged
+), sess AS (
+  SELECT *,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+  CAST(FLOOR(MIN(ts_us) / 1000000.0) AS BIGINT) AS start_s,
+  CAST(FLOOR((MAX(ts_us) + 1800000000) / 1000000.0) AS BIGINT) AS end_s,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS total_value
+FROM sess
+GROUP BY user_id, session_idx
 """
 
 
@@ -236,6 +317,14 @@ QUERIES = [
     QuerySpec(
         "q_stream_tumbling", q_stream_tumbling, _ORACLE_STREAM_TUMBLING,
         "ext:streaming withWatermark F.window",
+    ),
+    QuerySpec(
+        "q_stream_sliding", q_stream_sliding, _ORACLE_STREAM_SLIDING,
+        "ext:streaming sliding windows",
+    ),
+    QuerySpec(
+        "q_stream_session", q_stream_session, _ORACLE_STREAM_SESSION,
+        "ext:streaming F.session_window",
     ),
     QuerySpec(
         "q_stream_dedup", q_stream_dedup, _ORACLE_STREAM_DEDUP,
