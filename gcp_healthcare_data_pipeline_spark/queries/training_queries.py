@@ -569,6 +569,102 @@ FROM cum WHERE cum_tokens <= {_TOKEN_BUDGET}
 
 
 # ---------------------------------------------------------------------------
+# q_importance_weights: DSIR-style target-domain importance scoring
+# ---------------------------------------------------------------------------
+
+
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection: score every
+    document by the mean per-token log-likelihood ratio of a
+    target-domain unigram LM (the ``lang='en'`` slice stands in for the
+    curated target corpus) against the full-corpus LM, add-1 smoothed.
+    Positive score = looks like the target domain; downstream selection
+    keeps the top mass (the hashed-ngram variant of Xie et al.'s data
+    selection reduces to exactly this shape with tokens replaced by
+    hashed n-grams).
+
+    Scale shape (100 TB): two token-frequency aggregates shuffle the
+    VOCABULARY, not the corpus (map-side combine); they join into one
+    per-token log-ratio table that broadcasts into the per-doc scoring
+    pass — explode, broadcast hash join, one corpus shuffle on doc_id.
+    With a web-scale vocabulary the broadcast degrades to a shuffle
+    join that is still vocab-sized per partition, never corpus-paired.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # ONE corpus aggregation (map-side combined, vocab x lang rows out)
+    # feeds both LMs; checkpointed so raw/tgt don't re-explode the corpus
+    by_lang = (
+        toks.groupBy("tok", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    raw = by_lang.groupBy("tok").agg(F.sum("n").alias("n_raw"))
+    tgt = (
+        by_lang.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.sum("n").alias("n_tgt"))
+    )
+    stats_raw = raw.agg(
+        F.sum("n_raw").alias("tot_raw"), F.count(F.lit(1)).alias("V")
+    )
+    stats_tgt = tgt.agg(F.coalesce(F.sum("n_tgt"), F.lit(0)).alias("tot_tgt"))
+    lr = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(stats_raw))
+        .crossJoin(F.broadcast(stats_tgt))
+        .select(
+            "tok",
+            (
+                F.log(
+                    (F.coalesce(F.col("n_tgt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot_tgt") + F.col("V"))
+                )
+                - F.log(
+                    (F.col("n_raw") + F.lit(1.0))
+                    / (F.col("tot_raw") + F.col("V"))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("dsir_score"),
+        )
+    )
+
+
+_ORACLE_IMPORTANCE_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+), raw AS (
+  SELECT tok, COUNT(*) AS n_raw FROM toks GROUP BY 1
+), tgt AS (
+  SELECT tok, COUNT(*) AS n_tgt FROM toks WHERE lang = 'en' GROUP BY 1
+), stats AS (
+  SELECT (SELECT SUM(n_raw) FROM raw) AS N_raw,
+         (SELECT COUNT(*) FROM raw) AS V,
+         (SELECT COALESCE(SUM(n_tgt), 0) FROM tgt) AS N_tgt
+), lr AS (
+  SELECT r.tok,
+    ln((COALESCE(t.n_tgt, 0) + 1.0) / (s.N_tgt + s.V))
+    - ln((r.n_raw + 1.0) / (s.N_raw + s.V)) AS lr
+  FROM raw r LEFT JOIN tgt t USING (tok) CROSS JOIN stats s
+)
+SELECT k.doc_id, k.lang,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(SUM(l.lr) / COUNT(*), 6) AS dsir_score
+FROM toks k JOIN lr l USING (tok)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_shuffle_export: deterministic corpus shuffle + shard manifest
 # ---------------------------------------------------------------------------
 
@@ -642,6 +738,11 @@ QUERIES = [
     QuerySpec(
         "q_shuffle_export", q_shuffle_export, _ORACLE_SHUFFLE_EXPORT,
         "ext:training shuffle-and-shard export manifest",
+    ),
+    QuerySpec(
+        "q_importance_weights", q_importance_weights,
+        _ORACLE_IMPORTANCE_WEIGHTS,
+        "ext:training DSIR importance-weighted data selection",
     ),
     QuerySpec(
         "q_stratified_sample", q_stratified_sample,

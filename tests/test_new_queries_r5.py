@@ -96,6 +96,27 @@ def test_shuffle_export_matches_reference_hash_assignment(spark, tmp_path):
         assert r.last_pos == max(_pos(i) for i in docs)
 
 
+def test_importance_weights_favor_target_domain(spark, tmp_path):
+    from gcp_healthcare_data_pipeline_spark.queries.training_queries import (
+        q_importance_weights,
+    )
+
+    d = str(tmp_path / "sfd")
+    rows = [(i, "alpha beta alpha beta gamma", "en") for i in range(4)] + [
+        (i, "delta epsilon delta epsilon zeta", "zh") for i in range(4, 8)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(d + "/documents.parquet")
+    out = {r.doc_id: r for r in q_importance_weights(spark, d).collect()}
+    assert len(out) == 8
+    # docs made of target-domain (en) tokens must outscore the others
+    for en_doc in range(4):
+        for zh_doc in range(4, 8):
+            assert out[en_doc].dsir_score > out[zh_doc].dsir_score
+    assert all(out[i].n_tokens == 5 for i in out)
+
+
 def test_embedding_quantize_reconstruction_error(spark, tmp_path):
     d = str(tmp_path / "sfe")
     vecs = [(0, [1.0, -0.5, 0.25, 0.0]), (1, [127.0, 1.0, 0.0, -127.0])]
