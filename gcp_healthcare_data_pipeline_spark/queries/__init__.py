@@ -14,6 +14,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Imports deferred so a syntax error in one family doesn't kill the rest
     # during development; order defines display order.
     from gcp_healthcare_data_pipeline_spark.queries import (  # noqa: PLC0415
+        analytics_queries,
         curation_queries,
         dedup_queries,
         event_queries,
@@ -43,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         stats_queries.QUERIES,
         training_queries.QUERIES,
         pipeline_queries.QUERIES,
+        analytics_queries.QUERIES,
     )
     ordered = {n: out.pop(n) for n in _DRIVER_PRIORITY if n in out}
     ordered.update(out)

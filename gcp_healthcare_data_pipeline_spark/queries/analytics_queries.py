@@ -1,0 +1,327 @@
+"""Decision-support analytics + data-quality + scale-pattern queries.
+
+The reference's gold layer is mart-style aggregation over a star schema
+(reference gold.sql:13-169). These queries extend the same shape to the
+classic decision-support patterns the reference cannot express — multi-way
+star joins with region/nation dimension chains, TakeOrdered top-k, and
+production data-quality gating — plus one distributed-systems pattern
+(contiguous global ID assignment) that every 100 TB training-data pipeline
+eventually needs.
+
+Scale notes (local[32] tests, 1000-executor design):
+
+- Star joins: ``region``/``nation`` are tiny -> explicit ``broadcast``;
+  ``customer`` joins stay shuffle (it scales with SF). Catalyst reorders
+  the chain; AQE re-plans the build side at runtime.
+- Top-k: ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+  per-partition heaps + driver merge of k rows, NOT a global sort.
+- DQ checks: ONE aggregation pass computes every metric; the per-check
+  rows are exploded from that single row. No second scan, no union of
+  scans.
+- Stable IDs: the classic two-phase trick — per-range counts (tiny
+  aggregate), prefix-sum offsets over the range table, broadcast join
+  back, shard-local row_number. The only full-data shuffle is the one
+  hash-partition by range bucket; no global single-partition sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-style: local supplier volume per nation within one region
+# --------------------------------------------------------------------------
+
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation where the customer and the line's supplier sit in
+    the same nation, within one region and one order-date year band.
+
+    Six-way star join (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
+    supplier). ``region``/``nation`` are broadcast (constant-size dims);
+    ``supplier`` is broadcast too (it scales slower than facts and the
+    join key is (l_suppkey, nationkey)). The orders date filter is a
+    parquet-pushable predicate, so the fact scan prunes at the source.
+    """
+    t = load_tables(
+        spark, sf_dir, "region", "nation", "customer", "orders",
+        "lineitem", "supplier",
+    )
+    nations_in_region = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = t["customer"].join(
+        F.broadcast(nations_in_region),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    ord_f = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        t["lineitem"]
+        .join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        # "local" volume: the supplying nation must equal the customer's
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_ORACLE_REGIONAL_SUPPLIER_VOLUME = """
+SELECT n_name AS nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-style: shipping priority — top-10 unshipped-revenue orders
+# --------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by outstanding revenue for one market segment: booked
+    before the cutoff, with line items still shipping after it.
+
+    ``orderBy().limit(10)`` compiles to TakeOrderedAndProject (bounded
+    per-partition heaps, driver merges 10 rows) — no global sort even at
+    100 TB. Ties broken by order key for a deterministic result set.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    ord_f = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_key").asc())
+        .limit(10)
+    )
+
+
+_ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey AS order_key,
+       o_orderdate AS order_date,
+       o_orderpriority AS order_priority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, order_key ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Deequ-style single-scan data-quality gate
+# --------------------------------------------------------------------------
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production data-quality gate over ``orders``: completeness,
+    key-uniqueness, domain membership, and value-bound checks — all
+    computed in ONE aggregation scan, then exploded into one row per
+    check (the Deequ/great-expectations report shape).
+
+    The reference's quality surface is the quarantine CASE flag
+    (reference silver.sql:55 LOWER(x)='null' sentinel handling); this
+    generalizes it to a declarative check suite whose output can gate a
+    load the same way `audit.py` gates watermarks.
+    """
+    orders = load_tables(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    # every metric is a fraction in [0,1]; one wide agg row -> explode
+    agg = orders.agg(
+        n.alias("n_rows"),
+        (F.count_distinct(F.col("o_orderkey")) / n).alias("key_unique"),
+        (F.count(F.col("o_custkey")) / n).alias("custkey_complete"),
+        (
+            F.sum(
+                F.col("o_orderstatus").isin("O", "F", "P").cast("bigint")
+            ) / n
+        ).alias("status_in_domain"),
+        (F.sum((F.col("o_totalprice") > 0).cast("bigint")) / n).alias(
+            "price_positive"
+        ),
+        (
+            F.sum(
+                (
+                    (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+                    & (F.col("o_orderdate") < F.lit("2010-01-01").cast("timestamp"))
+                ).cast("bigint")
+            ) / n
+        ).alias("orderdate_in_range"),
+    )
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.round(F.col(name), 6).alias("metric"),
+                (F.col(name) >= F.lit(1.0)).alias("passed"),
+            )
+            for name in [
+                "key_unique",
+                "custkey_complete",
+                "status_in_domain",
+                "price_positive",
+                "orderdate_in_range",
+            ]
+        ]
+    )
+    return (
+        agg.select(F.explode(checks).alias("c"))
+        .select("c.check_name", "c.metric", "c.passed")
+    )
+
+
+_ORACLE_DQ_CHECKS = """
+WITH m AS (
+  SELECT
+    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) AS key_unique,
+    CAST(COUNT(o_custkey) AS DOUBLE) / COUNT(*) AS custkey_complete,
+    CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
+      AS DOUBLE) / COUNT(*) AS status_in_domain,
+    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      / COUNT(*) AS price_positive,
+    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1990-01-01'
+                   AND o_orderdate <  TIMESTAMP '2010-01-01'
+             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS orderdate_in_range
+  FROM orders
+)
+SELECT 'key_unique' AS check_name, ROUND(key_unique, 6) AS metric,
+       key_unique >= 1.0 AS passed FROM m
+UNION ALL
+SELECT 'custkey_complete', ROUND(custkey_complete, 6),
+       custkey_complete >= 1.0 FROM m
+UNION ALL
+SELECT 'status_in_domain', ROUND(status_in_domain, 6),
+       status_in_domain >= 1.0 FROM m
+UNION ALL
+SELECT 'price_positive', ROUND(price_positive, 6),
+       price_positive >= 1.0 FROM m
+UNION ALL
+SELECT 'orderdate_in_range', ROUND(orderdate_in_range, 6),
+       orderdate_in_range >= 1.0 FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# Contiguous global ID assignment without a global sort
+# --------------------------------------------------------------------------
+
+def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign contiguous global row IDs (0..N-1 in doc_id order) WITHOUT
+    ``row_number() OVER (ORDER BY ...)`` — the single-partition global
+    window that melts at 100 TB.
+
+    Two-phase shard-offset pattern: (1) count rows per monotone range
+    bucket (tiny aggregate), (2) exclusive prefix-sum over the bucket
+    table (a window over ~N/width rows, driver-scale), (3) broadcast the
+    offsets back and take a bucket-LOCAL row_number. The only full-data
+    exchange is one hash partition by bucket. Range buckets (``doc_id
+    DIV width``), not hash buckets, keep bucket order == global order; on
+    arbitrary keys the production version samples range boundaries first
+    (same trick Spark's own RangePartitioner uses).
+    """
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id")
+    bucket = (F.col("doc_id") / F.lit(100)).cast("bigint").alias("bucket")
+    bucketed = docs.select("doc_id", bucket)
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    w_local = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.row_number().over(w_local) - 1).alias(
+                "stable_id"
+            ),
+        )
+    )
+
+
+_ORACLE_STABLE_IDS = """
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS stable_id
+FROM documents
+"""
+
+
+QUERIES = [
+    QuerySpec(
+        "q_regional_supplier_volume", q_regional_supplier_volume,
+        _ORACLE_REGIONAL_SUPPLIER_VOLUME,
+        "ext:star-join J1 A1 (TPC-H Q5 shape)",
+    ),
+    QuerySpec(
+        "q_shipping_priority", q_shipping_priority,
+        _ORACLE_SHIPPING_PRIORITY, "ext:top-k join (TPC-H Q3 shape)",
+    ),
+    QuerySpec(
+        "q_dq_checks", q_dq_checks, _ORACLE_DQ_CHECKS,
+        "ext:data-quality F2 C3 (single-scan check suite)",
+    ),
+    QuerySpec(
+        "q_stable_ids", q_stable_ids, _ORACLE_STABLE_IDS,
+        "ext:scale (global IDs without global sort)",
+    ),
+]

@@ -1,0 +1,72 @@
+"""Semantic tests for the decision-support / DQ / stable-ID additions.
+
+Tiny hand-built inputs with hand-computed expectations; the DuckDB oracle
+gate (tools/check.py) covers engine parity on the real test tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.queries.analytics_queries import (
+    q_dq_checks,
+    q_stable_ids,
+)
+
+
+def test_stable_ids_are_contiguous_in_doc_id_order(spark, tmp_path):
+    sf_dir = str(tmp_path / "sfx")
+    # doc_ids deliberately sparse + unordered, spanning several 100-wide
+    # range buckets including an EMPTY bucket (300-399)
+    ids = [450, 7, 120, 0, 255, 119, 99, 100, 401]
+    spark.createDataFrame([(i,) for i in ids], "doc_id long").write.parquet(
+        sf_dir + "/documents.parquet"
+    )
+    out = q_stable_ids(spark, sf_dir).collect()
+    got = {r.doc_id: r.stable_id for r in out}
+    expect = {d: rank for rank, d in enumerate(sorted(ids))}
+    assert got == expect
+
+
+def test_dq_checks_flags_violations(spark, tmp_path):
+    sf_dir = str(tmp_path / "sfx")
+    rows = [
+        # orderkey, custkey, status, totalprice, orderdate, priority
+        (1, 10, "O", 5.0, "1996-01-01", "1-URGENT"),
+        (1, 11, "F", 3.0, "1997-01-01", "2-HIGH"),     # duplicate key
+        (2, None, "X", -1.0, "1980-01-01", "2-HIGH"),  # 3 violations
+        (3, 12, "P", 2.0, "1998-01-01", "3-MEDIUM"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        sf_dir + "/orders.parquet"
+    )
+    out = {r.check_name: r for r in q_dq_checks(spark, sf_dir).collect()}
+    assert set(out) == {
+        "key_unique", "custkey_complete", "status_in_domain",
+        "price_positive", "orderdate_in_range",
+    }
+    assert out["key_unique"].metric == 0.75 and not out["key_unique"].passed
+    assert out["custkey_complete"].metric == 0.75
+    assert out["status_in_domain"].metric == 0.75
+    assert out["price_positive"].metric == 0.75
+    assert out["orderdate_in_range"].metric == 0.75
+    assert not any(r.passed for r in out.values())
+
+
+def test_dq_checks_all_pass_on_clean_table(spark, tmp_path):
+    sf_dir = str(tmp_path / "sfx")
+    rows = [(i, 10 + i, "O", 1.0 + i, "1996-01-01", "1-URGENT") for i in range(5)]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp")).write.parquet(
+        sf_dir + "/orders.parquet"
+    )
+    out = q_dq_checks(spark, sf_dir).collect()
+    assert len(out) == 5
+    assert all(r.passed and r.metric == 1.0 for r in out)
