@@ -1,0 +1,77 @@
+"""foreachBatch idempotent upsert sink: exactly-once on replayed batches.
+
+Covers the three failure-model cases a transactional sink must survive:
+batch replay (same batch_id delivered twice), within-batch key conflicts
+(latest order_col wins), and cross-batch upsert (existing key replaced,
+new key inserted).
+"""
+
+from __future__ import annotations
+
+from gcp_healthcare_data_pipeline_spark.streaming.sinks import (
+    last_committed_batch,
+    read_upsert_target,
+    stream_upsert_to_parquet,
+    upsert_batch,
+)
+from gcp_healthcare_data_pipeline_spark.streaming.windows import (
+    read_events_stream,
+)
+
+SCHEMA = "user_id long, ts long, value double"
+
+
+def test_upsert_batch_merge_and_replay(spark, tmp_path):
+    target = str(tmp_path / "target")
+    b0 = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 200, 2.0), (2, 100, 5.0)], SCHEMA
+    )
+    assert upsert_batch(b0, 0, target, ["user_id"], "ts") is True
+    got = {r.user_id: r for r in read_upsert_target(spark, target).collect()}
+    # within-batch conflict: latest ts wins
+    assert got[1].value == 2.0 and got[2].value == 5.0
+
+    # cross-batch upsert: replace user 1, insert user 3
+    b1 = spark.createDataFrame([(1, 300, 9.0), (3, 50, 7.0)], SCHEMA)
+    assert upsert_batch(b1, 1, target, ["user_id"], "ts") is True
+    got = {r.user_id: r for r in read_upsert_target(spark, target).collect()}
+    assert got[1].value == 9.0 and got[3].value == 7.0 and len(got) == 3
+
+    # replay of batch 1 (at-least-once delivery): must be a no-op
+    replay = spark.createDataFrame([(1, 999, -1.0)], SCHEMA)
+    assert upsert_batch(replay, 1, target, ["user_id"], "ts") is False
+    got = {r.user_id: r for r in read_upsert_target(spark, target).collect()}
+    assert got[1].value == 9.0 and len(got) == 3
+    assert last_committed_batch(target) == 1
+
+
+def test_stream_upsert_end_to_end(spark, tmp_path):
+    """Drain the events file-stream into the keyed sink: exactly one row
+    per user survives — the one with the latest event_time."""
+    sf_dir = "/root/testdata/sf0.001"
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_time", "event_type", "value"
+    )
+    stream_upsert_to_parquet(
+        stream, target, ["user_id"], "event_time", ckpt
+    )
+    out = read_upsert_target(spark, target)
+    n_users = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id"
+    ).distinct().count()
+    assert out.count() == n_users
+    # spot-check one user: sink row == latest event by time (ties: any of
+    # the max-time rows — assert on the time, not the payload)
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uid = ev.select("user_id").first().user_id
+    expect_ts = (
+        ev.filter(F.col("user_id") == uid)
+        .agg(F.max(F.col("ts").cast("timestamp")))
+        .first()[0]
+    )
+    got = out.filter(F.col("user_id") == uid).first()
+    assert got.event_time == expect_ts
