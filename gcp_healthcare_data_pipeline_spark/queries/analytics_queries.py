@@ -306,6 +306,146 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# CDC apply: merge an insert/update/delete change feed into a snapshot
+# --------------------------------------------------------------------------
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC feed (op ∈ I/U/D) onto a base snapshot — the INVERSE of
+    q_snapshot_diff (extended_queries.py), closing the CDC round-trip:
+    ``apply(base, diff(base, next)) == next``.
+
+    Type-1 MERGE semantics via one full outer join on the key:
+    feed D -> row dropped, feed U/I -> feed row wins, no feed row -> base
+    row survives. One shuffle on the key; on a transactional table format
+    this is the literal MERGE statement, and the reference's MERGE
+    (reference silver.sql SCD2 load) is the Type-2 sibling already
+    covered by operators/scd2.py.
+
+    The feed is derived deterministically from the data itself so the
+    oracle can rebuild it: orderkey%10==0 -> U (price bump), %10==1 -> D,
+    plus synthetic I rows keyed past the base key space.
+    """
+    orders = load_tables(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    feed = (
+        orders.filter(F.col("o_orderkey") % 10 < 2)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+            F.col("o_orderstatus"),
+            F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 1000 == 2).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                F.lit("O").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    merged = orders.alias("b").join(
+        feed.alias("f"), on="o_orderkey", how="full_outer"
+    )
+    return (
+        merged.filter(
+            F.coalesce(F.col("f.op") != "D", F.lit(True))  # drop deletes
+        )
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("f.o_orderstatus"), F.col("b.o_orderstatus")).alias(
+                "order_status"
+            ),
+            F.round(
+                F.coalesce(F.col("f.o_totalprice"), F.col("b.o_totalprice")), 2
+            ).alias("total_price"),
+        )
+    )
+
+
+_ORACLE_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+),
+feed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE 'D' END AS op,
+         o_orderstatus,
+         ROUND(o_totalprice + 100.0, 2) AS o_totalprice
+  FROM base WHERE o_orderkey % 10 < 2
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', 'O', 1.0
+  FROM base WHERE o_orderkey % 1000 = 2
+)
+SELECT COALESCE(f.o_orderkey, b.o_orderkey) AS o_orderkey,
+       COALESCE(f.o_orderstatus, b.o_orderstatus) AS order_status,
+       ROUND(COALESCE(f.o_totalprice, b.o_totalprice), 2) AS total_price
+FROM base b
+FULL OUTER JOIN feed f ON b.o_orderkey = f.o_orderkey
+WHERE COALESCE(f.op != 'D', TRUE)
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew diagnosis: per-key distribution profile for shuffle planning
+# --------------------------------------------------------------------------
+
+def q_skew_diagnose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for ``lineitem.l_orderkey`` — the ops
+    query you run BEFORE picking a salting factor (operators/skew.py):
+    top-5 hottest keys with their share of all rows, plus the
+    total-distinct and mean-rows-per-key context columns.
+
+    Two aggregations over one scan (per-key counts, then top-k of the
+    tiny count table via TakeOrdered); no driver-side loop.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = per_key.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(5)
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias(
+                "row_share"
+            ),
+            "n_keys",
+            F.round(F.col("total_rows") / F.col("n_keys"), 4).alias(
+                "mean_rows_per_key"
+            ),
+        )
+    )
+
+
+_ORACLE_SKEW_DIAGNOSE = """
+WITH per_key AS (
+  SELECT l_orderkey AS key, COUNT(*) AS n_rows FROM lineitem GROUP BY 1
+),
+totals AS (
+  SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM per_key
+)
+SELECT key, n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total_rows, 6) AS row_share,
+       n_keys,
+       ROUND(CAST(total_rows AS DOUBLE) / n_keys, 4) AS mean_rows_per_key
+FROM per_key CROSS JOIN totals
+ORDER BY n_rows DESC, key ASC
+LIMIT 5
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_regional_supplier_volume", q_regional_supplier_volume,
@@ -323,5 +463,13 @@ QUERIES = [
     QuerySpec(
         "q_stable_ids", q_stable_ids, _ORACLE_STABLE_IDS,
         "ext:scale (global IDs without global sort)",
+    ),
+    QuerySpec(
+        "q_cdc_apply", q_cdc_apply, _ORACLE_CDC_APPLY,
+        "ext:cdc-apply J6-sibling (Type-1 MERGE with deletes)",
+    ),
+    QuerySpec(
+        "q_skew_diagnose", q_skew_diagnose, _ORACLE_SKEW_DIAGNOSE,
+        "ext:scale (shuffle-key skew profile)",
     ),
 ]

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.queries.analytics_queries import (
+    q_cdc_apply,
     q_dq_checks,
     q_stable_ids,
 )
@@ -55,6 +56,24 @@ def test_dq_checks_flags_violations(spark, tmp_path):
     assert out["price_positive"].metric == 0.75
     assert out["orderdate_in_range"].metric == 0.75
     assert not any(r.passed for r in out.values())
+
+
+def test_cdc_apply_semantics(spark, tmp_path):
+    """keys: 10 -> U (price +100), 11 -> D, 13 -> unchanged; %1000==2
+    also synthesizes an insert keyed +10_000_000."""
+    sf_dir = str(tmp_path / "sfx")
+    rows = [(10, "F", 5.0), (11, "O", 3.0), (13, "P", 7.0), (2, "F", 4.0)]
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).write.parquet(sf_dir + "/orders.parquet")
+    out = {r.o_orderkey: r for r in q_cdc_apply(spark, sf_dir).collect()}
+    assert 11 not in out                       # delete applied
+    assert out[10].total_price == 105.0        # update applied
+    assert out[13].total_price == 7.0          # untouched row survives
+    assert out[2].total_price == 4.0           # %10==2: not in U/D feed
+    # key 2 also matches %1000==2, which synthesizes an insert at +10M
+    assert out[10_000_002].total_price == 1.0 and out[10_000_002].order_status == "O"
+    assert len(out) == 4
 
 
 def test_dq_checks_all_pass_on_clean_table(spark, tmp_path):
