@@ -326,6 +326,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can rebuild it: orderkey%10==0 -> U (price bump), %10==1 -> D,
     plus synthetic I rows keyed past the base key space.
     """
+    from gcp_healthcare_data_pipeline_spark.operators.cdc import apply_feed
+
     orders = load_tables(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -333,37 +335,29 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") % 10 < 2)
         .select(
             "o_orderkey",
-            F.when(F.col("o_orderkey") % 10 == 0, F.lit("U"))
-            .otherwise(F.lit("D"))
-            .alias("op"),
-            F.col("o_orderstatus"),
-            F.round(F.col("o_totalprice") + 100.0, 2).alias("o_totalprice"),
+            F.when(F.col("o_orderkey") % 10 == 0, F.lit("update"))
+            .otherwise(F.lit("delete"))
+            .alias("change_type"),
+            F.col("o_orderstatus").alias("new_o_orderstatus"),
+            F.round(F.col("o_totalprice") + 100.0, 2).alias(
+                "new_o_totalprice"
+            ),
         )
         .unionByName(
             orders.filter(F.col("o_orderkey") % 1000 == 2).select(
                 (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
-                F.lit("I").alias("op"),
-                F.lit("O").alias("o_orderstatus"),
-                F.lit(1.0).alias("o_totalprice"),
+                F.lit("insert").alias("change_type"),
+                F.lit("O").alias("new_o_orderstatus"),
+                F.lit(1.0).alias("new_o_totalprice"),
             )
         )
     )
-    merged = orders.alias("b").join(
-        feed.alias("f"), on="o_orderkey", how="full_outer"
-    )
-    return (
-        merged.filter(
-            F.coalesce(F.col("f.op") != "D", F.lit(True))  # drop deletes
-        )
-        .select(
-            "o_orderkey",
-            F.coalesce(F.col("f.o_orderstatus"), F.col("b.o_orderstatus")).alias(
-                "order_status"
-            ),
-            F.round(
-                F.coalesce(F.col("f.o_totalprice"), F.col("b.o_totalprice")), 2
-            ).alias("total_price"),
-        )
+    return apply_feed(
+        orders, feed, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    ).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("order_status"),
+        F.round("o_totalprice", 2).alias("total_price"),
     )
 
 

@@ -635,11 +635,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a single co-partitioned exchange; with bucketed snapshots it
     is exchange-free.
     """
+    from gcp_healthcare_data_pipeline_spark.operators.cdc import snapshot_diff
+
     cust = load_tables(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
     )
     old = cust.filter(F.col("c_custkey") % 11 != 0).select(
-        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("old_bal")
+        F.col("c_custkey").alias("key"), F.col("c_acctbal").alias("bal")
     )
     new = cust.filter(F.col("c_custkey") % 13 != 0).select(
         F.col("c_custkey").alias("key"),
@@ -647,24 +649,13 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(10.0)
         )
         .otherwise(F.col("c_acctbal"))
-        .alias("new_bal"),
+        .alias("bal"),
     )
-    j = old.join(new, "key", "full_outer")
-    change = (
-        F.when(F.col("old_bal").isNull(), F.lit("insert"))
-        .when(F.col("new_bal").isNull(), F.lit("delete"))
-        .when(F.col("old_bal") != F.col("new_bal"), F.lit("update"))
-        .otherwise(F.lit("unchanged"))
-    )
-    return (
-        j.withColumn("change_type", change)
-        .filter(F.col("change_type") != "unchanged")
-        .select(
-            "key",
-            "change_type",
-            F.round("old_bal", 2).alias("old_bal"),
-            F.round("new_bal", 2).alias("new_bal"),
-        )
+    return snapshot_diff(old, new, ["key"], ["bal"]).select(
+        "key",
+        "change_type",
+        F.round("old_bal", 2).alias("old_bal"),
+        F.round("new_bal", 2).alias("new_bal"),
     )
 
 
