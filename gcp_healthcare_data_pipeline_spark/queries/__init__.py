@@ -74,6 +74,7 @@ _DRIVER_PRIORITY = [
     "q_stream_dedup",
     "q_stream_static_join",
     "q_stream_stream_join",
+    "q_stream_upsert",
     # event-time batch analytics (red in r4, now encoding-dispatched)
     "q_events_tumbling",
     "q_events_sessionize",

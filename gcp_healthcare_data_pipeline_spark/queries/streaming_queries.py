@@ -309,6 +309,50 @@ GROUP BY 1
 """
 
 
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream through the idempotent foreachBatch keyed
+    upsert sink (streaming/sinks.py) and return the sink's final state:
+    exactly one row per user — the latest event by (event_time,
+    event_id). The batch arg-max twin is the oracle; replay-idempotence
+    and crash semantics are pinned in tests/test_streaming_sinks.py.
+    """
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.streaming.sinks import (  # noqa: PLC0415
+        read_upsert_target,
+        stream_upsert_to_parquet,
+    )
+
+    work = tempfile.mkdtemp(prefix="q_stream_upsert_")
+    ev = read_events_stream(spark, sf_dir)
+    stream = ev.select(
+        "user_id", "event_id", "event_type", "value",
+        event_ts_us(ev).alias("ts_us"),
+    ).withColumn(
+        # deterministic replacement order even on event-time ties
+        "_ord", F.struct(F.col("ts_us"), F.col("event_id"))
+    )
+    stream_upsert_to_parquet(
+        stream, f"{work}/target", ["user_id"], "_ord", f"{work}/ckpt"
+    )
+    return read_upsert_target(spark, f"{work}/target").select(
+        "user_id", "event_id", "event_type",
+        F.round("value", 2).alias("value"), "ts_us",
+    )
+
+
+_ORACLE_STREAM_UPSERT = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, event_type, ROUND(value, 2) AS value, ts_us
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_stream_stateful_profiles", q_stream_stateful_profiles,
@@ -338,5 +382,9 @@ QUERIES = [
         "q_stream_stream_join", q_stream_stream_join,
         _ORACLE_STREAM_STREAM_JOIN,
         "ext:streaming watermarked stream-stream interval join",
+    ),
+    QuerySpec(
+        "q_stream_upsert", q_stream_upsert, _ORACLE_STREAM_UPSERT,
+        "ext:streaming idempotent foreachBatch upsert sink",
     ),
 ]
