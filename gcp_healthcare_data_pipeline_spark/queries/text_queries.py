@@ -658,8 +658,70 @@ FROM toks, vocab
 """
 
 
+_HASH_K = 64  # feature-hash buckets
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF-style feature hashing: each token maps to one of
+    ``_HASH_K`` buckets via md5 (the repo's established
+    ``conv(substr(md5))`` ↔ ``('0x'||substr(md5))::BIGINT`` oracle-parity
+    trick), producing a fixed-width sparse count vector per document —
+    the standard collision-accepting featurizer when a vocabulary is too
+    big to broadcast.
+
+    The full vector content is pinned by ``vec_md5`` (md5 over the
+    bucket-sorted "bucket:count" string). Plan: explode rides the scan
+    stage, then two key-local aggregations — same shuffle shape as the
+    other token statistics, no Python.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 6), 16, 10).cast("bigint")
+        % _HASH_K,
+    )
+    per = tok.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    entry = F.concat_ws(
+        ":",
+        F.lpad(F.col("bucket").cast("string"), 2, "0"),
+        F.col("c").cast("string"),
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("nnz"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(entry)), " ")).alias(
+            "vec_md5"
+        ),
+    )
+
+
+_ORACLE_FEATURE_HASHING = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(t), 1, 6))::BIGINT % {_HASH_K} AS bucket
+  FROM tok
+), per AS (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS nnz,
+       md5(string_agg(lpad(bucket::VARCHAR, 2, '0') || ':' || c::VARCHAR,
+                      ' ' ORDER BY bucket)) AS vec_md5
+FROM per GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
+    QuerySpec(
+        "q_feature_hashing", q_feature_hashing, _ORACLE_FEATURE_HASHING,
+        "ext:text (HashingTF-style fixed-width featurizer)",
+    ),
     QuerySpec(
         "q_oov_rate", q_oov_rate, _ORACLE_OOV_RATE,
         "ext:text (tokenizer vocabulary coverage / OOV fraction)",
