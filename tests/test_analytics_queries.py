@@ -6,6 +6,8 @@ gate (tools/check.py) covers engine parity on the real test tables.
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.queries.analytics_queries import (
@@ -56,6 +58,28 @@ def test_dq_checks_flags_violations(spark, tmp_path):
     assert out["price_positive"].metric == 0.75
     assert out["orderdate_in_range"].metric == 0.75
     assert not any(r.passed for r in out.values())
+
+
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=1500), max_size=30),
+)
+def test_stable_ids_property(spark, tmp_path_factory, ids):
+    """For ANY sparse id set (empty buckets, bucket-boundary ids), the
+    assigned ids are exactly the rank in ascending doc_id order."""
+    if not ids:
+        return
+    sf_dir = str(tmp_path_factory.mktemp("sfx"))
+    spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).write.mode("overwrite").parquet(sf_dir + "/documents.parquet")
+    got = {
+        r.doc_id: r.stable_id for r in q_stable_ids(spark, sf_dir).collect()
+    }
+    assert got == {d: rank for rank, d in enumerate(sorted(ids))}
 
 
 def test_cdc_apply_semantics(spark, tmp_path):
