@@ -20,7 +20,11 @@ from gcp_healthcare_data_pipeline_spark.queries.silver_analogs import (
     _scd2_snapshots,
     _TS2,
 )
-from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
+from gcp_healthcare_data_pipeline_spark.session import (
+    event_time_col,
+    event_ts_us,
+    load_tables,
+)
 
 _TS3 = "2024-12-01"
 
@@ -583,6 +587,47 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch incremental distinct counting: build one Datasketches
+    HLL sketch of ``user_id`` PER DAY (``hll_sketch_agg``), then union the
+    daily sketches (``hll_union_agg``) into the all-time estimate.
+
+    This is the 100 TB architecture for "distinct users to date": persist
+    tiny per-partition sketches and fold the new day in — no rescan of
+    history, no global key shuffle (each sketch is a few KB regardless of
+    cardinality). Self-certifying output: carries the exact distinct count
+    and the relative error alongside the estimate (rows-only driver check;
+    tests/test_approx.py bounds rel_err). No SQL oracle — sketch binaries
+    are engine-specific.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date(event_time_col(ev)))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+    )
+    unioned = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_users"
+        ),
+        F.count(F.lit(1)).alias("n_daily_sketches"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        unioned.crossJoin(F.broadcast(exact))
+        .select(
+            "approx_users",
+            "exact_users",
+            "n_daily_sketches",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles (``approx_percentile``) —
     the percentile path at 100 TB, where the sketch merges map-side and
@@ -837,6 +882,10 @@ QUERIES = [
     ),
     QuerySpec("q_unpivot_balances", q_unpivot_balances, _ORACLE_UNPIVOT, "ext:unpivot"),
     QuerySpec("q_approx_distinct", q_approx_distinct, None, "ext:approx HLL"),
+    QuerySpec(
+        "q_hll_incremental", q_hll_incremental, None,
+        "ext:approx (mergeable daily HLL sketches, self-certifying)",
+    ),
     QuerySpec(
         "q_approx_quantiles", q_approx_quantiles, None,
         "ext:approx quantile sketch",

@@ -61,3 +61,18 @@ def test_approx_quantiles_within_rank_error(spark):
             assert getattr(ex, f"lo_{int(p*100)}") <= val <= getattr(
                 ex, f"hi_{int(p*100)}"
             ), (flag, name, val)
+
+
+def test_hll_incremental_union_matches_exact(spark):
+    """Daily-sketch union estimate stays within the lgConfigK=12 error
+    band (~1.6% rsd -> allow 3 sigma ~ 5%) and the output self-certifies
+    via its rel_err column."""
+    from gcp_healthcare_data_pipeline_spark.queries.extended_queries import (
+        q_hll_incremental,
+    )
+
+    row = q_hll_incremental(spark, SF_DIR).collect()[0]
+    assert row.n_daily_sketches > 1  # genuinely merged across days
+    assert row.exact_users > 0
+    assert abs(row.approx_users - row.exact_users) <= 0.05 * row.exact_users
+    assert row.rel_err <= 0.05
