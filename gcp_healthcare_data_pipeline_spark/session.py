@@ -112,13 +112,39 @@ def event_time_col(df: DataFrame, col: str = "ts") -> Column:
     return F.col(col).cast("timestamp")
 
 
+# Under the pinned ``nanosAsLong`` conf (needed for TIMESTAMP(NANOS)
+# events data), ANY nanos-encoded timestamp column surfaces as BIGINT —
+# round 4 proved a testdata re-generation can flip the writer's encoding
+# either way. These date/timestamp columns have consumers that assume
+# TIMESTAMP, so load_tables normalizes them; ``events.ts`` stays raw
+# because every consumer already dispatches via event_ts_us /
+# event_time_col (and the streaming reader builds on the raw schema).
+_NANOS_TS_COLUMNS = ("o_orderdate", "l_shipdate")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read one or more parquet tables from a scale-factor directory.
 
     Returns a single DataFrame for one name, else a dict. Columnar scan +
     Catalyst column pruning / predicate pushdown apply automatically.
+    Known timestamp columns are normalized to TIMESTAMP when the writer's
+    physical encoding (nanos) surfaces them as raw BIGINT, so query logic
+    sees one logical schema regardless of the parquet writer.
     """
-    dfs = {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names}
+
+    def _read(name: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for c in _NANOS_TS_COLUMNS:
+            if c in df.columns and df.schema[c].dataType.typeName() in (
+                "long",
+                "integer",
+            ):
+                df = df.withColumn(
+                    c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
+                )
+        return df
+
+    dfs = {n: _read(n) for n in names}
     if len(names) == 1:
         return dfs[names[0]]
     return dfs
