@@ -730,10 +730,68 @@ GROUP BY 1
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the unit of assignment is the
+    USER, not the event — every event of a user lands in one split, so
+    no entity leaks across the train/eval boundary (the classic flaw of
+    row-level splits on grouped data; q_train_split is the row-level
+    doc-hash sibling). Same md5 bucketing, applied to the group key:
+    bucket(user) < 80 -> train, < 90 -> val, else test.
+
+    Pure map-side assignment (the hash is a row-local expression on the
+    grouping column — no join against a user table needed), then one
+    aggregation; at 100 TB nothing shuffles except the final tiny
+    per-split rollup.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_ORACLE_GROUP_SPLIT = """
+WITH b AS (
+  SELECT *,
+    (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))::BIGINT % 100)
+      AS bucket
+  FROM events
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS total_value
+FROM b
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_train_split", q_train_split, _ORACLE_TRAIN_SPLIT,
         "ext:training split",
+    ),
+    QuerySpec(
+        "q_group_split", q_group_split, _ORACLE_GROUP_SPLIT,
+        "ext:training group-aware leakage-free split",
     ),
     QuerySpec(
         "q_shuffle_export", q_shuffle_export, _ORACLE_SHUFFLE_EXPORT,
