@@ -174,8 +174,62 @@ GROUP BY 1
 """
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery decorrelation: orders priced above THEIR OWN
+    customer's average order value (the textbook `WHERE o_totalprice >
+    (SELECT AVG … correlated on custkey)`). Spark-first this is one
+    window aggregate — a single hash-partition by customer, no per-row
+    subquery execution.
+
+    Money arithmetic is done in exact integer CENTS: `price*n > sum` in
+    cents is an integer comparison and `sum/n` a single IEEE division of
+    exact operands — bit-identical across engines. Rounding a bare
+    AVG(double) is NOT portable (Spark rounds the binary double,
+    DuckDB the decimal rendering; averages of 2-decimal money values
+    land on x.xx5 boundaries constantly — measured 55/7540 flips).
+    """
+    orders = load_tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    df = (
+        orders.withColumn("cents", cents)
+        .withColumn("sum_cents", F.sum("cents").over(w))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
+    )
+    return df.filter(
+        F.col("cents") * F.col("n_orders") > F.col("sum_cents")
+    ).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.col("o_totalprice").alias("total_price"),
+        (
+            (F.col("sum_cents").cast("double") / F.col("n_orders")) / 100.0
+        ).alias("cust_avg_price"),
+    )
+
+
+_ORACLE_ABOVE_AVG_ORDERS = """
+WITH c AS (
+  SELECT *, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), a AS (
+  SELECT o_custkey, SUM(cents) AS sum_cents, COUNT(*) AS n_orders
+  FROM c GROUP BY 1
+)
+SELECT c.o_orderkey AS order_key,
+       c.o_custkey AS cust_key,
+       c.o_totalprice AS total_price,
+       (CAST(sum_cents AS DOUBLE) / n_orders) / 100.0 AS cust_avg_price
+FROM c JOIN a ON c.o_custkey = a.o_custkey
+WHERE c.cents * n_orders > sum_cents
+"""
+
+
 QUERIES = [
     QuerySpec("q_topk_orders", q_topk_orders, _ORACLE_TOPK_ORDERS, "ext:window"),
+    QuerySpec(
+        "q_above_avg_orders", q_above_avg_orders, _ORACLE_ABOVE_AVG_ORDERS,
+        "ext:correlated-subquery decorrelation (window rewrite)",
+    ),
     QuerySpec(
         "q_ntile_quartiles", q_ntile_quartiles, _ORACLE_NTILE_QUARTILES,
         "ext:window ntile",
