@@ -254,10 +254,125 @@ GROUP BY 1, 2
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase conversion latency distribution: per user, the gap
+    between the FIRST view and the first purchase AFTER it, rolled up to
+    exact p50/p90 seconds over converting users.
+
+    One shuffle on user_id (conditional min-aggregates — no self-join of
+    the events table), then a single tiny percentile pass over one row
+    per converted user. Latency stays in integer microseconds until the
+    final division, so both engines rank identical integers.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    us = event_ts_us(ev)
+    per_user = (
+        ev.select("user_id", "event_type", us.alias("us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+                "first_view"
+            )
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("p_us")
+    )
+    conv = (
+        per_user.filter(F.col("first_view").isNotNull())
+        .join(purchases, "user_id")
+        .filter(F.col("p_us") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("p_us").alias("first_purchase"))
+        .select(
+            (F.col("first_purchase") - F.col("first_view")).alias("lat_us")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(lat_us, 0.5)") / 1e6, 2).alias("p50_sec"),
+        F.round(F.expr("percentile(lat_us, 0.9)") / 1e6, 2).alias("p90_sec"),
+    )
+
+
+_ORACLE_CONVERSION_LATENCY = """
+WITH fv AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) - ANY_VALUE(f.first_view) AS lat_us
+  FROM events e JOIN fv f USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= f.first_view
+  GROUP BY e.user_id, f.first_view
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(lat_us, 0.5) / 1e6, 2) AS p50_sec,
+       ROUND(quantile_cont(lat_us, 0.9) / 1e6, 2) AS p90_sec
+FROM conv
+"""
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling DISTINCT active users per day — the metric a naive
+    ``COUNT(DISTINCT) OVER (RANGE 7 days)`` cannot express in Spark.
+
+    Scale pattern: dedup to (user, day) pairs first, then each pair
+    contributes itself to the 7 window-days it covers (a bounded 7x
+    fan-out via ``explode(sequence(...))``), and one count-distinct per
+    window-day finishes it. Every step is a key-local shuffle; nothing
+    resembles a per-day self-join over raw events. Days are integer
+    epoch-days end-to-end.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    day = F.floor(event_ts_us(ev) / F.lit(_DAY_US)).cast("bigint")
+    active = ev.select("user_id", day.alias("day")).distinct()
+    bounds = active.agg(F.max("day").alias("max_day"))
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("window_day"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(bounds),
+            F.col("window_day") <= F.col("max_day"),
+        )
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+    )
+
+
+_ORACLE_ROLLING_ACTIVE_USERS = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(ts) / {_DAY_US}) AS BIGINT) AS day
+  FROM events
+), contrib AS (
+  SELECT user_id, day + g.offs AS window_day
+  FROM active, (SELECT unnest(range(0, 7)) AS offs) g
+)
+SELECT window_day, COUNT(DISTINCT user_id) AS active_users_7d
+FROM contrib
+WHERE window_day <= (SELECT MAX(day) FROM active)
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_events_tumbling", q_events_tumbling, _ORACLE_EVENTS_TUMBLING,
         "ext:streaming-batch A1 A2",
+    ),
+    QuerySpec(
+        "q_conversion_latency", q_conversion_latency,
+        _ORACLE_CONVERSION_LATENCY,
+        "ext:analytics (view->purchase latency percentiles)",
+    ),
+    QuerySpec(
+        "q_rolling_active_users", q_rolling_active_users,
+        _ORACLE_ROLLING_ACTIVE_USERS,
+        "ext:analytics (rolling distinct via bounded fan-out)",
     ),
     QuerySpec(
         "q_events_sessionize", q_events_sessionize, _ORACLE_EVENTS_SESSIONIZE,
