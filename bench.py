@@ -88,13 +88,13 @@ def main() -> None:
     except (OSError, KeyError, ValueError):
         pass
 
+    # headline fields (value, baseline_comparable) go LAST: the driver's
+    # artifact keeps only the tail of this line, and round 5's artifact
+    # lost the head — ordering the dict so the continuity numbers print
+    # after the bulky per-query map keeps them in the truncated tail
     print(
         json.dumps(
             {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "baseline_comparable": baseline_comparable,
                 "queries": timings,
                 "errors": errors,
                 "exempt_fixed_overhead": {
@@ -105,6 +105,10 @@ def main() -> None:
                     "query work (see BASELINE.md)",
                 },
                 "sf": sf,
+                "metric": "total_query_wall_clock",
+                "unit": "sec",
+                "value": total,
+                "baseline_comparable": baseline_comparable,
             }
         )
     )

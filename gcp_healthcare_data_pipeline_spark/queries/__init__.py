@@ -53,13 +53,14 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
-# driver-vs-oracle evidence each round. Rounds 2-4 always checked the
-# same first 50; the families below had no driver row ever (pipeline
-# end-to-end gates, streaming, curation, stats, training, the post-slot-
-# 50 extended ops) or were red in round 4 (the event-time queries, now
-# fixed — they must prove green). Long-green families (gold/silver,
-# dedup, text, vector, windows) rotate behind slot 50; their evidence is
-# CHECK_LOCAL_r05.txt + pytest.
+# driver-vs-oracle evidence each round. Round-6 rotation: the 18
+# queries that have never had a driver row (verified green by the
+# round-5 judge, but driver evidence is the hard signal) take the
+# slots right after the 6 pipeline gates, followed by q_ann_lsh and
+# q_approx_distinct whose oracles are new this round, then one-or-two
+# continuity picks per long-green family so every family keeps fresh
+# driver evidence. Union of driver rows across rounds then covers all
+# 115 registry queries.
 _DRIVER_PRIORITY = [
     # reference end-to-end gates (silver.sql + gold.sql full pipeline)
     "q_pipeline_provider_charge_summary",
@@ -68,56 +69,57 @@ _DRIVER_PRIORITY = [
     "q_pipeline_department_performance",
     "q_pipeline_financial_metrics",
     "q_pipeline_payor_performance",
-    # structured streaming (red in r4 via read_events_stream, now fixed)
-    "q_stream_stateful_profiles",
+    # the 18 never-driver-checked queries (judge-verified r5)
+    "q_above_avg_orders",
+    "q_approx_quantiles",
+    "q_cdc_apply",
+    "q_conversion_latency",
+    "q_dq_checks",
+    "q_embedding_quantize",
+    "q_feature_hashing",
+    "q_group_split",
+    "q_hll_incremental",
+    "q_importance_weights",
+    "q_oov_rate",
+    "q_regional_supplier_volume",
+    "q_rolling_active_users",
+    "q_shipping_priority",
+    "q_skew_diagnose",
+    "q_stable_ids",
+    "q_stream_session",
+    "q_stream_sliding",
+    # new checkable oracles this round (were err: no_oracle in r5)
+    "q_ann_lsh",
+    "q_approx_distinct",
+    # continuity: streaming + event-time (green r5)
     "q_stream_tumbling",
-    "q_stream_dedup",
-    "q_stream_static_join",
-    "q_stream_stream_join",
     "q_stream_upsert",
-    # event-time batch analytics (red in r4, now encoding-dispatched)
     "q_events_tumbling",
     "q_events_sessionize",
-    "q_events_error_rate",
-    "q_events_funnel",
-    "q_retention_cohorts",
-    "q_events_asof_error",
-    "q_events_sliding",
-    "q_gap_fill",
-    # curation / stats / training / multimodal families (never checked)
+    # continuity: silver/gold analogs (last driver rows r1-r3)
+    "q_conform_union",
+    "q_quarantine_documents",
+    "q_incremental_watermark",
+    "q_charge_summary",
+    "q_patient_history",
+    # continuity: SCD2 merge
+    "q_scd2_customer",
+    "q_scd2_two_runs",
+    # continuity: dedup family
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    # continuity: text analysis
+    "q_token_count",
+    "q_text_quality",
+    # continuity: vector / similarity
+    "q_ann_topk",
+    "q_ann_ivf",
+    "q_semdedup",
+    "q_kmeans",
+    # continuity: windows, curation, training, multimodal
+    "q_topk_orders",
     "q_corpus_curation",
-    "q_boilerplate",
-    "q_user_zscore",
-    "q_percentiles",
-    "q_length_histogram",
-    "q_stats_by_flag",
-    "q_fuzzy_name_match",
-    "q_profile_table",
     "q_train_split",
-    "q_stratified_sample",
-    "q_tfidf_topterms",
-    "q_contamination",
-    "q_pii_redaction",
-    "q_sequence_packing",
-    "q_domain_mix",
-    "q_token_budget",
     "q_multimodal_features",
-    # rows-only but self-certifying (embedded subsample_recall column) —
-    # kept inside the driver window so the quality pin is recorded
-    "q_ann_lsh",
-    # round-5 additions (no driver row yet)
-    "q_dedup_passages",
-    "q_shuffle_export",
-    # extended ops past old slot 50 (never checked)
-    "q_incremental_agg",
-    "q_snapshot_diff",
-    "q_rolling_revenue",
-    "q_set_ops",
-    "q_cube_sales",
-    "q_grouping_sets",
-    "q_unpivot_balances",
-    "q_approx_distinct",
-    "q_range_join_shipping",
-    "q_customers_no_orders",
-    "q_pivot_order_status",
 ]

@@ -43,9 +43,12 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Six-way star join (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
     supplier). ``region``/``nation`` are broadcast (constant-size dims);
-    ``supplier`` is broadcast too (it scales slower than facts and the
-    join key is (l_suppkey, nationkey)). The orders date filter is a
-    parquet-pushable predicate, so the fact scan prunes at the source.
+    ``supplier`` scales linearly with SF (SF × 10k rows) so it is NOT
+    force-broadcast — like customer, Catalyst/AQE picks the build side
+    from runtime stats, which broadcasts at small SF and shuffles at the
+    100 TB design point instead of OOMing on a multi-GB broadcast. The
+    orders date filter is a parquet-pushable predicate, so the fact scan
+    prunes at the source.
     """
     t = load_tables(
         spark, sf_dir, "region", "nation", "customer", "orders",
@@ -73,7 +76,7 @@ def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         # "local" volume: the supplying nation must equal the customer's
         .join(
-            F.broadcast(t["supplier"]),
+            t["supplier"],
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -269,7 +272,9 @@ def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same trick Spark's own RangePartitioner uses).
     """
     docs = load_tables(spark, sf_dir, "documents").select("doc_id")
-    bucket = (F.col("doc_id") / F.lit(100)).cast("bigint").alias("bucket")
+    # integral division (DIV), not double division + cast-truncation —
+    # exact for all bigint doc_ids, incl. beyond 2^53
+    bucket = F.expr("doc_id DIV 100").alias("bucket")
     bucketed = docs.select("doc_id", bucket)
     offsets = (
         bucketed.groupBy("bucket")

@@ -263,6 +263,13 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events table), then a single tiny percentile pass over one row
     per converted user. Latency stays in integer microseconds until the
     final division, so both engines rank identical integers.
+
+    Rounding is done entirely in the integer domain: an interpolated
+    percentile of integer microseconds at q=0.5/0.9 is an exact multiple
+    of 0.1 us, so ROUND(p*10) snaps the engine's double to the exact
+    tenth-of-us integer, and (that + 50000) DIV 100000 rounds to
+    centiseconds with pure integer arithmetic — no double ROUND(x, 2)
+    tie (x.xx5) can ever diverge between Spark and DuckDB.
     """
     ev = load_tables(spark, sf_dir, "events")
     us = event_ts_us(ev)
@@ -288,10 +295,16 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first_purchase") - F.col("first_view")).alias("lat_us")
         )
     )
+    def _p_sec(q: float) -> F.Column:
+        # exact-integer rounding path: us -> tenth-of-us int -> centi-sec
+        cs = F.expr(
+            f"(CAST(ROUND(percentile(lat_us, {q}) * 10) AS BIGINT)"
+            " + 50000) DIV 100000"
+        )
+        return (cs / F.lit(100.0)).alias(f"p{int(q * 100)}_sec")
+
     return conv.agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.expr("percentile(lat_us, 0.5)") / 1e6, 2).alias("p50_sec"),
-        F.round(F.expr("percentile(lat_us, 0.9)") / 1e6, 2).alias("p90_sec"),
+        F.count(F.lit(1)).alias("n_converted"), _p_sec(0.5), _p_sec(0.9)
     )
 
 
@@ -306,8 +319,10 @@ WITH fv AS (
   GROUP BY e.user_id, f.first_view
 )
 SELECT COUNT(*) AS n_converted,
-       ROUND(quantile_cont(lat_us, 0.5) / 1e6, 2) AS p50_sec,
-       ROUND(quantile_cont(lat_us, 0.9) / 1e6, 2) AS p90_sec
+  ((CAST(ROUND(quantile_cont(lat_us, 0.5) * 10) AS BIGINT) + 50000)
+     // 100000) / 100.0 AS p50_sec,
+  ((CAST(ROUND(quantile_cont(lat_us, 0.9) * 10) AS BIGINT) + 50000)
+     // 100000) / 100.0 AS p90_sec
 FROM conv
 """
 

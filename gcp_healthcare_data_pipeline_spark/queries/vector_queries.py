@@ -118,11 +118,15 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bits with hamming-2 query-side multiprobe = 100/100 recall at no
     extra wall-clock vs the round-1 3x4/hamming-1 config (88/100) — the
     probe expansion rides the tiny broadcast query side, the corpus still
-    emits one bucket per table. Not SQL-oracled (nested-HOF signature is
-    Spark-specific); the driver records rows-only, so the result itself
-    carries a ``subsample_recall`` column (vs exact brute force on a
-    fixed query subsample) that pins quality inside the recorded rows;
-    tests/test_similarity.py asserts it is 1.0.
+    emits one bucket per table.
+
+    Fully SQL-oracled: the hyperplane weights are md5-parity-derived
+    (operators/similarity.py lsh_signature), so DuckDB recomputes the
+    identical planes, buckets, multiprobe expansion, top-k ranking AND
+    the embedded ``subsample_recall`` quality pin (exact brute force on
+    the fixed vec_id % 1000 query subsample) — a hash-match driver row,
+    not rows-only. tests/test_similarity.py additionally asserts the
+    recall is 1.0.
     """
     emb = load_tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -150,6 +154,76 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return lsh.crossJoin(F.broadcast(recall))
+
+
+# DuckDB twin of the engine-side LSH: same md5-parity plane weights
+# (plane p, dim i -> +1 iff first hex digit of md5('p:i') is even), same
+# 4-table x 4-bit signatures, same hamming<=2 query-side multiprobe
+# masks, same round-6 cosine ranking with id tie-breaks, and the same
+# brute-force subsample recall pin. n_planes = 16, dims = 64, k = 5.
+_ORACLE_ANN_LSH = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+), planes AS (
+  SELECT p.p, i.i,
+    CASE WHEN (strpos('0123456789abcdef',
+        substr(md5(p.p || ':' || i.i), 1, 1)) - 1) % 2 = 0
+      THEN 1.0 ELSE -1.0 END AS w
+  FROM (SELECT unnest(range(0, 16)) AS p) p,
+       (SELECT unnest(range(0, 64)) AS i) i
+), proj AS (
+  SELECT v.vec_id, pl.p, SUM(pl.w * v.vec[pl.i + 1]) AS proj
+  FROM v CROSS JOIN planes pl
+  GROUP BY 1, 2
+), sig AS (
+  SELECT vec_id, p // 4 AS tbl,
+    CAST(SUM(CASE WHEN proj >= 0 THEN 1 << (p % 4) ELSE 0 END)
+         AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+), qsig AS (
+  SELECT s.vec_id AS query_id, s.tbl, xor(s.bucket, m.m) AS bucket
+  FROM sig s,
+       (SELECT unnest([0, 1, 2, 4, 8, 3, 5, 9, 6, 10, 12]) AS m) m
+  WHERE s.vec_id % 100 = 0
+), cand AS (
+  SELECT DISTINCT q.query_id, s.vec_id AS neighbor_id
+  FROM qsig q JOIN sig s USING (tbl, bucket)
+  WHERE q.query_id <> s.vec_id
+), pairs AS (
+  SELECT c.query_id, c.neighbor_id, a.vec AS qv, b.vec AS cv
+  FROM cand c
+  JOIN v a ON a.vec_id = c.query_id
+  JOIN v b ON b.vec_id = c.neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim FROM pairs
+), topk AS (
+  SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+), sub_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.vec AS qv, c.vec AS cv
+  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id % 1000 = 0
+), sub_scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim FROM sub_pairs
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+    FROM sub_scored
+  ) WHERE rnk <= 5
+), recall AS (
+  SELECT ROUND(SUM(CASE WHEN t.neighbor_id IS NOT NULL
+                        THEN 1 ELSE 0 END) / COUNT(*), 4) AS subsample_recall
+  FROM exact e LEFT JOIN topk t USING (query_id, neighbor_id)
+)
+SELECT t.query_id, t.neighbor_id, t.cos_sim, t.rank, r.subsample_recall
+FROM topk t CROSS JOIN recall r
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -580,7 +654,10 @@ QUERIES = [
         "q_embedding_neardup", q_embedding_neardup, _ORACLE_EMBEDDING_NEARDUP,
         "ext:dedup ext:similarity",
     ),
-    QuerySpec("q_ann_lsh", q_ann_lsh, None, "ext:similarity"),
+    QuerySpec(
+        "q_ann_lsh", q_ann_lsh, _ORACLE_ANN_LSH,
+        "ext:similarity (multiprobe LSH, full cross-engine oracle)",
+    ),
     QuerySpec(
         "q_embedding_outliers", q_embedding_outliers,
         _ORACLE_EMBEDDING_OUTLIERS,

@@ -96,8 +96,11 @@ def event_ts_us(df: DataFrame, col: str = "ts") -> Column:
     exact. Works on batch and streaming DataFrames (schema-only dispatch,
     resolved once at plan time — no per-row type checks).
     """
+    # only 'long' can be nanosAsLong output — int32 cannot hold nanos, so
+    # an integer-typed ts is a schema error that must surface, not be
+    # silently misread as nanos
     dtype = df.schema[col].dataType.typeName()
-    if dtype in ("long", "integer"):
+    if dtype == "long":
         return F.expr(f"{col} DIV 1000")  # raw nanos -> micros, truncating
     return F.unix_micros(F.col(col).cast("timestamp"))
 
@@ -107,7 +110,7 @@ def event_time_col(df: DataFrame, col: str = "ts") -> Column:
     watermarks / window functions), same encoding dispatch as
     :func:`event_ts_us`."""
     dtype = df.schema[col].dataType.typeName()
-    if dtype in ("long", "integer"):
+    if dtype == "long":  # nanosAsLong only ever surfaces as BIGINT
         return F.timestamp_micros(F.expr(f"{col} DIV 1000"))
     return F.col(col).cast("timestamp")
 
@@ -135,10 +138,11 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     def _read(name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for c in _NANOS_TS_COLUMNS:
-            if c in df.columns and df.schema[c].dataType.typeName() in (
-                "long",
-                "integer",
-            ):
+            # nanosAsLong is the only path that surfaces these as raw
+            # integers and it always produces BIGINT; an int32 here could
+            # never hold nanos, so it must fail visibly downstream rather
+            # than be converted into garbage timestamps
+            if c in df.columns and df.schema[c].dataType.typeName() == "long":
                 df = df.withColumn(
                     c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
                 )

@@ -34,6 +34,39 @@ def _ledger_path(target_dir: str) -> str:
     return os.path.join(target_dir, "_ledger")
 
 
+def _data_dirs(target_dir: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(target_dir, "data"),
+        os.path.join(target_dir, "_data_old"),
+        os.path.join(target_dir, "_tmp_upsert"),
+    )
+
+
+def recover_target(target_dir: str) -> None:
+    """Roll the target back to a consistent state after a crash.
+
+    The commit sequence is: rename data -> _data_old (atomic), replace
+    _tmp_upsert -> data (atomic), write ledger, delete _data_old. A crash
+    can therefore leave exactly one of two inconsistencies, both repaired
+    here before any read or merge touches the target:
+
+    - ``data`` missing but ``_data_old`` present: died between the two
+      renames — restore the last committed state (ledger was not
+      advanced, so the interrupted batch will replay in full).
+    - both present: died after the replace but before ``_data_old``
+      cleanup — the new state is live; drop the leftover. The ledger may
+      or may not have advanced; either way the merge is idempotent
+      (anti-join on keys then union), so a replay converges to the same
+      rows.
+    """
+    data_dir, old_dir, _ = _data_dirs(target_dir)
+    if os.path.exists(old_dir):
+        if not os.path.exists(data_dir):
+            os.rename(old_dir, data_dir)
+        else:
+            shutil.rmtree(old_dir)
+
+
 def last_committed_batch(target_dir: str) -> int:
     try:
         with open(_ledger_path(target_dir)) as fh:
@@ -55,6 +88,7 @@ def upsert_batch(
     (batch_id already committed). Within a batch, only the latest row per
     key (highest ``order_col``, deterministic) survives before the merge.
     """
+    recover_target(target_dir)
     if batch_id <= last_committed_batch(target_dir):
         return False  # replay of an already-committed batch: no-op
     spark = batch_df.sparkSession
@@ -64,8 +98,7 @@ def upsert_batch(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    data_dir = os.path.join(target_dir, "data")
-    tmp_dir = os.path.join(target_dir, "_tmp_upsert")
+    data_dir, old_dir, tmp_dir = _data_dirs(target_dir)
     if os.path.exists(data_dir):
         current = spark.read.parquet(data_dir)
         merged = current.join(
@@ -73,13 +106,18 @@ def upsert_batch(
         ).unionByName(latest)
     else:
         merged = latest
-    # materialize BEFORE touching the live dir, then swap atomically
+    # materialize BEFORE touching the live dir; then a crash-recoverable
+    # two-rename swap: the committed state is never destroyed until the
+    # new state is live AND the ledger records the batch (recover_target
+    # repairs every intermediate crash point)
     merged.write.mode("overwrite").parquet(tmp_dir)
     if os.path.exists(data_dir):
-        shutil.rmtree(data_dir)
+        os.rename(data_dir, old_dir)
     os.replace(tmp_dir, data_dir)
     with open(_ledger_path(target_dir), "w") as fh:
         fh.write(str(batch_id))
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
     return True
 
 
@@ -107,4 +145,5 @@ def stream_upsert_to_parquet(
 
 
 def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:
+    recover_target(target_dir)
     return spark.read.parquet(os.path.join(target_dir, "data"))

@@ -8,9 +8,13 @@ new key inserted).
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from gcp_healthcare_data_pipeline_spark.streaming.sinks import (
     last_committed_batch,
     read_upsert_target,
+    recover_target,
     stream_upsert_to_parquet,
     upsert_batch,
 )
@@ -43,6 +47,51 @@ def test_upsert_batch_merge_and_replay(spark, tmp_path):
     got = {r.user_id: r for r in read_upsert_target(spark, target).collect()}
     assert got[1].value == 9.0 and len(got) == 3
     assert last_committed_batch(target) == 1
+
+
+def test_upsert_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate a crash BETWEEN the two commit renames (data moved aside,
+    new state not yet live): the committed state must be restored and the
+    interrupted batch must replay in full — no silent 'merged = latest'
+    state loss."""
+    target = str(tmp_path / "target")
+    b0 = spark.createDataFrame([(1, 100, 1.0), (2, 100, 5.0)], SCHEMA)
+    assert upsert_batch(b0, 0, target, ["user_id"], "ts") is True
+
+    # crash point: data -> _data_old done, _tmp_upsert -> data NOT done
+    data_dir = os.path.join(target, "data")
+    os.rename(data_dir, os.path.join(target, "_data_old"))
+
+    # any reader recovers the committed state first
+    got = {r.user_id: r for r in read_upsert_target(spark, target).collect()}
+    assert got[1].value == 1.0 and len(got) == 2
+    assert last_committed_batch(target) == 0
+
+    # the interrupted batch replays (ledger never advanced) and must MERGE
+    # with the restored state, not replace it
+    b1 = spark.createDataFrame([(3, 50, 7.0)], SCHEMA)
+    assert upsert_batch(b1, 1, target, ["user_id"], "ts") is True
+    got = {r.user_id: r for r in read_upsert_target(spark, target).collect()}
+    assert len(got) == 3 and got[1].value == 1.0 and got[3].value == 7.0
+
+
+def test_upsert_crash_after_swap_cleans_leftover(spark, tmp_path):
+    """Crash AFTER the new state went live but before _data_old cleanup:
+    the new state wins and the leftover directory is dropped."""
+    target = str(tmp_path / "target")
+    b0 = spark.createDataFrame([(1, 100, 1.0)], SCHEMA)
+    assert upsert_batch(b0, 0, target, ["user_id"], "ts") is True
+    b1 = spark.createDataFrame([(1, 200, 2.0)], SCHEMA)
+    assert upsert_batch(b1, 1, target, ["user_id"], "ts") is True
+
+    # crash point: both data (new) and _data_old (stale copy) exist
+    old_dir = os.path.join(target, "_data_old")
+    shutil.copytree(os.path.join(target, "data"), old_dir)
+
+    recover_target(target)
+    assert not os.path.exists(old_dir)
+    got = {r.user_id: r for r in read_upsert_target(spark, target).collect()}
+    assert got[1].value == 2.0 and len(got) == 1
 
 
 def test_stream_upsert_end_to_end(spark, tmp_path):
