@@ -89,18 +89,27 @@ def ivf_topk(
     k: int,
     centroid_mod: int = 31,
     probes: int = 2,
+    lloyd_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style approximate top-k: the second classic ANN scale path.
 
-    Centroids are a deterministic corpus sample (id % centroid_mod == 0 —
-    a real deployment would k-means them; determinism keeps this
-    oracle-checkable). Every corpus vector is assigned to its nearest
-    centroid once (a broadcast join against the tiny centroid set);
-    queries probe their ``probes`` nearest centroids and score only those
-    clusters. Corpus-side work is O(n * n_centroids) vectorized ops plus
-    one bucket join — never O(n^2).
+    Centroid seeds are a deterministic corpus sample
+    (id % centroid_mod == 0); ``lloyd_iters`` > 0 then refines them with
+    that many spherical-k-means rounds (assign every corpus vector to
+    its max-cosine centroid, recompute each centroid as the per-
+    dimension member mean) — the real-deployment centroid quality while
+    staying fully deterministic and oracle-checkable. Every refinement
+    round is one broadcast-assign plus a k x dims aggregation; the
+    corpus is never shuffled by key. Clusters that lose all members
+    drop out (standard Lloyd behavior, deterministic in both engines).
+
+    Every corpus vector is assigned to its nearest centroid once (a
+    broadcast join against the tiny centroid set); queries probe their
+    ``probes`` nearest centroids and score only those clusters.
+    Corpus-side work is O(n * n_centroids) vectorized ops plus one
+    bucket join — never O(n^2).
     """
     c_raw = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
@@ -131,6 +140,26 @@ def ivf_topk(
             scored.withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= keep)
             .drop("_cv", "_ccn", "_csim", "_crank")
+        )
+
+    for _ in range(lloyd_iters):
+        members = assign(c_raw, "_v", "_cn", keep=1)
+        dims = (
+            members.select(
+                "centroid_id", F.posexplode("_v").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("cval"))
+        )
+        cents = (
+            dims.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("_cv")
+            )
+            .withColumn("_ccn", norm(F.col("_cv")))
         )
 
     c = assign(c_raw, "_v", "_cn", keep=1)

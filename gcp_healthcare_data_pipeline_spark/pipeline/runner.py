@@ -318,11 +318,29 @@ class Runner:
             self._write_replace(df, self._zone("gold", name))
 
     # -- full run (EP1) ----------------------------------------------------
-    def run(self, sources: SourcePaths) -> dict[str, int]:
+    def run(
+        self, sources: SourcePaths, *, bucketize: bool = False
+    ) -> dict[str, int]:
+        """End-to-end pipeline. ``bucketize=True`` additionally
+        materializes bucketed silver catalog tables after the silver
+        stage (pipeline/bucketing.py) — the at-scale layout under which
+        the SCD2 merge join and the gold patient-chain joins run
+        exchange-free (proved by tests/test_silver_bucketing.py and
+        tests/test_scd2.py::test_scd2_merge_join_shuffle_free_on_bucketed_tables).
+        Path-parquet stays the source of truth either way."""
         self.logger.log("INFO", "pipeline start", "run")
         self.ingest_to_landing(sources)
         self.build_bronze(sources)
         self.build_silver()
+        if bucketize:
+            from gcp_healthcare_data_pipeline_spark.pipeline.bucketing import (  # noqa: PLC0415
+                bucketize_silver,
+            )
+
+            tables = bucketize_silver(self.spark, self.warehouse)
+            self.logger.log(
+                "INFO", f"bucketized silver: {sorted(tables)}", "run"
+            )
         self.build_gold()
         out = {}
         for mart in ("provider_charge_summary", "patient_history",

@@ -227,27 +227,55 @@ FROM topk t CROSS JOIN recall r
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic centroid sample (vec_id % 31 = 0),
-    nearest-centroid cluster assignment, 2-probe query search — the
-    cluster-based scale path next to the LSH one, oracle-checkable end
-    to end because every step is deterministic.
+    """IVF-style ANN: deterministic centroid seeds (vec_id % 31 = 0)
+    refined by one spherical-k-means Lloyd round (assign all corpus
+    vectors by cosine, recompute centroids as per-dimension member
+    means), nearest-centroid cluster assignment, 2-probe query search —
+    the cluster-based scale path next to the LSH one, oracle-checkable
+    end to end because every step (seeding, refinement, assignment) is
+    deterministic.
 
-    Recall on THIS corpus is modest (~36% vs brute force): the synthetic
-    embeddings are near-isotropic, so clusters carry little signal —
-    IVF shines on corpora with real cluster structure; multiprobe LSH
-    (q_ann_lsh, 92%) is the better fit here. Both paths ship because the
-    right choice is data-dependent."""
+    Recall on THIS corpus is modest: the synthetic embeddings are
+    near-isotropic, so clusters carry little signal even after Lloyd
+    refinement — IVF shines on corpora with real cluster structure;
+    multiprobe LSH (q_ann_lsh, recall 1.0) is the better fit here. Both
+    paths ship because the right choice is data-dependent."""
     emb = load_tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=_K, centroid_mod=31, probes=2)
+    return ivf_topk(
+        emb, queries, k=_K, centroid_mod=31, probes=2, lloyd_iters=1
+    )
 
 
 _ORACLE_ANN_IVF = f"""
 WITH c AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
-), cent AS (
+), cent0 AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id % 31 = 0
+), r0 AS (
+  -- Lloyd round 1: cosine-assign every corpus vector to its seed
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT c.neighbor_id, cent0.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY ROUND(
+          list_sum(list_transform(range(1, len(c.cv) + 1),
+                    i -> c.cv[i] * cent0.qv[i]))
+          / (SQRT(list_sum(list_transform(range(1, len(c.cv) + 1),
+                    i -> c.cv[i] * c.cv[i])))
+           * SQRT(list_sum(list_transform(range(1, len(cent0.qv) + 1),
+                    i -> cent0.qv[i] * cent0.qv[i])))), 6) DESC,
+        cent0.centroid_id ASC) AS rnk
+    FROM c CROSS JOIN cent0
+  ) WHERE rnk <= 1
+), cdim AS (
+  -- refined centroid = per-dimension mean of the cluster's members
+  SELECT r0.centroid_id, i AS pos, AVG(c.cv[i]) AS cval
+  FROM r0 JOIN c USING (neighbor_id),
+       UNNEST(range(1, len(c.cv) + 1)) AS t(i)
+  GROUP BY 1, 2
+), cent AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS qv FROM cdim GROUP BY 1
 ), c_assign AS (
   SELECT neighbor_id, centroid_id FROM (
     SELECT c.neighbor_id, cent.centroid_id,
@@ -488,8 +516,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster first, then search near-dup
     cosine pairs ONLY within a cluster (Abbas et al. 2023 shape).
 
-    The cluster assignment (deterministic 1-iteration k-means, k lowest
-    vec_ids as seeds) acts as dedup *blocking*: the self-join key is
+    The cluster assignment (deterministic k-means — k lowest vec_ids as
+    seeds, one full Lloyd refinement round of assign + per-dimension
+    mean recompute, then the final assignment) acts as dedup
+    *blocking*: the self-join key is
     centroid_id, so the all-pairs blowup divides by k and the corpus
     never self-joins globally — at 100 TB this is the difference between
     an impossible cross product and k bounded bucket joins, same as the
@@ -508,6 +538,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
     )
+    # one Lloyd refinement round: the blocking quality a real deployment
+    # gets from k-means, still fully deterministic / oracle-checkable
+    centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
     assigned = (
         _kmeans_assign(emb, centroids)
         .select("vec_id", "v", "centroid_id")
@@ -565,10 +598,23 @@ WITH e AS (
   SELECT vec_id, v, centroid_id FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
       ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
+), d1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
+), s2 AS (
+  SELECT e.vec_id, e.v, c1.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
 ), pairs AS (
   SELECT b.vec_id AS id_drop, a.vec_id AS id_keep, a.centroid_id,
          a.v AS qv, b.v AS cv
-  FROM a1 a JOIN a1 b
+  FROM a2 a JOIN a2 b
     ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
 ), scored AS (
   SELECT id_drop, id_keep, centroid_id, {_COS_SQL} AS cos_sim FROM pairs

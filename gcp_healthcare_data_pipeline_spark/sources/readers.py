@@ -97,11 +97,28 @@ def jdbc_subquery_reader(
     watermark_col: str | None = None,
     last_watermark: str | None = None,
     properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
 ):
     """JDBC scan with the incremental predicate pushed into the source.
 
     Returns the configured DataFrameReader (call ``.load()`` when a JDBC
     endpoint exists; tests only assert the generated subquery).
+
+    The reference reads its tables in one JDBC stream
+    (hospitalA_mysqlToLanding.py:155-163) — fine for hospital-sized
+    tables, a bottleneck at warehouse-scale ingest. Passing
+    ``partition_column`` (a numeric/date/timestamp column, typically the
+    PK or the watermark column) plus bounds and ``num_partitions`` makes
+    Spark open N parallel connections, each scanning one
+    ``WHERE partition_column BETWEEN ...`` stride of the pushdown
+    subquery — N-way parallel ingest with the incremental predicate
+    still evaluated inside the source database. Bounds only steer the
+    stride layout; rows outside them are still read (Spark makes the
+    first/last stride unbounded), so a stale bound estimate skews but
+    never drops data.
     """
     subquery = build_pushdown_subquery(table, watermark_col, last_watermark)
     reader = (
@@ -109,6 +126,18 @@ def jdbc_subquery_reader(
         .option("url", url)
         .option("dbtable", subquery)
     )
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or not num_partitions:
+            raise ValueError(
+                "partition_column requires lower_bound, upper_bound and "
+                "num_partitions"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader

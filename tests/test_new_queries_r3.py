@@ -42,6 +42,7 @@ def test_semdedup_never_crosses_clusters(spark):
     from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
         _KMEANS_K,
         _kmeans_assign,
+        _kmeans_recompute,
     )
     from gcp_healthcare_data_pipeline_spark.functions.vectors import as_double
 
@@ -52,6 +53,8 @@ def test_semdedup_never_crosses_clusters(spark):
     centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
     )
+    # same one-Lloyd-round refinement q_semdedup blocks on
+    centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
     cluster = {
         r.vec_id: r.centroid_id
         for r in _kmeans_assign(emb, centroids).collect()

@@ -121,3 +121,42 @@ def test_second_run_preserves_history(spark):
     assert [(r.a, r.is_current) for r in rows] == [
         ("v1", False), ("v2", False), ("v3", True),
     ]
+
+
+def test_scd2_merge_join_shuffle_free_on_bucketed_tables(spark):
+    """The operators/scd2.py docstring promise, proven: with target and
+    source both bucketed on the merge key (same bucket count), the
+    full-outer merge join reuses the bucketing as its hash distribution
+    and the WHOLE merge plan contains no shuffle Exchange."""
+    from gcp_healthcare_data_pipeline_spark.sources.writers import (
+        write_bucketed_table,
+    )
+
+    target = scd2_initial(
+        _src(spark, [(f"k{i}", "v", float(i)) for i in range(50)]), T1()
+    )
+    source = _src(
+        spark,
+        [(f"k{i}", "v" if i % 2 else "w", float(i)) for i in range(40, 90)],
+    )
+    write_bucketed_table(target, "scd2_target_b", ("k",), 4)
+    write_bucketed_table(source, "scd2_source_b", ("k",), 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = scd2_merge(
+            spark.table("scd2_target_b"),
+            spark.table("scd2_source_b"),
+            ["k"], ["a", "b"], T2(),
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        # Catalyst specializes the full-outer into LeftOuter + RightOuter
+        # branches (the presence-marker filters make each side's outer
+        # null rows separable) — either way it must be a sort-merge over
+        # the bucketed scans with NO shuffle exchange anywhere
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert merged.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for tbl in ("scd2_target_b", "scd2_source_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -43,3 +43,22 @@ def test_patient_chain_join_is_colocated(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         for tbl in tables.values():
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_runner_bucketize_mode_materializes_tables(spark, tmp_path):
+    """Runner(..., bucketize=True) produces the bucketed silver catalog
+    tables as part of the pipeline run (optional at-scale layout)."""
+    paths = write_fixtures(str(tmp_path / "src"))
+    wh = str(tmp_path / "wh")
+    out = Runner(spark, wh, clock=datetime(2024, 6, 1, 5)).run(
+        SourcePaths(**paths), bucketize=True
+    )
+    assert out["provider_charge_summary"] > 0  # pipeline still completes
+    try:
+        for entity in ("patients", "encounters", "transactions", "claims"):
+            tbl = f"silver_{entity}_bucketed"
+            assert spark.catalog.tableExists(tbl), tbl
+            assert spark.table(tbl).count() > 0
+    finally:
+        for entity in ("patients", "encounters", "transactions", "claims"):
+            spark.sql(f"DROP TABLE IF EXISTS silver_{entity}_bucketed")

@@ -103,6 +103,59 @@ def test_jdbc_pushdown_executes_against_embedded_derby(spark, tmp_path):
     assert full.count() == 4
 
 
+def test_jdbc_partition_parallel_read_against_embedded_derby(spark, tmp_path):
+    """S1 at ingest scale: partitionColumn/bounds/numPartitions fan the
+    JDBC scan out to N parallel stride connections. Live-assert against
+    embedded Derby that (a) the DataFrame really has >1 input partition,
+    (b) results equal the single-stream read, and (c) rows OUTSIDE the
+    stated bounds are still read (bounds steer strides, never filter)."""
+    from gcp_healthcare_data_pipeline_spark.sources.readers import (
+        jdbc_subquery_reader,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/derbydb2;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    rows = [(i, f"name{i}", f"2024-06-{(i % 28) + 1:02d} 00:00:00") for i in range(100)]
+    src = spark.createDataFrame(rows, "PK int, F_NAME string, MODIFIEDDATE string")
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "patients")
+        .option("driver", props["driver"])
+        .option(
+            "createTableColumnTypes",
+            "PK INT, F_NAME VARCHAR(20), MODIFIEDDATE VARCHAR(19)",
+        )
+        .mode("overwrite")
+        .save()
+    )
+
+    # bounds deliberately cover only [10, 90): strides split that range,
+    # but Spark leaves the first/last stride unbounded, so all 100 rows
+    # must still arrive
+    df = jdbc_subquery_reader(
+        spark,
+        url,
+        "patients",
+        properties=props,
+        partition_column="PK",
+        lower_bound=10,
+        upper_bound=90,
+        num_partitions=4,
+    ).load()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 100
+    assert sorted(r.PK for r in df.collect()) == list(range(100))
+
+    # misuse guard: partition column without the stride parameters
+    import pytest
+
+    with pytest.raises(ValueError, match="partition_column requires"):
+        jdbc_subquery_reader(
+            spark, url, "patients", properties=props, partition_column="PK"
+        )
+
+
 def test_orc_round_trip_with_pushdown(spark, tmp_path):
     """ORC zone write/read round-trips exactly and pushes filters +
     column pruning into the ORC scan (same contract as parquet)."""
