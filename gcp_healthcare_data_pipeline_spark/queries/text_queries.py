@@ -716,8 +716,78 @@ FROM per GROUP BY 1
 """
 
 
+# min corpus frequency for a token to enter the LM vocabulary; below it
+# the token scores with the floor probability 1/N (an OOV class). 50
+# drops the synthetic corpus's rare 'dup' token, exercising the OOV path.
+_LM_MIN_DF = 50
+_LM_KEEP_THRESHOLD = -6.0  # avg nats/token; ≈ ppl 403 cutoff
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: average log-probability (nats per
+    token) of each document under the corpus's own unigram distribution —
+    the perplexity-proxy quality gate (CCNet-style) every LLM data
+    pipeline runs before training. Low average logprob = gibberish or
+    boilerplate-heavy text; the ``keep`` flag applies the cutoff.
+
+    Scale shape: the vocabulary is min-df-capped (``_LM_MIN_DF``) so it
+    stays broadcastable no matter how much junk-token long-tail the
+    corpus has — rare tokens fall through to a floor probability 1/N
+    (an OOV class) via the LEFT join + COALESCE, exactly how production
+    scorers bound vocab size. One corpus shuffle builds the counts
+    (map-side combined); the scalar total and the capped vocab are both
+    broadcast; the per-doc aggregation is the only other exchange. No
+    Python, no global sort.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))  # one row
+    vocab = counts.filter(F.col("cnt") >= _LM_MIN_DF)
+    logp = F.log(
+        F.coalesce(F.col("cnt"), F.lit(1)).cast("double") / F.col("n_total")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("cnt").isNull().cast("bigint")).alias("n_oov"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            (F.avg(logp) >= F.lit(_LM_KEEP_THRESHOLD)).alias("keep"),
+        )
+    )
+
+
+_ORACLE_UNIGRAM_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+), tot AS (
+  SELECT SUM(cnt) AS n_total FROM counts
+), vocab AS (
+  SELECT tok, cnt FROM counts WHERE cnt >= {_LM_MIN_DF}
+)
+SELECT t.doc_id,
+  COUNT(*) AS n_tokens,
+  CAST(SUM(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  ROUND(AVG(ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / n_total)), 6)
+    AS avg_logprob,
+  AVG(ln(CAST(COALESCE(v.cnt, 1) AS DOUBLE) / n_total))
+    >= {_LM_KEEP_THRESHOLD} AS keep
+FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
+    QuerySpec(
+        "q_unigram_logprob", q_unigram_logprob, _ORACLE_UNIGRAM_LOGPROB,
+        "ext:text (unigram-LM perplexity-proxy quality gate)",
+    ),
     QuerySpec(
         "q_feature_hashing", q_feature_hashing, _ORACLE_FEATURE_HASHING,
         "ext:text (HashingTF-style fixed-width featurizer)",
