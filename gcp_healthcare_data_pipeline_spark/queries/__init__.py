@@ -69,6 +69,11 @@ _DRIVER_PRIORITY = [
     "q_pipeline_department_performance",
     "q_pipeline_financial_metrics",
     "q_pipeline_payor_performance",
+    # new round-6 operators (unigram-LM gate, partition-incremental
+    # mart refresh, Z-order layout) — need first driver evidence
+    "q_unigram_logprob",
+    "q_mart_refresh",
+    "q_zorder_stats",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -117,9 +122,7 @@ _DRIVER_PRIORITY = [
     "q_ann_ivf",
     "q_semdedup",
     "q_kmeans",
-    # continuity: windows, curation, training, multimodal
+    # continuity: windows (curation/training/multimodal picks rotated
+    # out this round — all three families have green r5 driver rows)
     "q_topk_orders",
-    "q_corpus_curation",
-    "q_train_split",
-    "q_multimodal_features",
 ]

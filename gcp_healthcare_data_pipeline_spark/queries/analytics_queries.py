@@ -445,6 +445,84 @@ LIMIT 5
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order layout statistics: Morton-curve clustering for data skipping
+# --------------------------------------------------------------------------
+
+_Z_BITS = 5  # 32 range buckets per dimension -> 1024 Morton cells
+_Z_FILES = 16  # contiguous Morton ranges -> target files
+
+
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve (Z-order) clustering of ``lineitem`` on
+    (l_partkey, l_suppkey): per target file, the covered bucket ranges of
+    BOTH dimensions plus the covered-cell area — the statistics that
+    prove every file spans a narrow square of the key grid, so min/max
+    footer stats prune scans filtered on EITHER column.
+
+    The whole layout computation (range-bucket, bit interleave, file
+    assignment — operators/layout.py) is exact integer arithmetic emitted
+    identically for Spark and DuckDB, so the oracle hash-checks the
+    layout itself, not a proxy. Plan shape: one broadcast min/max
+    aggregate, map-side bucket/Morton math, one groupBy over ``n_files``
+    groups. The materialized write path (write_zordered) is pinned by
+    tests/test_layout.py.
+    """
+    from gcp_healthcare_data_pipeline_spark.operators.layout import (
+        zorder_assign,
+    )
+
+    li = load_tables(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    assigned = zorder_assign(
+        li, "l_partkey", "l_suppkey", bits=_Z_BITS, n_files=_Z_FILES
+    )
+    return (
+        assigned.groupBy(F.col("_zfile").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_za").alias("a_min"),
+            F.max("_za").alias("a_max"),
+            F.min("_zb").alias("b_min"),
+            F.max("_zb").alias("b_max"),
+        )
+        .withColumn(
+            "span_cells",
+            (F.col("a_max") - F.col("a_min") + 1)
+            * (F.col("b_max") - F.col("b_min") + 1),
+        )
+    )
+
+
+def _zorder_oracle() -> str:
+    from gcp_healthcare_data_pipeline_spark.operators.layout import (
+        bucket_sql,
+        morton_sql,
+    )
+
+    za = bucket_sql("l_partkey", "amin", "amax", _Z_BITS, "duck")
+    zb = bucket_sql("l_suppkey", "bmin", "bmax", _Z_BITS, "duck")
+    per_file = (1 << (2 * _Z_BITS)) // _Z_FILES
+    return f"""
+WITH stats AS (
+  SELECT MIN(l_partkey) AS amin, MAX(l_partkey) AS amax,
+         MIN(l_suppkey) AS bmin, MAX(l_suppkey) AS bmax
+  FROM lineitem
+), bucketed AS (
+  SELECT {za} AS za, {zb} AS zb FROM lineitem CROSS JOIN stats
+), coded AS (
+  SELECT za, zb, {morton_sql("za", "zb", _Z_BITS)} AS zval FROM bucketed
+)
+SELECT zval // {per_file} AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(za) AS a_min, MAX(za) AS a_max,
+       MIN(zb) AS b_min, MAX(zb) AS b_max,
+       (MAX(za) - MIN(za) + 1) * (MAX(zb) - MIN(zb) + 1) AS span_cells
+FROM coded GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_regional_supplier_volume", q_regional_supplier_volume,
@@ -470,5 +548,9 @@ QUERIES = [
     QuerySpec(
         "q_skew_diagnose", q_skew_diagnose, _ORACLE_SKEW_DIAGNOSE,
         "ext:scale (shuffle-key skew profile)",
+    ),
+    QuerySpec(
+        "q_zorder_stats", q_zorder_stats, _zorder_oracle(),
+        "ext:layout (Morton-curve clustering for 2-D data skipping)",
     ),
 ]

@@ -492,10 +492,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.round(F.sum("_score"), 6).alias("bm25"),
     )
+    # top-k FIRST via orderBy().limit() -> TakeOrderedAndProject
+    # (per-partition heaps, driver merges k rows); the rank window then
+    # touches only those k rows, never the full per-doc score table —
+    # ``scored`` is one row per matching document, which at corpus scale
+    # would melt a single-partition global window.
+    topk = scored.orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    ).limit(10)
     w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "n_terms_matched", "bm25", "rank")
     )
 
@@ -546,7 +553,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     by |vocab|), then enumerate each distinct word's character pairs and
     sum word counts per pair. A 100 TB corpus with a 10M-word vocab does
     the pair work on 10M rows, not 10T tokens. The final top-k window is
-    a single partition over |distinct pairs| (~alphabet^2) rows.
+    a TakeOrdered (per-partition heaps) — no single-partition window.
     """
     from pyspark.sql import Window
 
@@ -566,10 +573,13 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
     )
     agg = pairs.groupBy("pair").agg(F.sum("wc").alias("n"))
+    # TakeOrdered top-k first; the rank window sees only k rows
+    topk = agg.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(
+        _BPE_TOP_MERGES
+    )
     w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
     return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _BPE_TOP_MERGES)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("pair", "n", "rank")
     )
 

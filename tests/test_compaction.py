@@ -1,0 +1,81 @@
+"""Small-file compaction (operators/compaction.py): content-identical
+rewrite, file-count reduction, no-op heuristic, and crash recovery."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.operators.compaction import (
+    compact,
+    plan_compaction,
+    recover_interrupted_swap,
+)
+
+
+def _fragmented_table(spark, path, n_files=40, rows=4000):
+    df = spark.range(rows).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.rand(seed=1).alias("v")
+    )
+    df.repartition(n_files).write.parquet(path)
+    return df
+
+
+def _n_parquet_files(path):
+    return sum(
+        1
+        for _root, _d, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path)
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).collect())
+    )
+    assert _n_parquet_files(path) == 40
+
+    result = compact(spark, path, target_bytes=1 << 30)
+    assert result["compacted"] is True
+    assert _n_parquet_files(path) < 40
+    assert result["target_files"] == 1  # everything fits one target file
+
+    after_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after_rows == before_rows
+    # no leftover temp/old directories
+    assert not os.path.exists(path + ".old")
+    assert not any(
+        d.startswith("t.compact-") for d in os.listdir(tmp_path)
+    )
+
+
+def test_healthy_table_is_left_alone(spark, tmp_path):
+    path = str(tmp_path / "h")
+    spark.range(100).coalesce(1).write.parquet(path)
+    files_before = _n_parquet_files(path)
+    result = compact(spark, path, target_bytes=1 << 20)
+    assert result["compacted"] is False
+    assert _n_parquet_files(path) == files_before
+
+
+def test_plan_scales_output_count_with_size(spark, tmp_path):
+    path = str(tmp_path / "s")
+    _fragmented_table(spark, path, n_files=20, rows=20000)
+    total = plan_compaction(spark, path)["total_bytes"]
+    plan = plan_compaction(spark, path, target_bytes=max(total // 4, 1))
+    assert plan["target_files"] >= 4
+
+
+def test_crash_recovery_restores_old_dir(spark, tmp_path):
+    path = str(tmp_path / "c")
+    _fragmented_table(spark, path, n_files=4, rows=100)
+    rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    # simulate a crash after live -> .old but before tmp -> live
+    os.rename(path, path + ".old")
+    assert recover_interrupted_swap(path) is True
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows
+    assert recover_interrupted_swap(path) is False  # idempotent no-op
