@@ -317,6 +317,46 @@ class Runner:
         for name, df in marts.items():
             self._write_replace(df, self._zone("gold", name))
 
+    # -- maintenance: small-file compaction over warehouse zones -----------
+    def compact_zone(
+        self, zone: str, target_bytes: int = 128 * 1024 * 1024
+    ) -> dict[str, dict]:
+        """Bin-pack every table directory under a warehouse zone
+        (operators/compaction.py). Incremental appends and per-partition
+        task counts fragment the silver tables over many runs; at 100 TB
+        the file-listing tail dominates scan planning, so compaction is a
+        scheduled maintenance stage, not a one-off. The no-op heuristic
+        keeps healthy tables untouched, so running it every cycle is
+        cheap."""
+        from gcp_healthcare_data_pipeline_spark.operators.compaction import (  # noqa: PLC0415
+            compact,
+            recover_interrupted_swap,
+        )
+
+        zone_dir = self._zone(zone)
+        results: dict[str, dict] = {}
+        if not os.path.isdir(zone_dir):
+            return results
+        for name in sorted(os.listdir(zone_dir)):
+            path = os.path.join(zone_dir, name)
+            recover_interrupted_swap(path)
+            if not os.path.isdir(path) or name.endswith(".old"):
+                continue
+            try:
+                results[name] = compact(self.spark, path, target_bytes)
+                if results[name]["compacted"]:
+                    self.logger.log(
+                        "INFO",
+                        f"compacted {zone}/{name}: "
+                        f"{results[name]['n_files']} -> "
+                        f"{results[name]['target_files']} files",
+                        "compact",
+                    )
+            except Exception as exc:  # per-table isolation, like ingest
+                self.logger.log("ERROR", f"compact {zone}/{name}: {exc}",
+                                "compact")
+        return results
+
     # -- full run (EP1) ----------------------------------------------------
     def run(
         self, sources: SourcePaths, *, bucketize: bool = False

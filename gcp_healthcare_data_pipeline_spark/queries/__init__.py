@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = [
     "q_unigram_logprob",
     "q_mart_refresh",
     "q_zorder_stats",
+    "q_pmi_collocations",
+    "q_active_shipments",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -106,7 +108,6 @@ _DRIVER_PRIORITY = [
     "q_quarantine_documents",
     "q_incremental_watermark",
     "q_charge_summary",
-    "q_patient_history",
     # continuity: SCD2 merge
     "q_scd2_customer",
     "q_scd2_two_runs",
@@ -122,7 +123,6 @@ _DRIVER_PRIORITY = [
     "q_ann_ivf",
     "q_semdedup",
     "q_kmeans",
-    # continuity: windows (curation/training/multimodal picks rotated
-    # out this round — all three families have green r5 driver rows)
-    "q_topk_orders",
+    # (curation/training/multimodal/windows continuity picks rotated
+    # out this round — those families all have green r5 driver rows)
 ]

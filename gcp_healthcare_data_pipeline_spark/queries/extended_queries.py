@@ -976,8 +976,96 @@ GROUP BY 1
 """
 
 
+def q_active_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap aggregation on a time grid: for every calendar
+    month, how many order lines were OPEN (ordered but not yet shipped:
+    order month ≤ month ≤ ship month), how many opened, and how many
+    shipped — the concurrent-intervals statistic (active sessions / open
+    tickets / in-transit inventory) that naive SQL writes as an
+    interval×grid overlap JOIN.
+
+    Scale shape: instead of joining every interval against every grid
+    cell (a blown-up theta join), each interval EXPLODES into exactly
+    the months it spans — ``sequence(month(order), month(ship))`` is
+    map-side after one equi-join to fetch the order date, fan-out
+    bounded by lead time / grid granularity (TPC-H ships within ~4
+    months), then ONE groupBy on the month. The same grid-bucketing
+    trick the range/as-of joins in this module use, applied to
+    aggregation.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        li.select(
+            F.date_trunc("month", "o_orderdate").alias("m0"),
+            F.date_trunc("month", "l_shipdate").alias("m1"),
+            # the synthetic data has some ship dates before the order
+            # date — span the months between the two endpoints in either
+            # direction (least/greatest), mirrored in the oracle
+            F.explode(
+                F.expr(
+                    "sequence("
+                    " least(date_trunc('month', o_orderdate),"
+                    "       date_trunc('month', l_shipdate)),"
+                    " greatest(date_trunc('month', o_orderdate),"
+                    "          date_trunc('month', l_shipdate)),"
+                    " interval 1 month)"
+                )
+            ).alias("month"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.sum((F.col("month") == F.col("m0")).cast("bigint")).alias(
+                "n_opened"
+            ),
+            F.sum((F.col("month") == F.col("m1")).cast("bigint")).alias(
+                "n_shipped"
+            ),
+        )
+    )
+
+
+_ORACLE_ACTIVE_SHIPMENTS = """
+WITH iv AS (
+  SELECT date_trunc('month', o_orderdate) AS m0,
+         date_trunc('month', l_shipdate) AS m1,
+         least(date_trunc('month', o_orderdate),
+               date_trunc('month', l_shipdate)) AS s,
+         greatest(date_trunc('month', o_orderdate),
+                  date_trunc('month', l_shipdate)) AS e
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), bounds AS (
+  SELECT MIN(s) AS lo, MAX(e) AS hi FROM iv
+), months AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+  FROM bounds
+)
+SELECT m.month,
+       CAST(COUNT(*) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN m.month = iv.m0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_opened,
+       CAST(SUM(CASE WHEN m.month = iv.m1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shipped
+FROM months m
+JOIN iv ON m.month BETWEEN iv.s AND iv.e
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
+    QuerySpec(
+        "q_active_shipments", q_active_shipments, _ORACLE_ACTIVE_SHIPMENTS,
+        "ext:timeseries (interval-overlap aggregation via grid explode)",
+    ),
     QuerySpec(
         "q_mart_refresh", q_mart_refresh, _ORACLE_MART_REFRESH,
         "ext:incremental (partition-pruned dynamic-overwrite mart refresh)",

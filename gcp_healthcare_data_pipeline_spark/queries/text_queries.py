@@ -792,8 +792,126 @@ GROUP BY t.doc_id
 """
 
 
+_PMI_MIN_DF = 50  # corpus occurrences for vocabulary membership
+_PMI_MIN_PAIR = 5  # doc-cooccurrence floor to report a pair
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: for every pair of
+    vocabulary tokens, how much more often they co-occur in the same
+    document than independence predicts — the statistic behind phrase
+    detection (word2vec-style bigram joining) and topic co-occurrence
+    maps.
+
+    Scale shape: the vocabulary is min-df-capped and broadcast as ONE
+    array row; each document's in-vocab distinct-token set is built
+    map-side by a HOF filter, and the a<b pairs are generated by a
+    nested ``transform``/``slice``/``flatten`` — no self-join anywhere,
+    and the per-doc pair fan-out is bounded by |vocab-distinct-per-doc|²,
+    NOT doc length. One exchange counts pair document-frequencies, one
+    counts per-token presence (vocab-sized, broadcast back). PMI is then
+    arithmetic on three broadcastable aggregates.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _PMI_MIN_DF)
+        .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    arrs = docs.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.filter(
+                    tokens("text"),
+                    lambda t: F.array_contains(F.col("vocab"), t),
+                )
+            )
+        ).alias("arr"),
+    )
+    presence = (
+        arrs.select(F.explode("arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(arr, (x, i) ->"
+                " transform(slice(arr, i + 2, size(arr)),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(presence.withColumnRenamed("tok", "a")), "a"
+        )
+        .withColumnRenamed("n_tok", "n_a")
+        .join(F.broadcast(presence.withColumnRenamed("tok", "b")), "b")
+        .withColumnRenamed("n_tok", "n_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double") * F.col("n_docs")
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+_ORACLE_PMI_COLLOCATIONS = f"""
+WITH occ AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1
+), vocab AS (
+  SELECT tok FROM occ WHERE cnt >= {_PMI_MIN_DF}
+), pres AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok IN (SELECT tok FROM vocab)
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), tokc AS (
+  SELECT tok, COUNT(*) AS n_tok FROM pres GROUP BY 1
+), pairc AS (
+  SELECT x.tok AS tok_a, y.tok AS tok_b, COUNT(*) AS n_pair
+  FROM pres x JOIN pres y ON x.doc_id = y.doc_id AND x.tok < y.tok
+  GROUP BY 1, 2
+)
+SELECT tok_a, tok_b, n_pair,
+  ROUND(ln(CAST(n_pair AS DOUBLE) * n_docs
+           / (CAST(a.n_tok AS DOUBLE) * b.n_tok)), 6) AS pmi
+FROM pairc
+JOIN tokc a ON a.tok = tok_a
+JOIN tokc b ON b.tok = tok_b
+CROSS JOIN n
+WHERE n_pair >= {_PMI_MIN_PAIR}
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
+    QuerySpec(
+        "q_pmi_collocations", q_pmi_collocations, _ORACLE_PMI_COLLOCATIONS,
+        "ext:text (PMI collocation mining, join-free pair generation)",
+    ),
     QuerySpec(
         "q_unigram_logprob", q_unigram_logprob, _ORACLE_UNIGRAM_LOGPROB,
         "ext:text (unigram-LM perplexity-proxy quality gate)",

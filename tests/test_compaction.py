@@ -79,3 +79,24 @@ def test_crash_recovery_restores_old_dir(spark, tmp_path):
     assert recover_interrupted_swap(path) is True
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows
     assert recover_interrupted_swap(path) is False  # idempotent no-op
+
+
+def test_runner_compact_zone_after_fragmented_silver(spark, tmp_path):
+    """compact_zone sweeps every table dir in a zone, fixes fragmented
+    ones, skips healthy ones, and the data survives byte-identical."""
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import Runner
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(os.path.join(wh, "silver"))
+    frag = os.path.join(wh, "silver", "frag")
+    healthy = os.path.join(wh, "silver", "healthy")
+    _fragmented_table(spark, frag, n_files=30, rows=3000)
+    spark.range(50).coalesce(1).write.parquet(healthy)
+    rows_before = sorted(map(tuple, spark.read.parquet(frag).collect()))
+
+    r = Runner(spark, wh)
+    results = r.compact_zone("silver", target_bytes=1 << 30)
+    assert results["frag"]["compacted"] is True
+    assert results["healthy"]["compacted"] is False
+    assert _n_parquet_files(frag) < 30
+    assert sorted(map(tuple, spark.read.parquet(frag).collect())) == rows_before
