@@ -53,14 +53,12 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
-# driver-vs-oracle evidence each round. Round-6 rotation: the 18
-# queries that have never had a driver row (verified green by the
-# round-5 judge, but driver evidence is the hard signal) take the
-# slots right after the 6 pipeline gates, followed by q_ann_lsh and
-# q_approx_distinct whose oracles are new this round, then one-or-two
-# continuity picks per long-green family so every family keeps fresh
-# driver evidence. Union of driver rows across rounds then covers all
-# 115 registry queries.
+# driver-vs-oracle evidence each round. Round-6 rotation: the 6
+# pipeline gates, then the 7 queries NEW this round, then the 18 that
+# had never had a driver row before r6 (judge-verified r5), then
+# q_ann_lsh / q_approx_distinct whose oracles are new this round, then
+# one-or-two continuity picks per long-green family. Union of driver
+# rows across rounds covers every registry query.
 _DRIVER_PRIORITY = [
     # reference end-to-end gates (silver.sql + gold.sql full pipeline)
     "q_pipeline_provider_charge_summary",
@@ -76,6 +74,8 @@ _DRIVER_PRIORITY = [
     "q_zorder_stats",
     "q_pmi_collocations",
     "q_active_shipments",
+    "q_countmin_heavy",
+    "q_knn_graph",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -101,7 +101,6 @@ _DRIVER_PRIORITY = [
     # continuity: streaming + event-time (green r5)
     "q_stream_tumbling",
     "q_stream_upsert",
-    "q_events_tumbling",
     "q_events_sessionize",
     # continuity: silver/gold analogs (last driver rows r1-r3)
     "q_conform_union",
@@ -122,7 +121,6 @@ _DRIVER_PRIORITY = [
     "q_ann_topk",
     "q_ann_ivf",
     "q_semdedup",
-    "q_kmeans",
     # (curation/training/multimodal/windows continuity picks rotated
     # out this round — those families all have green r5 driver rows)
 ]

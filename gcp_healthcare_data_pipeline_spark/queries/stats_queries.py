@@ -265,8 +265,122 @@ _ORACLE_PROFILE_TABLE = " UNION ALL ".join(
 )
 
 
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 5
+
+
+def _cms_bucket_col(i: int, key: F.Column) -> F.Column:
+    """Row-``i`` bucket for ``key``: the repo's engine-portable
+    ``conv(substr(md5))`` hash (DuckDB twin: ``('0x'||substr(md5))``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _CMS_WIDTH
+    )
+
+
+def q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation over event user activity:
+    build a depth-4 × width-256 CMS of per-user event counts, then
+    report each top-5 user's exact count, its CMS estimate (min over the
+    4 hashed cells), and the collision overestimate — the sketch every
+    streaming heavy-hitter monitor keeps when per-key state is too big.
+
+    Scale shape: each input row map-expands into its 4 (row, bucket)
+    cells and aggregates immediately — the shuffle carries at most
+    depth×width = 1024 partial cells PER MAP TASK regardless of input
+    size or key cardinality (this is the point of the sketch: fixed
+    memory). The exact top-k side is a TakeOrdered; estimate lookup
+    joins k×depth probe rows against the 1024-cell table, both
+    broadcast-sized. Every hash is md5-derived, so the ORACLE REBUILDS
+    THE IDENTICAL SKETCH in DuckDB and the estimates hash-match exactly
+    — sketch correctness checked cross-engine, not bounded.
+    """
+    ev = load_tables(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_bucket_col(i, F.col("k")).alias("bucket"),
+            )
+            for i in range(_CMS_DEPTH)
+        ]
+    )
+    cells = (
+        ev.select(F.explode(hashes).alias("h"))
+        .groupBy("h.row", "h.bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    top = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("k").asc())
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select("k", "exact_n", F.explode(hashes).alias("h")).select(
+        "k", "exact_n", "h.row", "h.bucket"
+    )
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("k", "exact_n")
+        .agg(F.min("cell_n").alias("cms_estimate"))
+        .select(
+            F.col("k").cast("bigint").alias("user_id"),
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).alias("overestimate"),
+        )
+    )
+
+
+def _cms_oracle() -> str:
+    def bucket(i: int, key: str) -> str:
+        return (
+            f"('0x' || substr(md5('{i}:' || {key}), 1, 6))::BIGINT"
+            f" % {_CMS_WIDTH}"
+        )
+
+    hash_rows = " UNION ALL ".join(
+        f"SELECT k, {i} AS row, {bucket(i, 'k')} AS bucket FROM keys"
+        for i in range(_CMS_DEPTH)
+    )
+    return f"""
+WITH keys AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+), hashed AS ({hash_rows}),
+cells AS (
+  SELECT row, bucket, COUNT(*) AS cell_n FROM hashed GROUP BY 1, 2
+), top AS (
+  SELECT k, COUNT(*) AS exact_n FROM keys GROUP BY 1
+  ORDER BY exact_n DESC, k ASC LIMIT {_CMS_TOPK}
+), probes AS (
+  {hash_rows.replace("FROM keys", "FROM (SELECT DISTINCT k FROM top) keys")}
+)
+SELECT CAST(p.k AS BIGINT) AS user_id,
+       t.exact_n,
+       MIN(c.cell_n) AS cms_estimate,
+       MIN(c.cell_n) - t.exact_n AS overestimate
+FROM probes p
+JOIN top t ON t.k = p.k
+JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec("q_percentiles", q_percentiles, _ORACLE_PERCENTILES, "ext:stats"),
+    QuerySpec(
+        "q_countmin_heavy", q_countmin_heavy, _cms_oracle(),
+        "ext:stats (count-min sketch, cross-engine identical cells)",
+    ),
     QuerySpec(
         "q_length_histogram", q_length_histogram, _ORACLE_LENGTH_HISTOGRAM,
         "ext:stats (fixed-width histogram + partition share)",

@@ -688,8 +688,130 @@ FROM e
 """
 
 
+_KNN_K = 3
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked k-nearest-neighbor graph: each embedding's top-3
+    cosine neighbors WITHIN its k-means block — the neighborhood
+    structure SemDeDup-style pruning, diversity sampling, and
+    label-propagation all consume.
+
+    Same blocking discipline as q_semdedup (seeds = k lowest vec_ids,
+    one Lloyd refinement, final assignment): the pair space is
+    per-cluster, so the corpus never self-joins globally — at 100 TB the
+    all-pairs O(n²) becomes k bounded bucket joins, and per-point top-k
+    is a window inside the block. Block-boundary neighbors are missed by
+    construction (the recall/cost trade every production kNN-graph
+    builder makes; multi-assign widens recall on the same plan shape —
+    operators/similarity.py:ivf_topk does exactly that for search).
+    Oracle rebuilds the identical blocked graph in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
+    assigned = (
+        _kmeans_assign(emb, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("src"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("src") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            "rank",
+            "neighbor_id",
+            "cos_sim",
+        )
+    )
+
+
+_ORACLE_KNN_GRAPH = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+), s1 AS (
+  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
+), d1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
+), s2 AS (
+  SELECT e.vec_id, e.v, c1.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS neighbor_id,
+         a.v AS qv, b.v AS cv
+  FROM a2 a JOIN a2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+), scored AS (
+  SELECT src, neighbor_id, {_COS_SQL} AS cos_sim FROM pairs
+)
+SELECT src AS vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_KNN_K}
+"""
+
+
 QUERIES = [
     QuerySpec("q_ann_topk", q_ann_topk, _ORACLE_ANN_TOPK, "ext:similarity"),
+    QuerySpec(
+        "q_knn_graph", q_knn_graph, _ORACLE_KNN_GRAPH,
+        "ext:similarity (cluster-blocked kNN graph construction)",
+    ),
     QuerySpec(
         "q_embedding_quantize", q_embedding_quantize,
         _ORACLE_EMBEDDING_QUANTIZE,
