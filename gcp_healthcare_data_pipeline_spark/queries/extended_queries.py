@@ -988,10 +988,12 @@ def q_active_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell (a blown-up theta join), each interval EXPLODES into exactly
     the months it spans — ``sequence(month(order), month(ship))`` is
     map-side after one equi-join to fetch the order date, fan-out
-    bounded by lead time / grid granularity (TPC-H ships within ~4
-    months), then ONE groupBy on the month. The same grid-bucketing
-    trick the range/as-of joins in this module use, applied to
-    aggregation.
+    bounded by interval length / grid granularity, then ONE groupBy on
+    the month. The synthetic data's uncorrelated dates make the mean
+    span ~28 months (real lead times would be ~2), so this measures
+    the pattern under heavy fan-out — still linear explode + agg, never
+    quadratic. The same grid-bucketing trick the range/as-of joins in
+    this module use, applied to aggregation.
     """
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     li = (

@@ -736,9 +736,12 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
-    pairs = (
+    # cosine is symmetric: score each unordered pair ONCE (src <
+    # neighbor halves the dot-product work — the dominant cost), then
+    # mirror the scored edges for the per-source top-k
+    half = (
         a.join(b, ["centroid_id"])
-        .filter(F.col("src") != F.col("neighbor_id"))
+        .filter(F.col("src") < F.col("neighbor_id"))
         .withColumn(
             "cos_sim",
             F.round(
@@ -747,6 +750,15 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 6,
             ),
+        )
+        .select("src", "neighbor_id", "cos_sim")
+        .localCheckpoint(eager=False)  # score once; both union branches reuse
+    )
+    pairs = half.unionByName(
+        half.select(
+            F.col("neighbor_id").alias("src"),
+            F.col("src").alias("neighbor_id"),
+            "cos_sim",
         )
     )
     w = Window.partitionBy("src").orderBy(
