@@ -54,7 +54,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-6 rotation: the 6
-# pipeline gates, then the 7 queries NEW this round, then the 18 that
+# pipeline gates, then the 8 queries NEW this round, then the 18 that
 # had never had a driver row before r6 (judge-verified r5), then
 # q_ann_lsh / q_approx_distinct whose oracles are new this round, then
 # one-or-two continuity picks per long-green family. Union of driver
@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "q_active_shipments",
     "q_countmin_heavy",
     "q_knn_graph",
+    "q_stream_backfill",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -118,7 +119,6 @@ _DRIVER_PRIORITY = [
     "q_token_count",
     "q_text_quality",
     # continuity: vector / similarity
-    "q_ann_topk",
     "q_ann_ivf",
     "q_semdedup",
     # (curation/training/multimodal/windows continuity picks rotated

@@ -353,10 +353,75 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resumed incremental ingestion, end-to-end: land half
+    the events as files, drain them with a bounded availableNow pass
+    (streaming/backfill.py), land the other half into the SAME watched
+    directory, drain again from the SAME checkpoint, then aggregate the
+    sink. Exactly-once across the two runs is what the oracle checks —
+    any reprocessing of the first batch by the second pass would double
+    counts and break the hash match. Restart-loss and idle-rerun
+    contracts are pinned in tests/test_stream_backfill.py.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.streaming.backfill import (  # noqa: PLC0415
+        run_incremental,
+    )
+
+    work = tempfile.mkdtemp(prefix="q_stream_backfill_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ev = load_tables(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def land(df: DataFrame, tag: str) -> None:
+        """New files appear in the watched dir root (file-stream sources
+        don't recurse into non-partition subdirs)."""
+        stage = os.path.join(work, f"stage_{tag}")
+        df.write.mode("overwrite").parquet(stage)
+        i = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(stage, f),
+                    os.path.join(src, f"{tag}_{i}.parquet"),
+                )
+                i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+
+    sink, ckpt = os.path.join(work, "sink"), os.path.join(work, "ckpt")
+    land(ev.filter(F.col("event_id") % 2 == 0), "b1")
+    run_incremental(spark, src, sink, ckpt, ev.schema)
+    land(ev.filter(F.col("event_id") % 2 == 1), "b2")
+    run_incremental(spark, src, sink, ckpt, ev.schema)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+_ORACLE_STREAM_BACKFILL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_stream_stateful_profiles", q_stream_stateful_profiles,
         _ORACLE_STREAM_STATEFUL, "ext:streaming applyInPandasWithState",
+    ),
+    QuerySpec(
+        "q_stream_backfill", q_stream_backfill, _ORACLE_STREAM_BACKFILL,
+        "ext:streaming (checkpoint-resumed incremental file backfill)",
     ),
     QuerySpec(
         "q_stream_tumbling", q_stream_tumbling, _ORACLE_STREAM_TUMBLING,

@@ -821,16 +821,22 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
     )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    arrs = docs.crossJoin(F.broadcast(vocab)).select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(
-                F.filter(
-                    tokens("text"),
-                    lambda t: F.array_contains(F.col("vocab"), t),
+    arrs = (
+        docs.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        tokens("text"),
+                        lambda t: F.array_contains(F.col("vocab"), t),
+                    )
                 )
-            )
-        ).alias("arr"),
+            ).alias("arr"),
+        )
+        # tokenized once; the presence and pair branches both reuse it
+        # instead of re-scanning + re-tokenizing the corpus
+        .localCheckpoint(eager=False)
     )
     presence = (
         arrs.select(F.explode("arr").alias("tok"))
