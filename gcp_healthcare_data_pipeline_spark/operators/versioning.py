@@ -1,0 +1,105 @@
+"""Versioned table writes with time travel (snapshot isolation on plain
+parquet).
+
+The reference truncate-and-reloads its gold marts in place (reference
+gold.sql:11,53,103,145) — a reader mid-reload sees half a table, and
+yesterday's mart is gone the moment today's lands. Production lakes fix
+this with a table format (Delta/Iceberg snapshots); this module is the
+dependency-free core of that idea:
+
+- every write lands in a NEW immutable directory ``v=NNNNNN`` — never
+  mutating the version a reader may be scanning,
+- a one-line ``_LATEST`` pointer file flips atomically (``os.replace``)
+  only after the data commit completes — readers see the old or the new
+  version, never a mix, and a crash mid-write leaves the pointer on the
+  last good version (the orphaned directory is swept by the next write),
+- old versions are retained (``retain``) for time travel — reproducible
+  training runs pin ``read_version(path, v)`` the way they pin a git
+  SHA — then pruned.
+
+At 100 TB the version directory is the unit of retention cost; the
+pointer flip is O(1) metadata regardless of table size, which is exactly
+why every serious table format commits through a pointer, not a rename
+of the data itself.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VDIR = re.compile(r"^v=(\d{6})$")
+_POINTER = "_LATEST"
+
+
+def list_versions(path: str) -> list[int]:
+    """All committed + orphaned version ids present on disk, ascending."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        m = _VDIR.match(name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_version(path: str) -> int | None:
+    """The committed version the pointer names, or None before the first
+    commit. Orphaned directories (crash after data write, before the
+    pointer flip) are invisible here — that is the isolation contract."""
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def write_version(
+    df: DataFrame, path: str, retain: int = 3
+) -> int:
+    """Commit ``df`` as the next version of the table at ``path``.
+
+    Returns the committed version id. Sweep-then-write: orphans from a
+    crashed previous writer are removed first so their ids are reused
+    safely (single-writer discipline, same as the runner's swap sinks).
+    """
+    os.makedirs(path, exist_ok=True)
+    committed = latest_version(path)
+    # sweep orphans: any version dir newer than the pointer never
+    # committed — a previous writer crashed between data and pointer
+    for v in list_versions(path):
+        if committed is None or v > committed:
+            shutil.rmtree(os.path.join(path, f"v={v:06d}"))
+    new_v = (committed + 1) if committed is not None else 0
+    vdir = os.path.join(path, f"v={new_v:06d}")
+    df.write.mode("error").parquet(vdir)  # immutable: never overwrite
+    # atomic pointer flip commits the version
+    tmp = os.path.join(path, _POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{new_v}\n")
+    os.replace(tmp, os.path.join(path, _POINTER))
+    # retention: keep the newest ``retain`` committed versions
+    keep = {new_v - i for i in range(retain)}
+    for v in list_versions(path):
+        if v not in keep and v <= new_v:
+            shutil.rmtree(os.path.join(path, f"v={v:06d}"))
+    return new_v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: ``version=None`` reads the committed latest."""
+    v = latest_version(path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    vdir = os.path.join(path, f"v={v:06d}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(
+            f"version {v} not on disk at {path} (pruned or never committed)"
+        )
+    return spark.read.parquet(vdir)

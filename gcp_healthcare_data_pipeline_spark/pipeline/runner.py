@@ -76,15 +76,22 @@ class Runner:
         clock: datetime | None = None,
         retries: int = 1,
         retry_delay_s: float = 0.0,
+        versioned_gold: bool = False,
+        gold_retain: int = 3,
     ):
         # retries/retry_delay_s mirror the reference DAGs' retry policy
         # (dags/parent_dag.py:16-17, dags/bq_dag.py:39-40: 1 retry, 5-min
-        # delay); tests pass retry_delay_s=0.
+        # delay); tests pass retry_delay_s=0. versioned_gold additionally
+        # snapshots each mart into gold_history/<mart>/v=NNNNNN with an
+        # atomic pointer commit (operators/versioning.py) so downstream
+        # consumers can time-travel / pin reproducible inputs.
         self.spark = spark
         self.warehouse = warehouse
         self.clock = clock or datetime.utcnow()
         self.retries = retries
         self.retry_delay_s = retry_delay_s
+        self.versioned_gold = versioned_gold
+        self.gold_retain = gold_retain
         self.ledger = AuditLedger(spark, os.path.join(warehouse, "control"))
         self.logger = PipelineLogger(spark, os.path.join(warehouse, "control"))
 
@@ -316,6 +323,22 @@ class Runner:
         }
         for name, df in marts.items():
             self._write_replace(df, self._zone("gold", name))
+            if self.versioned_gold:
+                # snapshot history beside the live mart: readers pin a
+                # version id for reproducible downstream runs while the
+                # truncate-reload path stays reference-faithful
+                from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+                    write_version,
+                )
+
+                v = write_version(
+                    self.spark.read.parquet(self._zone("gold", name)),
+                    self._zone("gold_history", name),
+                    retain=self.gold_retain,
+                )
+                self.logger.log(
+                    "INFO", f"gold/{name} snapshot v{v}", "gold"
+                )
 
     # -- maintenance: small-file compaction over warehouse zones -----------
     def compact_zone(
