@@ -42,15 +42,24 @@ def bucket_sql(col: str, lo: str, hi: str, bits: int, dialect: str) -> str:
     )
 
 
-def morton_sql(a: str, b: str, bits: int) -> str:
-    """Interleave the low ``bits`` bits of two bucket ids: a's bit i goes
-    to position 2i+1, b's to 2i. Identical syntax in Spark SQL and DuckDB
-    (``>>``, ``<<``, ``&``, ``+``)."""
+def morton_sql_n(cols: list[str], bits: int) -> str:
+    """Interleave the low ``bits`` bits of N bucket ids round-robin:
+    column j's bit i lands at position i*N + (N-1-j), so earlier columns
+    take the more significant slot within each round. Identical syntax
+    in Spark SQL and DuckDB (``>>``, ``<<``, ``&``, ``+``)."""
+    n = len(cols)
     terms = []
     for i in range(bits):
-        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
-        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+        for j, c in enumerate(cols):
+            pos = i * n + (n - 1 - j)
+            terms.append(f"((({c} >> {i}) & 1) << {pos})")
     return "(" + " + ".join(terms) + ")"
+
+
+def morton_sql(a: str, b: str, bits: int) -> str:
+    """Two-dimensional special case of ``morton_sql_n``: a's bit i goes
+    to position 2i+1, b's to 2i."""
+    return morton_sql_n([a, b], bits)
 
 
 def zorder_assign(

@@ -85,3 +85,42 @@ def test_write_zordered_roundtrip_and_layout(spark, tmp_path):
         .collect()
     )
     assert all(r.xspan <= 32 and r.yspan <= 32 for r in per_dir)
+
+
+def test_morton_n_dims_is_exact_and_local():
+    """3-D Morton codes: exact against a reference implementation, and
+    contiguous code ranges cover small cubes (locality in every dim)."""
+    import duckdb
+
+    from gcp_healthcare_data_pipeline_spark.operators.layout import (
+        morton_sql_n,
+    )
+
+    expr = morton_sql_n(["a", "b", "c"], 3)
+    rows = [(a, b, c) for a in range(8) for b in range(8) for c in range(8)]
+    values = ", ".join(f"({a},{b},{c})" for a, b, c in rows)
+    got = duckdb.sql(
+        f"SELECT a, b, c, {expr} AS z FROM (VALUES {values}) t(a,b,c)"
+    ).fetchall()
+
+    def ref(a, b, c):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (i * 3 + 2)
+            z |= ((b >> i) & 1) << (i * 3 + 1)
+            z |= ((c >> i) & 1) << (i * 3 + 0)
+        return z
+
+    zmap = {}
+    for a, b, c, z in got:
+        assert z == ref(a, b, c)
+        zmap[z] = (a, b, c)
+    # codes are a permutation of 0..511 (bijective interleave)
+    assert sorted(zmap) == list(range(512))
+    # every aligned run of 64 consecutive codes is a 4x4x4 cube
+    for start in range(0, 512, 64):
+        pts = [zmap[z] for z in range(start, start + 64)]
+        for d in range(3):
+            lo = min(p[d] for p in pts)
+            hi = max(p[d] for p in pts)
+            assert hi - lo == 3
