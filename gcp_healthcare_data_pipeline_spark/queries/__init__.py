@@ -20,6 +20,7 @@ def all_queries() -> dict[str, QuerySpec]:
         event_queries,
         extended_queries,
         gold_analogs,
+        lake_queries,
         pipeline_queries,
         silver_analogs,
         stats_queries,
@@ -32,6 +33,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     out = collect(
         gold_analogs.QUERIES,
+        lake_queries.QUERIES,
         silver_analogs.QUERIES,
         dedup_queries.QUERIES,
         text_queries.QUERIES,
@@ -77,6 +79,8 @@ _DRIVER_PRIORITY = [
     "q_countmin_heavy",
     "q_knn_graph",
     "q_stream_backfill",
+    "q_version_diff",
+    "q_compaction_roundtrip",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -112,11 +116,9 @@ _DRIVER_PRIORITY = [
     "q_scd2_customer",
     "q_scd2_two_runs",
     # continuity: dedup family
-    "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     # continuity: text analysis
-    "q_token_count",
     "q_text_quality",
     # continuity: vector / similarity
     "q_ann_ivf",
