@@ -81,6 +81,8 @@ _DRIVER_PRIORITY = [
     "q_stream_backfill",
     "q_version_diff",
     "q_compaction_roundtrip",
+    "q_nation_trade",
+    "q_market_share",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -113,10 +115,8 @@ _DRIVER_PRIORITY = [
     "q_incremental_watermark",
     "q_charge_summary",
     # continuity: SCD2 merge
-    "q_scd2_customer",
     "q_scd2_two_runs",
     # continuity: dedup family
-    "q_dedup_minhash_lsh",
     "q_dedup_clusters",
     # continuity: text analysis
     "q_text_quality",

@@ -446,6 +446,166 @@ LIMIT 5
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q7-style: bilateral trade volume between two nations by year
+# --------------------------------------------------------------------------
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two specific nations, both directions, by
+    ship year — the TPC-H Q7 shape: fact ⋈ supplier-nation ⋈
+    customer-nation with a PAIR predicate, where naive SQL writes an OR
+    over two nation orderings.
+
+    Plan shape: ``nation`` broadcasts twice under different aliases
+    (supp side / cust side); the pair predicate collapses to a filter on
+    the two broadcast-joined name columns, so the fact scans once and
+    shuffles only for the final small groupBy. Supplier/customer scale
+    with SF and stay AQE-decided joins, same posture as
+    q_regional_supplier_volume.
+    """
+    t = load_tables(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    n1, n2 = "NATION_1", "NATION_2"
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin(n1, n2))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_ORACLE_NATION_TRADE = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+  AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name != nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8-style: one nation's market share within a product segment
+# --------------------------------------------------------------------------
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of PROMO-part revenue by order year — the TPC-H
+    Q8 shape: a conditional-sum ratio (CASE inside SUM) over a five-way
+    star join, the single-pass alternative to self-joining totals
+    against a filtered subset.
+
+    The nation tag rides a broadcast; the PROMO filter pushes into the
+    ``part`` scan before its join. One aggregation computes numerator
+    and denominator together — no second pass, no join of aggregates.
+    """
+    t = load_tables(
+        spark, sf_dir, "nation", "orders", "lineitem", "supplier", "part"
+    )
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias("nation_revenue"),
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+        )
+    )
+
+
+_ORACLE_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       ROUND(SUM(CASE WHEN n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS nation_revenue,
+       ROUND(SUM(CASE WHEN n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Z-order layout statistics: Morton-curve clustering for data skipping
 # --------------------------------------------------------------------------
 
@@ -552,5 +712,13 @@ QUERIES = [
     QuerySpec(
         "q_zorder_stats", q_zorder_stats, _zorder_oracle(),
         "ext:layout (Morton-curve clustering for 2-D data skipping)",
+    ),
+    QuerySpec(
+        "q_nation_trade", q_nation_trade, _ORACLE_NATION_TRADE,
+        "ext:star-join (TPC-H Q7 shape, bilateral pair predicate)",
+    ),
+    QuerySpec(
+        "q_market_share", q_market_share, _ORACLE_MARKET_SHARE,
+        "ext:star-join (TPC-H Q8 shape, conditional-sum ratio)",
     ),
 ]
