@@ -83,6 +83,8 @@ _DRIVER_PRIORITY = [
     "q_compaction_roundtrip",
     "q_nation_trade",
     "q_market_share",
+    "q_weighted_sample",
+    "q_stream_left_join",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -115,9 +117,7 @@ _DRIVER_PRIORITY = [
     "q_incremental_watermark",
     "q_charge_summary",
     # continuity: SCD2 merge
-    "q_scd2_two_runs",
     # continuity: dedup family
-    "q_dedup_clusters",
     # continuity: text analysis
     "q_text_quality",
     # continuity: vector / similarity

@@ -309,6 +309,115 @@ GROUP BY 1
 """
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: view->purchase
+    attribution where views with NO purchase in the 10-minute horizon
+    are also emitted (NULL-extended) — the state semantics inner joins
+    don't exercise: an unmatched left row may only emit once the
+    watermark proves no future match can arrive.
+
+    Rows whose join horizon ends near the stream tail are withheld by
+    design: the GLOBAL watermark is the MIN across both streams'
+    watermarks (here purchases end 32 min before views, so it lags the
+    view clock), and an unmatched view emits only once that watermark
+    passes ``view_time + horizon`` — measured boundary =
+    ``least(max_view, max_buy) - 20 min``. The comparison therefore uses
+    the STABLE REGION: ``view_time <= least(max_view, max_buy) - 30
+    min`` (boundary + 10-min margin), where emission is guaranteed.
+    Matched rows match the batch twin everywhere; the stable-region
+    filter only trims the tail of the unmatched side.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_event_id"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", "10 minutes")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_time").alias("buy_time"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_time", "10 minutes")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = b_user AND buy_time >= view_time "
+            "AND buy_time <= view_time + interval 10 minutes"
+        ),
+        "leftOuter",
+    )
+    out = _drain(joined, spark, mode="append")
+    batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from gcp_healthcare_data_pipeline_spark.session import (  # noqa: PLC0415
+        event_time_col,
+    )
+
+    t = event_time_col(batch_ev)
+    cutoff = batch_ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", t)),
+                F.max(F.when(F.col("event_type") == "purchase", t)),
+            )
+            - F.expr("interval 30 minutes")
+        ).alias("cut")
+    )
+    return (
+        out.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("view_time") <= F.col("cut"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(F.col("buy_time").isNull().cast("bigint")).alias(
+                "n_unconverted"
+            ),
+            F.round(F.coalesce(F.sum("buy_value"), F.lit(0.0)), 2).alias(
+                "attr_value"
+            ),
+        )
+    )
+
+
+_ORACLE_STREAM_LEFT_JOIN = """
+WITH v AS (
+  SELECT user_id, event_id, ts AS view_time FROM events
+  WHERE event_type = 'view'
+), b AS (
+  SELECT user_id AS b_user, ts AS buy_time, value AS buy_value
+  FROM events WHERE event_type = 'purchase'
+), cut AS (
+  SELECT LEAST(
+           MAX(CASE WHEN event_type = 'view' THEN ts END),
+           MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+         ) - INTERVAL 30 MINUTE AS c
+  FROM events
+), j AS (
+  SELECT v.user_id, v.view_time, b.buy_time, b.buy_value
+  FROM v LEFT JOIN b
+    ON v.user_id = b.b_user
+   AND epoch_us(b.buy_time) >= epoch_us(v.view_time)
+   AND epoch_us(b.buy_time) <= epoch_us(v.view_time) + 600000000
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN buy_time IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unconverted,
+       ROUND(COALESCE(SUM(buy_value), 0.0), 2) AS attr_value
+FROM j CROSS JOIN cut
+WHERE epoch_us(view_time) <= epoch_us(c)
+GROUP BY 1
+"""
+
+
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events stream through the idempotent foreachBatch keyed
     upsert sink (streaming/sinks.py) and return the sink's final state:
@@ -447,6 +556,11 @@ QUERIES = [
         "q_stream_stream_join", q_stream_stream_join,
         _ORACLE_STREAM_STREAM_JOIN,
         "ext:streaming watermarked stream-stream interval join",
+    ),
+    QuerySpec(
+        "q_stream_left_join", q_stream_left_join,
+        _ORACLE_STREAM_LEFT_JOIN,
+        "ext:streaming (LEFT OUTER stream-stream join, stable region)",
     ),
     QuerySpec(
         "q_stream_upsert", q_stream_upsert, _ORACLE_STREAM_UPSERT,

@@ -28,6 +28,64 @@ from gcp_healthcare_data_pipeline_spark.session import load_tables
 # ---------------------------------------------------------------------------
 
 
+_AES_K = 50
+_AES_DENOM = float(16**12) + 1.0  # md5 48-bit prefix -> u in (0, 1]
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the A-ES exponential
+    jumps key (Efraimidis & Spirakis 2006, public algorithm): each doc
+    draws a deterministic uniform u from its md5, and the k largest
+    ``ln(u) / weight`` keys ARE a weighted sample without replacement —
+    one pass, no rejection loop, no sequential state. Weight here is
+    ``n_chars``, the 'sample proportional to token cost' policy a
+    data-mix pipeline uses when an epoch can't afford the full corpus.
+
+    Scale shape: key computation is map-side arithmetic on the scan;
+    selection is ``orderBy().limit(k)`` = TakeOrderedAndProject
+    (per-partition heaps, driver merges k rows) — the same no-global-sort
+    discipline as q_shipping_priority. The md5-derived u makes the draw
+    reproducible AND cross-engine identical, so the oracle replays the
+    exact sample.
+    """
+    docs = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(_AES_DENOM)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(_AES_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("sample_key", 9).alias("sample_key"),
+        )
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        + 1.0) / {_AES_DENOM!r}) / n_chars AS sample_key
+  FROM documents
+)
+SELECT doc_id, n_chars, ROUND(sample_key, 9) AS sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {_AES_K}
+"""
+
+
 def _hash_bucket(col) -> F.Column:
     """md5(doc_id) -> first 6 hex chars -> int48 -> mod 100. Stable across
     engines, executors, and reruns — the property random() lacks."""
@@ -788,6 +846,10 @@ QUERIES = [
     QuerySpec(
         "q_train_split", q_train_split, _ORACLE_TRAIN_SPLIT,
         "ext:training split",
+    ),
+    QuerySpec(
+        "q_weighted_sample", q_weighted_sample, _ORACLE_WEIGHTED_SAMPLE,
+        "ext:training (A-ES weighted sampling without replacement)",
     ),
     QuerySpec(
         "q_group_split", q_group_split, _ORACLE_GROUP_SPLIT,
