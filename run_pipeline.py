@@ -47,13 +47,44 @@ def main() -> int:
     ap.add_argument("--sources", required=True)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--clock", default=None, help="ISO timestamp for SCD2 runs")
+    ap.add_argument(
+        "--bucketize", action="store_true",
+        help="materialize bucketed silver tables (exchange-free merges)",
+    )
+    ap.add_argument(
+        "--versioned-gold", action="store_true",
+        help="snapshot each gold mart into gold_history (time travel)",
+    )
+    ap.add_argument(
+        "--gold-retain", type=int, default=3,
+        help="gold snapshot versions to retain (with --versioned-gold)",
+    )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="bin-pack small files across warehouse zones after the run",
+    )
     args = ap.parse_args()
 
     clock = datetime.fromisoformat(args.clock) if args.clock else None
     spark = get_spark("healthcare-pipeline")
-    runner = Runner(spark, args.warehouse, clock=clock)
-    summary = runner.run(source_paths(args.sources))
-    print(json.dumps({"gold_mart_rows": summary}))
+    runner = Runner(
+        spark,
+        args.warehouse,
+        clock=clock,
+        versioned_gold=args.versioned_gold,
+        gold_retain=args.gold_retain,
+    )
+    summary = runner.run(source_paths(args.sources), bucketize=args.bucketize)
+    out = {"gold_mart_rows": summary}
+    if args.compact:
+        out["compaction"] = {
+            zone: {
+                t: {k: r[k] for k in ("n_files", "target_files", "compacted")}
+                for t, r in runner.compact_zone(zone).items()
+            }
+            for zone in ("silver", "gold")
+        }
+    print(json.dumps(out))
     return 0
 
 
