@@ -85,6 +85,7 @@ _DRIVER_PRIORITY = [
     "q_market_share",
     "q_weighted_sample",
     "q_stream_left_join",
+    "q_temperature_mix",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -122,7 +123,6 @@ _DRIVER_PRIORITY = [
     "q_text_quality",
     # continuity: vector / similarity
     "q_ann_ivf",
-    "q_semdedup",
     # (curation/training/multimodal/windows continuity picks rotated
     # out this round — those families all have green r5 driver rows)
 ]

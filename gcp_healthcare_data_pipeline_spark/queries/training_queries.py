@@ -32,6 +32,69 @@ _AES_K = 50
 _AES_DENOM = float(16**12) + 1.0  # md5 48-bit prefix -> u in (0, 1]
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (alpha = 0.5): resample so
+    language volumes go as n^alpha instead of n — the standard
+    multilingual rebalancing (T5/mC4-style) that upweights low-resource
+    languages without flattening the mixture entirely. Rates derive from
+    the data: rate_lang = sqrt(n_min / n_lang), so the scarcest language
+    keeps 100% and heavier ones are hash-downsampled toward the
+    temperature curve.
+
+    Scale shape: the per-language counts are a tiny aggregate; the rate
+    table broadcasts back; keep/drop is the map-side md5 bucket filter —
+    the corpus is never shuffled (same discipline as q_domain_mix, which
+    targets a FIXED weighted mixture; this derives the mixture from a
+    temperature).
+    """
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    allw = Window.partitionBy()  # one row per language: tiny frame
+    rates = counts.withColumn(
+        "keep_pct",
+        F.floor(
+            100.0
+            * F.sqrt(
+                F.min("n_docs").over(allw).cast("double") / F.col("n_docs")
+            )
+        ).cast("bigint"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_hash_bucket(F.col("doc_id")) < F.col("keep_pct"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "keep_pct",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+    )
+
+
+_ORACLE_TEMPERATURE_MIX = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), m AS (
+  SELECT MIN(n_docs) AS mn FROM c
+), r AS (
+  SELECT lang, n_docs,
+    CAST(FLOOR(100.0 * sqrt(CAST(mn AS DOUBLE) / n_docs)) AS BIGINT)
+      AS keep_pct
+  FROM c CROSS JOIN m
+), k AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d JOIN r USING (lang)
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+        < keep_pct
+  GROUP BY 1
+)
+SELECT lang, n_docs, keep_pct, COALESCE(n_kept, 0) AS n_kept
+FROM r LEFT JOIN k USING (lang)
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling WITHOUT replacement via the A-ES exponential
     jumps key (Efraimidis & Spirakis 2006, public algorithm): each doc
@@ -850,6 +913,10 @@ QUERIES = [
     QuerySpec(
         "q_weighted_sample", q_weighted_sample, _ORACLE_WEIGHTED_SAMPLE,
         "ext:training (A-ES weighted sampling without replacement)",
+    ),
+    QuerySpec(
+        "q_temperature_mix", q_temperature_mix, _ORACLE_TEMPERATURE_MIX,
+        "ext:training (alpha=0.5 temperature-scaled language rebalance)",
     ),
     QuerySpec(
         "q_group_split", q_group_split, _ORACLE_GROUP_SPLIT,
