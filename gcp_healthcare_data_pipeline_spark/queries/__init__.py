@@ -86,6 +86,7 @@ _DRIVER_PRIORITY = [
     "q_weighted_sample",
     "q_stream_left_join",
     "q_temperature_mix",
+    "q_cluster_balance",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
     "q_approx_quantiles",
@@ -111,7 +112,6 @@ _DRIVER_PRIORITY = [
     # continuity: streaming + event-time (green r5)
     "q_stream_tumbling",
     "q_stream_upsert",
-    "q_events_sessionize",
     # continuity: silver/gold analogs (last driver rows r1-r3)
     "q_conform_union",
     "q_quarantine_documents",

@@ -509,6 +509,85 @@ FROM a2 GROUP BY 1
 """
 
 
+_BALANCE_CAP = 20
+
+
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: cap every semantic k-means
+    cluster at ``_BALANCE_CAP`` embeddings, picking members by a
+    deterministic md5 shuffle — the 'no topic dominates the batch'
+    selection used for dedup-aware data curation and eval-set
+    construction (complementary to q_temperature_mix, which balances by
+    METADATA language; this balances by learned CONTENT clusters).
+
+    Same deterministic blocking as q_semdedup/q_knn_graph (seed
+    centroids + one Lloyd refinement). The per-cluster pick is a window
+    over cluster members — bounded by cluster size, no global sort; the
+    md5 order makes the 'random' subset reproducible and cross-engine
+    identical.
+    """
+    from pyspark.sql import Window
+
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+    )
+    centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
+    assigned = _kmeans_assign(emb, centroids).select("vec_id", "centroid_id")
+    shuffle_key = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("centroid_id").orderBy(
+        shuffle_key.asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= _BALANCE_CAP)
+        .select("centroid_id", "vec_id", "pick_rank")
+    )
+
+
+_ORACLE_CLUSTER_BALANCE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+), s1 AS (
+  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
+), d1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
+), s2 AS (
+  SELECT e.vec_id, c1.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c1
+), a2 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
+)
+SELECT centroid_id, vec_id, CAST(pick_rank AS INT) AS pick_rank
+FROM (
+  SELECT centroid_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+               ASC, vec_id ASC) AS pick_rank
+  FROM a2)
+WHERE pick_rank <= {_BALANCE_CAP}
+"""
+
+
 _SEMDEDUP_THR = 0.35
 
 
@@ -850,5 +929,9 @@ QUERIES = [
     QuerySpec(
         "q_semdedup", q_semdedup, _ORACLE_SEMDEDUP,
         "ext:dedup (SemDeDup cluster-scoped embedding near-dup pruning)",
+    ),
+    QuerySpec(
+        "q_cluster_balance", q_cluster_balance, _ORACLE_CLUSTER_BALANCE,
+        "ext:similarity (cluster-capped diversity sampling)",
     ),
 ]
