@@ -109,20 +109,16 @@ _DRIVER_PRIORITY = [
     # new checkable oracles this round (were err: no_oracle in r5)
     "q_ann_lsh",
     "q_approx_distinct",
-    # continuity: streaming + event-time (green r5)
+    # record-linkage composition new this round
+    "q_golden_record",
+    # continuity picks (one per long-green family; every family not
+    # listed has green r5 driver rows, and quarantine/SCD2/gold logic
+    # is also exercised by the 6 pipeline gates in slots 1-6)
     "q_stream_tumbling",
     "q_stream_upsert",
-    # continuity: silver/gold analogs (last driver rows r1-r3)
     "q_conform_union",
-    "q_quarantine_documents",
     "q_incremental_watermark",
     "q_charge_summary",
-    # continuity: SCD2 merge
-    # continuity: dedup family
-    # continuity: text analysis
-    "q_text_quality",
-    # continuity: vector / similarity
+    "q_scd2_customer",
     "q_ann_ivf",
-    # (curation/training/multimodal/windows continuity picks rotated
-    # out this round — those families all have green r5 driver rows)
 ]

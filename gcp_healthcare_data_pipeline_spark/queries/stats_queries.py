@@ -265,6 +265,105 @@ _ORACLE_PROFILE_TABLE = " UNION ALL ".join(
 )
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (the MDM 'golden record' operator):
+    fuzzy-match supplier names (FastSS deletion-neighborhood blocking +
+    levenshtein ≤ 1 — q_fuzzy_name_match's lossless candidate
+    generator), close the match graph transitively (min-label-propagation
+    connected components, operators/dedup.py), and elect one canonical
+    id per entity cluster. Every supplier maps to its golden record;
+    singletons are their own canonical.
+
+    Scale shape: blocking keeps candidate generation a near-unique-key
+    shuffle (never O(n²)); components converge in O(cluster diameter)
+    rounds over duplicate-sized clusters; the canonical election is one
+    aggregation on the (tiny) component table broadcast back. The
+    transitive step is what pairwise linkage alone can't do: A~B and
+    B~C unify A,B,C under one id even though A and C never matched
+    directly — pinned by the recursive-CTE oracle.
+    """
+    from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    sup = load_tables(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    variants = sup.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(s_name), 1), i -> "
+                "concat(substring(s_name, 1, i), substring(s_name, i + 2)))"
+            )
+        ).alias("vkey"),
+    )
+    a = variants.select(
+        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"),
+        "vkey",
+    )
+    b = variants.select(
+        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"),
+        "vkey",
+    )
+    pairs = (
+        a.join(b, "vkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    resolved = (
+        sup.join(comp, sup.s_suppkey == comp.id, "left")
+        .select(
+            F.col("s_suppkey").alias("entity_id"),
+            F.col("s_name").alias("name"),
+            F.coalesce("component", "s_suppkey").alias("canonical_id"),
+        )
+    )
+    sizes = resolved.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return resolved.join(F.broadcast(sizes), "canonical_id").select(
+        "entity_id",
+        "name",
+        "canonical_id",
+        "cluster_size",
+        (F.col("entity_id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+_ORACLE_GOLDEN_RECORD = """
+WITH RECURSIVE pairs AS (
+  SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+  FROM supplier a JOIN supplier b
+    ON a.s_suppkey < b.s_suppkey
+   AND levenshtein(a.s_name, b.s_name) <= 1
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst
+), comp AS (
+  SELECT id, MIN(lbl) AS component FROM reach GROUP BY id
+), resolved AS (
+  SELECT s.s_suppkey AS entity_id, s.s_name AS name,
+         COALESCE(comp.component, s.s_suppkey) AS canonical_id
+  FROM supplier s LEFT JOIN comp ON comp.id = s.s_suppkey
+), sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size FROM resolved GROUP BY 1
+)
+SELECT entity_id, name, canonical_id, cluster_size,
+       entity_id = canonical_id AS is_canonical
+FROM resolved JOIN sizes USING (canonical_id)
+"""
+
+
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 _CMS_TOPK = 5
@@ -391,6 +490,10 @@ QUERIES = [
     QuerySpec(
         "q_fuzzy_name_match", q_fuzzy_name_match, _ORACLE_FUZZY_NAME_MATCH,
         "ext:record-linkage",
+    ),
+    QuerySpec(
+        "q_golden_record", q_golden_record, _ORACLE_GOLDEN_RECORD,
+        "ext:record-linkage (transitive entity resolution, golden record)",
     ),
     QuerySpec(
         "q_profile_table", q_profile_table, _ORACLE_PROFILE_TABLE,
