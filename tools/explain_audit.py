@@ -1,6 +1,7 @@
 """Physical-plan audit: dump every registry query's plan and flag scale
 anti-patterns (cartesian products, missing pushdown, sort-merge joins on
-dim tables, row-at-a-time Python evaluation).
+dim tables, row-at-a-time Python evaluation, and UNDOCUMENTED
+single-partition windows).
 
 Usage: python tools/explain_audit.py [query ...] [--sf DIR] [--dump]
 """
@@ -8,6 +9,7 @@ Usage: python tools/explain_audit.py [query ...] [--sf DIR] [--dump]
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -17,6 +19,24 @@ FLAGS = {
     "CartesianProduct": "cartesian product (unbounded fan-out)",
     "BatchEvalPython": "row-at-a-time Python UDF in plan",
     "PythonUDF": "Python UDF in plan",
+}
+
+# windowspecdefinition whose first argument is an order spec or a frame
+# (no partition columns) = all rows through ONE task. Each allowed
+# query carries the documented reason its frame is bounded.
+_GLOBAL_WINDOW = re.compile(
+    r"windowspecdefinition\((specifiedwindowframe|[^,)]*\b(ASC|DESC)\b)"
+)
+GLOBAL_WINDOW_ALLOWED = {
+    # prefix-sum over the range-bucket COUNT table (~N/width rows), not
+    # the data — the documented two-phase stable-ID pattern
+    "q_stable_ids": "bucket-offset prefix sum over the tiny count table",
+    # rank assignment AFTER TakeOrdered: window sees <= k rows
+    "q_bpe_merges": "rank over the 20-row TakeOrdered result",
+    "q_bm25_search": "rank over the 10-row TakeOrdered result",
+    # window-min over one row per source/language (<= dozens)
+    "q_domain_mix": "min over the per-source count table",
+    "q_temperature_mix": "min over the per-language count table",
 }
 
 
@@ -53,6 +73,10 @@ def main() -> int:
             "PushedFilters: [And"
         ) + plan.count("PushedFilters: [Gr") + plan.count("PushedFilters: [EqualTo")
         flags = [msg for pat, msg in FLAGS.items() if pat in plan]
+        if _GLOBAL_WINDOW.search(plan) and name not in GLOBAL_WINDOW_ALLOWED:
+            flags.append(
+                "single-partition window (undocumented global frame)"
+            )
         flag_str = ("  !! " + "; ".join(flags)) if flags else ""
         n_flagged += bool(flags)
         print(
