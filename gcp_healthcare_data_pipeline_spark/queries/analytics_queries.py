@@ -484,6 +484,12 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isin(n1, n2))
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
+    # exact integer revenue unit (cents x integer discount percent) so
+    # the sum is order-independent across engines — see q_market_share
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
     return (
         t["lineitem"]
         .join(
@@ -499,30 +505,42 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("ship_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume"),
+            F.sum(rev_i).alias("_vol_i"),
             F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            F.round(F.col("_vol_i") / 10000.0, 2).alias("volume"),
+            "n_lineitems",
         )
     )
 
 
 _ORACLE_NATION_TRADE = """
-SELECT ns.n_name AS supp_nation,
-       nc.n_name AS cust_nation,
-       CAST(year(l_shipdate) AS INT) AS ship_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume,
-       COUNT(*) AS n_lineitems
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ns ON s_nationkey = ns.n_nationkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation nc ON c_nationkey = nc.n_nationkey
-WHERE ns.n_name IN ('NATION_1', 'NATION_2')
-  AND nc.n_name IN ('NATION_1', 'NATION_2')
-  AND ns.n_name != nc.n_name
-GROUP BY 1, 2, 3
+WITH agg AS (
+  SELECT ns.n_name AS supp_nation,
+         nc.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS ship_year,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS vol_i,
+         COUNT(*) AS n_lineitems
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+    AND nc.n_name IN ('NATION_1', 'NATION_2')
+    AND ns.n_name != nc.n_name
+  GROUP BY 1, 2, 3
+)
+SELECT supp_nation, cust_nation, ship_year,
+       ROUND(vol_i / 10000.0, 2) AS volume,
+       n_lineitems
+FROM agg
 """
 
 
@@ -539,6 +557,11 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The nation tag rides a broadcast; the PROMO filter pushes into the
     ``part`` scan before its join. One aggregation computes numerator
     and denominator together — no second pass, no join of aggregates.
+    Revenue accumulates in EXACT integer ten-thousandths of a dollar
+    (price cents × integer discount percent — both exact in the data),
+    so the sum is order-independent and the final ROUND can't flip on a
+    half-cent boundary between engines (the q_above_avg_orders lesson;
+    a double SUM here differed at the last cent at sf0.001).
     """
     t = load_tables(
         spark, sf_dir, "nation", "orders", "lineitem", "supplier", "part"
@@ -552,7 +575,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer revenue unit: cents * (100 - discount_pct)
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    nation_i = F.when(
+        F.col("supp_nation") == "NATION_3", rev_i
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
         t["lineitem"]
         .join(promo, F.col("l_partkey") == F.col("p_partkey"))
@@ -563,45 +593,41 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.sum(rev_i).alias("_tot_i"), F.sum(nation_i).alias("_nat_i")
+        )
+        .select(
+            "order_year",
+            F.round(F.col("_tot_i") / 10000.0, 2).alias("total_revenue"),
+            F.round(F.col("_nat_i") / 10000.0, 2).alias("nation_revenue"),
             F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
-                        F.lit(0.0)
-                    )
-                ),
-                2,
-            ).alias("nation_revenue"),
-            F.round(
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
-                        F.lit(0.0)
-                    )
-                )
-                / F.sum(rev),
-                6,
+                F.col("_nat_i").cast("double") / F.col("_tot_i"), 6
             ).alias("mkt_share"),
         )
     )
 
 
 _ORACLE_MARKET_SHARE = """
-SELECT CAST(year(o_orderdate) AS INT) AS order_year,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-       ROUND(SUM(CASE WHEN n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END), 2) AS nation_revenue,
-       ROUND(SUM(CASE WHEN n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
-FROM lineitem
-JOIN part     ON l_partkey = p_partkey
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-WHERE p_type = 'PROMO'
-GROUP BY 1
+WITH agg AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS tot_i,
+         SUM(CASE WHEN n_name = 'NATION_3'
+                  THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS nat_i
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1
+)
+SELECT order_year,
+       ROUND(tot_i / 10000.0, 2) AS total_revenue,
+       ROUND(nat_i / 10000.0, 2) AS nation_revenue,
+       ROUND(CAST(nat_i AS DOUBLE) / tot_i, 6) AS mkt_share
+FROM agg
 """
 
 

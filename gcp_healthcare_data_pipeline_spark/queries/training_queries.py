@@ -755,7 +755,13 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("dsir_score"),
+            # + 0.0 normalizes IEEE negative zero: a doc whose log-ratios
+            # cancel can round to -0.0 in one engine and +0.0 in the
+            # other (seen at sf0.1), and the driver's str()-hash compare
+            # distinguishes them
+            (F.round(F.sum("lr") / F.count(F.lit(1)), 6) + F.lit(0.0)).alias(
+                "dsir_score"
+            ),
         )
     )
 
@@ -779,7 +785,7 @@ WITH toks AS (
 )
 SELECT k.doc_id, k.lang,
   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-  ROUND(SUM(l.lr) / COUNT(*), 6) AS dsir_score
+  ROUND(SUM(l.lr) / COUNT(*), 6) + 0.0 AS dsir_score
 FROM toks k JOIN lr l USING (tok)
 GROUP BY 1, 2
 """
