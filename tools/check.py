@@ -55,6 +55,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--all-sf", action="store_true",
+        help="sweep sf0.001 + sf0.01 + sf0.1 (catches boundary-class "
+        "bugs a single SF misses: half-cent rounding flips, IEEE -0.0)",
+    )
     args = ap.parse_args()
 
     from gcp_healthcare_data_pipeline_spark.queries import all_queries
@@ -63,7 +68,22 @@ def main() -> int:
     specs = all_queries()
     names = args.names or list(specs)
     spark = get_spark("check")
-    con = duck_con(args.sf)
+
+    sf_dirs = (
+        [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+        if args.all_sf
+        else [args.sf]
+    )
+    rc = 0
+    for sf_dir in sf_dirs:
+        if args.all_sf:
+            print(f"=== {sf_dir} ===")
+        rc |= run_sweep(spark, specs, names, sf_dir)
+    return rc
+
+
+def run_sweep(spark, specs, names, sf_dir: str) -> int:
+    con = duck_con(sf_dir)
 
     failures = 0
     for name in names:
@@ -72,7 +92,7 @@ def main() -> int:
         # per-query failure isolation: a raising query prints one FAIL row
         # and the sweep continues (mirrors bench.py; see VERDICT r4)
         try:
-            sdf = spec.fn(spark, args.sf).toPandas()
+            sdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             failures += 1
             msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:160]
