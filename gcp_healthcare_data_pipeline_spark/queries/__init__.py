@@ -111,6 +111,7 @@ _DRIVER_PRIORITY = [
     "q_approx_distinct",
     # record-linkage composition new this round
     "q_golden_record",
+    "q_ewma_values",
     # continuity picks (one per long-green family; every family not
     # listed has green r5 driver rows, and quarantine/SCD2/gold logic
     # is also exercised by the 6 pipeline gates in slots 1-6)
@@ -120,5 +121,4 @@ _DRIVER_PRIORITY = [
     "q_incremental_watermark",
     "q_charge_summary",
     "q_scd2_customer",
-    "q_ann_ivf",
 ]

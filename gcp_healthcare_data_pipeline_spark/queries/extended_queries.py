@@ -844,6 +844,69 @@ GROUP BY 1
 """
 
 
+_EWMA_SPAN = 8  # frame rows; alpha = 0.5
+
+
+def q_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event values
+    (alpha=0.5 over the last 8 events) — the time-series smoothing
+    primitive plain SUM/AVG window frames can't express, because every
+    row in the frame carries a DIFFERENT weight based on its lag.
+
+    Expressed as collect_list over the bounded ordered frame + a HOF
+    fold: weight pow(.5, lag) is an exact power of two and the fold adds
+    in frame order, so both engines run the identical IEEE operation
+    sequence — no rounding slack needed beyond the output ROUND. One
+    shuffle on user_id; the frame is 8 rows regardless of history, so
+    state per row is O(span) at any scale (the true infinite-history
+    EWMA is inherently sequential — the bounded-span form is what
+    distributed engines and pandas ewm(span) actually compute).
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    sel = ev.select(
+        "user_id", "event_id", event_ts_us(ev).alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    num = (
+        "aggregate(zip_with(_vals, sequence(size(_vals) - 1, 0, -1),"
+        " (v, k) -> v * pow(0.5D, k)), 0.0D, (acc, x) -> acc + x)"
+    )
+    den = "(2.0D * (1.0D - pow(0.5D, size(_vals))))"
+    return (
+        sel.withColumn("_vals", vals)
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.size("_vals").alias("n_frame"),
+            F.round(F.expr(f"{num} / {den}"), 6).alias("ewma"),
+        )
+    )
+
+
+_ORACLE_EWMA_VALUES = f"""
+WITH framed AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    list(value) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+  CAST(len(vals) AS INT) AS n_frame,
+  ROUND(
+    list_sum(list_transform(range(1, len(vals) + 1),
+      i -> vals[i] * pow(0.5, len(vals) - i)))
+    / (2.0 * (1.0 - pow(0.5, len(vals)))), 6) AS ewma
+FROM framed
+"""
+
+
 def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer 30-day rolling revenue via a RANGE window frame
     (value-based, not row-based: the frame is 'orders within the last 30
@@ -1088,6 +1151,10 @@ QUERIES = [
     QuerySpec(
         "q_rolling_revenue", q_rolling_revenue, _ORACLE_ROLLING_REVENUE,
         "ext:window (RANGE frame 30-day rolling aggregate)",
+    ),
+    QuerySpec(
+        "q_ewma_values", q_ewma_values, _ORACLE_EWMA_VALUES,
+        "ext:timeseries (bounded-span EWMA via frame HOF fold)",
     ),
     QuerySpec("q_set_ops", q_set_ops, _ORACLE_SET_OPS, "ext:set-ops §2.7"),
     QuerySpec("q_cube_sales", q_cube_sales, _ORACLE_CUBE_SALES, "ext:cube"),
