@@ -112,6 +112,7 @@ _DRIVER_PRIORITY = [
     # record-linkage composition new this round
     "q_golden_record",
     "q_ewma_values",
+    "q_stream_timeout_flush",
     # continuity picks (one per long-green family; every family not
     # listed has green r5 driver rows, and quarantine/SCD2/gold logic
     # is also exercised by the 6 pipeline gates in slots 1-6)
@@ -119,6 +120,5 @@ _DRIVER_PRIORITY = [
     "q_stream_upsert",
     "q_conform_union",
     "q_incremental_watermark",
-    "q_charge_summary",
     "q_scd2_customer",
 ]

@@ -418,6 +418,69 @@ GROUP BY 1
 """
 
 
+def q_stream_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flush-on-expiry stateful operator (GroupStateTimeout.
+    EventTimeTimeout): each user's totals accumulate SILENTLY across
+    micro-batches and emit exactly once when the event-time watermark
+    passes the key's timeout — the TTL'd-state shape (abandoned-cart
+    emission, idle-session close) that update-every-batch operators
+    can't express. streaming/stateful.py:profiles_on_timeout.
+
+    Keys in the watermark tail (last event within ~1 timeout+delay of
+    the stream max) are withheld by design — the final watermark never
+    passes their timeout — so the oracle compares the STABLE REGION:
+    users whose last event is ≥ 2 minutes before the stream max.
+    tests/test_stateful_streaming.py pins the full exactly-once and
+    tail-withholding contract.
+    """
+    from gcp_healthcare_data_pipeline_spark.session import (  # noqa: PLC0415
+        event_time_col,
+    )
+    from gcp_healthcare_data_pipeline_spark.streaming.stateful import (  # noqa: PLC0415
+        profiles_on_timeout,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    stream = (
+        ev.withColumn("ts_us", event_ts_us(ev))
+        .withWatermark("event_time", "1 minute")
+        .select("user_id", "value", "ts_us", "event_time")
+    )
+    out = _drain(profiles_on_timeout(stream), spark, mode="append")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = event_time_col(batch)
+    stable_users = (
+        batch.select("user_id", t.alias("t"))
+        .groupBy("user_id")
+        .agg(F.max("t").alias("last_t"))
+        .crossJoin(
+            F.broadcast(
+                batch.agg(
+                    (F.max(t) - F.expr("interval 2 minutes")).alias("cut")
+                )
+            )
+        )
+        .filter(F.col("last_t") <= F.col("cut"))
+        .select("user_id")
+    )
+    return out.join(F.broadcast(stable_users), "user_id").select(
+        "user_id", "n_events", "total_value"
+    )
+
+
+_ORACLE_STREAM_TIMEOUT_FLUSH = """
+WITH cut AS (
+  SELECT MAX(ts) - INTERVAL 2 MINUTE AS c FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events CROSS JOIN cut
+GROUP BY user_id, c
+HAVING MAX(ts) <= c
+"""
+
+
 def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events stream through the idempotent foreachBatch keyed
     upsert sink (streaming/sinks.py) and return the sink's final state:
@@ -556,6 +619,11 @@ QUERIES = [
         "q_stream_stream_join", q_stream_stream_join,
         _ORACLE_STREAM_STREAM_JOIN,
         "ext:streaming watermarked stream-stream interval join",
+    ),
+    QuerySpec(
+        "q_stream_timeout_flush", q_stream_timeout_flush,
+        _ORACLE_STREAM_TIMEOUT_FLUSH,
+        "ext:streaming (EventTimeTimeout flush-on-expiry state)",
     ),
     QuerySpec(
         "q_stream_left_join", q_stream_left_join,

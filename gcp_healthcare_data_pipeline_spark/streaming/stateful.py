@@ -79,3 +79,62 @@ def running_user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- event-time-timeout variant: emit ONLY when a key's state expires ----
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+
+def _close_on_timeout(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Accumulate silently; emit one final row per key when the
+    event-time watermark passes the key's timeout — the flush-on-expiry
+    shape (per-key sessionization, TTL'd caches, abandoned-cart
+    emission) that ``update``-every-batch operators can't express."""
+    import warnings  # noqa: PLC0415 (runs on executors)
+
+    warnings.filterwarnings("ignore", category=FutureWarning)
+    if state.hasTimedOut:
+        n, total, _last = state.get if state.exists else (0, 0.0, 0)
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+            }
+        )
+        return
+    n, total, last_ts = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            last_ts = max(last_ts, int(pdf["ts_us"].max()))
+    state.update((n, total, last_ts))
+    # expire once the watermark passes the last event + 1ms: for a
+    # bounded drain every key eventually times out and emits exactly once
+    state.setTimeoutTimestamp(last_ts // 1000 + 1)
+    yield from ()
+
+
+def profiles_on_timeout(events: DataFrame) -> DataFrame:
+    """Flush-on-expiry per-user totals: requires a watermarked
+    ``event_time`` column; each key emits exactly one summary row when
+    its event-time timeout fires (for a bounded stream: at end-of-input,
+    when the final watermark passes every timeout)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _close_on_timeout,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
