@@ -112,3 +112,30 @@ def test_morton_is_bijective(n_dims, bits):
     ).fetchall()
     codes = sorted(r[0] for r in got)
     assert codes == list(range(side**n_dims))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.integers(min_value=1, max_value=400),
+    n_files=st.integers(min_value=1, max_value=12),
+)
+def test_compaction_preserves_content_exactly(
+    spark, tmp_path_factory, rows, n_files
+):
+    from gcp_healthcare_data_pipeline_spark.operators.compaction import (
+        compact,
+    )
+
+    path = str(tmp_path_factory.mktemp("cprop") / "t")
+    df = spark.range(rows).select(
+        "id", (F.col("id") % 5).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    df.repartition(n_files).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    compact(spark, path, target_bytes=1 << 30, force=True)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before
