@@ -113,12 +113,12 @@ _DRIVER_PRIORITY = [
     "q_golden_record",
     "q_ewma_values",
     "q_stream_timeout_flush",
+    "q_event_transitions",
+    "q_mom_growth",
     # continuity picks (one per long-green family; every family not
     # listed has green r5 driver rows, and quarantine/SCD2/gold logic
     # is also exercised by the 6 pipeline gates in slots 1-6)
     "q_stream_tumbling",
     "q_stream_upsert",
-    "q_conform_union",
-    "q_incremental_watermark",
     "q_scd2_customer",
 ]

@@ -374,10 +374,118 @@ GROUP BY 1
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition statistics over each user's event
+    sequence: for every (previous event type → event type) pair, the
+    transition count and probability — the behavioral model behind
+    next-action prediction, anomaly scoring, and funnel discovery
+    (funnels are just high-probability transition chains).
+
+    One lag window per user (shuffle on user_id, frames ordered by
+    event time), then a tiny |types|² aggregate with the per-source
+    total supplied in place by a window over the transition table — no
+    second pass over the events.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy(
+        event_ts_us(ev), F.col("event_id")
+    )
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    per_src = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(per_src),
+            6,
+        ).alias("p_transition"),
+    )
+
+
+_ORACLE_EVENT_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+  ROUND(CAST(n_transitions AS DOUBLE)
+        / SUM(n_transitions) OVER (PARTITION BY prev_type), 6)
+    AS p_transition
+FROM pairs
+"""
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly totals, the previous
+    month's total via lag, and the percent change — the BI
+    period-over-period primitive (distinct from the RANGE-frame rolling
+    aggregate: the comparison is to the PRIOR bucket, not a trailing
+    window). Revenue accumulates in exact integer cents so the sum is
+    order-independent across engines.
+    """
+    orders = load_tables(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(F.sum(cents).alias("_cents"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("month")  # |months| rows: tiny frame
+    prev = F.lag("_cents").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        F.round(F.col("_cents") / 100.0, 2).alias("revenue"),
+        F.round(prev / 100.0, 2).alias("prev_revenue"),
+        F.round(
+            (F.col("_cents") - prev) * 100.0 / prev, 4
+        ).alias("growth_pct"),
+    )
+
+
+_ORACLE_MOM_GROWTH = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT month, n_orders,
+  ROUND(cents / 100.0, 2) AS revenue,
+  ROUND(LAG(cents) OVER (ORDER BY month) / 100.0, 2) AS prev_revenue,
+  ROUND((cents - LAG(cents) OVER (ORDER BY month)) * 100.0
+        / LAG(cents) OVER (ORDER BY month), 4) AS growth_pct
+FROM monthly
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_events_tumbling", q_events_tumbling, _ORACLE_EVENTS_TUMBLING,
         "ext:streaming-batch A1 A2",
+    ),
+    QuerySpec(
+        "q_event_transitions", q_event_transitions,
+        _ORACLE_EVENT_TRANSITIONS,
+        "ext:sequence (first-order Markov transition matrix)",
+    ),
+    QuerySpec(
+        "q_mom_growth", q_mom_growth, _ORACLE_MOM_GROWTH,
+        "ext:window (period-over-period growth, exact integer cents)",
     ),
     QuerySpec(
         "q_conversion_latency", q_conversion_latency,

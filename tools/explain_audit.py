@@ -37,6 +37,8 @@ GLOBAL_WINDOW_ALLOWED = {
     # window-min over one row per source/language (<= dozens)
     "q_domain_mix": "min over the per-source count table",
     "q_temperature_mix": "min over the per-language count table",
+    # lag over the monthly aggregate (~tens of rows)
+    "q_mom_growth": "lag over the per-month revenue table",
 }
 
 
