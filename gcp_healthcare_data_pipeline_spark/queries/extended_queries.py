@@ -1048,15 +1048,16 @@ def q_active_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval×grid overlap JOIN.
 
     Scale shape: instead of joining every interval against every grid
-    cell (a blown-up theta join), each interval EXPLODES into exactly
-    the months it spans — ``sequence(month(order), month(ship))`` is
-    map-side after one equi-join to fetch the order date, fan-out
-    bounded by interval length / grid granularity, then ONE groupBy on
-    the month. The synthetic data's uncorrelated dates make the mean
-    span ~28 months (real lead times would be ~2), so this measures
-    the pattern under heavy fan-out — still linear explode + agg, never
-    quadratic. The same grid-bucketing trick the range/as-of joins in
-    this module use, applied to aggregation.
+    cell (a blown-up theta join), the count uses ENDPOINT DIFFERENCING:
+    each interval contributes +1 at its start month and -1 after its end
+    month (a fixed 4-row fan-out per interval, regardless of length),
+    those deltas aggregate to one row per month, and a prefix sum over
+    the tiny month grid reconstructs the concurrent count. Cost is
+    O(rows) map work + an ~80-row cumsum — interval LENGTH never enters
+    (the naive month-explode pays mean-span × rows; this data's
+    uncorrelated dates make that span ~28 months, which is exactly the
+    regime where differencing wins). The oracle is the naive
+    interval-overlap join — same answer, different algorithm.
     """
     t = load_tables(spark, sf_dir, "orders", "lineitem")
     li = (
@@ -1067,31 +1068,69 @@ def q_active_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
     )
-    return (
-        li.select(
-            F.date_trunc("month", "o_orderdate").alias("m0"),
-            F.date_trunc("month", "l_shipdate").alias("m1"),
-            # the synthetic data has some ship dates before the order
-            # date — span the months between the two endpoints in either
-            # direction (least/greatest), mirrored in the oracle
+    # the synthetic data has some ship dates before the order date —
+    # treat [least, greatest] as the open interval (oracle mirrors)
+    iv = li.select(
+        F.date_trunc("month", "o_orderdate").alias("m0"),
+        F.date_trunc("month", "l_shipdate").alias("m1"),
+    ).select(
+        "m0",
+        "m1",
+        F.least("m0", "m1").alias("s"),
+        F.greatest("m0", "m1").alias("e"),
+    )
+    # fixed 4-struct fan-out: interval open/close deltas + the
+    # opened-this-month / shipped-this-month endpoint markers
+    deltas = (
+        iv.select(
             F.explode(
-                F.expr(
-                    "sequence("
-                    " least(date_trunc('month', o_orderdate),"
-                    "       date_trunc('month', l_shipdate)),"
-                    " greatest(date_trunc('month', o_orderdate),"
-                    "          date_trunc('month', l_shipdate)),"
-                    " interval 1 month)"
+                F.array(
+                    F.struct(F.col("s").alias("month"),
+                             F.lit(1).alias("d"),
+                             F.lit(0).alias("o"), F.lit(0).alias("sh")),
+                    F.struct(F.add_months("e", 1).cast("timestamp").alias("month"),
+                             F.lit(-1).alias("d"),
+                             F.lit(0).alias("o"), F.lit(0).alias("sh")),
+                    F.struct(F.col("m0").alias("month"),
+                             F.lit(0).alias("d"),
+                             F.lit(1).alias("o"), F.lit(0).alias("sh")),
+                    F.struct(F.col("m1").alias("month"),
+                             F.lit(0).alias("d"),
+                             F.lit(0).alias("o"), F.lit(1).alias("sh")),
                 )
-            ).alias("month"),
+            ).alias("x")
         )
-        .groupBy("month")
+        .groupBy(F.col("x.month").alias("month"))
         .agg(
-            F.count(F.lit(1)).alias("n_open"),
-            F.sum((F.col("month") == F.col("m0")).cast("bigint")).alias(
+            F.sum("x.d").alias("delta"),
+            F.sum("x.o").cast("bigint").alias("n_opened"),
+            F.sum("x.sh").cast("bigint").alias("n_shipped"),
+        )
+    )
+    # complete month grid (gap months can still have open intervals);
+    # one-row bounds aggregate -> ~80-row explode, broadcast-scale
+    grid = (
+        iv.agg(F.min("s").alias("lo"), F.max("e").alias("hi"))
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 month)")
+            ).alias("month")
+        )
+    )
+    w = Window.orderBy("month")  # frame = month grid (~tens of rows)
+    return (
+        grid.join(deltas, "month", "left")
+        .withColumn(
+            "n_open", F.sum(F.coalesce("delta", F.lit(0))).over(w)
+        )
+        .filter(F.col("n_open") > 0)
+        .select(
+            "month",
+            "n_open",
+            F.coalesce("n_opened", F.lit(0).cast("bigint")).alias(
                 "n_opened"
             ),
-            F.sum((F.col("month") == F.col("m1")).cast("bigint")).alias(
+            F.coalesce("n_shipped", F.lit(0).cast("bigint")).alias(
                 "n_shipped"
             ),
         )

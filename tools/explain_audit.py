@@ -39,6 +39,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q_temperature_mix": "min over the per-language count table",
     # lag over the monthly aggregate (~tens of rows)
     "q_mom_growth": "lag over the per-month revenue table",
+    # prefix sum over the complete month grid (~tens of rows)
+    "q_active_shipments": "cumsum over the month-grid delta table",
 }
 
 
