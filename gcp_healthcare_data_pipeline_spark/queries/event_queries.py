@@ -428,6 +428,65 @@ FROM pairs
 """
 
 
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (MATCH_RECOGNIZE-style):
+    per user, does a ``view → … → purchase`` journey complete WITHOUT an
+    intervening ``error``, and how many disjoint such journeys occur —
+    evaluated by encoding each user's ordered event sequence as a
+    one-letter-per-event string and running a regex (``v[^e]*p``) over
+    it: the sequence-as-string trick that turns sequential pattern logic
+    into vectorized string ops.
+
+    One shuffle groups each user's ordered letters (collect_list over
+    the sort-ordered window, then one row per user); the regex is
+    map-side. The journey string is also pinned by md5, so the oracle
+    verifies the exact encoded sequence, not just the match counts.
+    Greedy leftmost non-overlapping semantics agree between engines.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy(
+        event_ts_us(ev), F.col("event_id")
+    )
+    per_user = (
+        ev.withColumn(
+            "_letters",
+            F.collect_list(F.substring("event_type", 1, 1)).over(
+                order.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.first(F.concat_ws("", "_letters")).alias("journey"))
+    )
+    return per_user.select(
+        "user_id",
+        F.length("journey").alias("n_events"),
+        F.md5("journey").alias("journey_md5"),
+        F.regexp_count(F.col("journey"), F.lit("v[^e]*p")).alias(
+            "n_clean_conversions"
+        ),
+        F.col("journey").rlike("v[^e]*p").alias("has_clean_conversion"),
+    )
+
+
+_ORACLE_SEQUENCE_PATTERN = """
+WITH per_user AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), ''
+               ORDER BY epoch_us(ts), event_id) AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  CAST(LENGTH(journey) AS INT) AS n_events,
+  md5(journey) AS journey_md5,
+  CAST(len(regexp_extract_all(journey, 'v[^e]*p')) AS INT)
+    AS n_clean_conversions,
+  regexp_matches(journey, 'v[^e]*p') AS has_clean_conversion
+FROM per_user
+"""
+
+
 def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue growth: monthly totals, the previous
     month's total via lag, and the percent change — the BI
@@ -486,6 +545,10 @@ QUERIES = [
     QuerySpec(
         "q_mom_growth", q_mom_growth, _ORACLE_MOM_GROWTH,
         "ext:window (period-over-period growth, exact integer cents)",
+    ),
+    QuerySpec(
+        "q_sequence_pattern", q_sequence_pattern, _ORACLE_SEQUENCE_PATTERN,
+        "ext:sequence (CEP regex pattern over encoded event journeys)",
     ),
     QuerySpec(
         "q_conversion_latency", q_conversion_latency,
