@@ -265,6 +265,74 @@ _ORACLE_PROFILE_TABLE = " UNION ALL ".join(
 )
 
 
+_MAD_K = 0.6745  # standard-normal consistency constant
+_MAD_CUTOFF = 3.5  # Iglewicz-Hoaglin modified z-score threshold
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: median, median absolute
+    deviation, and the count/extreme of modified z-scores
+    (0.6745·(x−med)/MAD, flag |z| > 3.5 — Iglewicz-Hoaglin). The
+    mean/stddev z-score (q_user_zscore) breaks down exactly when
+    outliers exist (they inflate the stddev that defines them); the
+    median/MAD version is the production anomaly gate.
+
+    Exact medians via interpolated ``percentile`` (== DuckDB
+    quantile_cont on DOUBLE, the q_percentiles precedent). Plan: two
+    per-type aggregates (median, then MAD of residuals) with
+    broadcast-joins back — three tiny shuffles over |event_type| groups,
+    the fact scanned twice (medians are holistic; a single-pass variant
+    would substitute the approx quantile sketch, q_approx_quantiles).
+    """
+    ev = load_tables(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.withColumn("_absdev", F.abs(F.col("value") - F.col("med")))
+        .groupBy("event_type")
+        .agg(F.expr("percentile(_absdev, 0.5)").alias("mad"))
+    )
+    z = F.lit(_MAD_K) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("med"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum((F.abs(z) > _MAD_CUTOFF).cast("bigint")).alias(
+                "n_outliers"
+            ),
+            F.round(F.max(F.abs(z)), 6).alias("max_abs_z"),
+        )
+    )
+
+
+_ORACLE_ROBUST_OUTLIERS = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_type,
+  COUNT(*) AS n_rows,
+  ROUND(ANY_VALUE(m.med), 6) AS median,
+  ROUND(ANY_VALUE(d.mad), 6) AS mad,
+  CAST(SUM(CASE WHEN ABS({_MAD_K} * (e.value - m.med) / d.mad)
+                     > {_MAD_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  ROUND(MAX(ABS({_MAD_K} * (e.value - m.med) / d.mad)), 6) AS max_abs_z
+FROM events e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY 1
+"""
+
+
 def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end (the MDM 'golden record' operator):
     fuzzy-match supplier names (FastSS deletion-neighborhood blocking +
@@ -494,6 +562,10 @@ QUERIES = [
     QuerySpec(
         "q_golden_record", q_golden_record, _ORACLE_GOLDEN_RECORD,
         "ext:record-linkage (transitive entity resolution, golden record)",
+    ),
+    QuerySpec(
+        "q_robust_outliers", q_robust_outliers, _ORACLE_ROBUST_OUTLIERS,
+        "ext:stats (median/MAD modified z-score anomaly gate)",
     ),
     QuerySpec(
         "q_profile_table", q_profile_table, _ORACLE_PROFILE_TABLE,
