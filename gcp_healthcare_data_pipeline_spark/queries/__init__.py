@@ -56,11 +56,12 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-6 rotation: the 6
-# pipeline gates, then the 8 queries NEW this round, then the 18 that
-# had never had a driver row before r6 (judge-verified r5), then
-# q_ann_lsh / q_approx_distinct whose oracles are new this round, then
-# one-or-two continuity picks per long-green family. Union of driver
-# rows across rounds covers every registry query.
+# pipeline gates, then the 23 queries NEW this round (every new
+# operator needs first driver evidence), then the 18 that had never
+# had a driver row before r6 (judge-verified r5), then q_ann_lsh /
+# q_approx_distinct whose oracles are new this round, then one
+# continuity pick (SCD2). Union of driver rows across rounds covers
+# every registry query; all rotated-out families have green r5 rows.
 _DRIVER_PRIORITY = [
     # reference end-to-end gates (silver.sql + gold.sql full pipeline)
     "q_pipeline_provider_charge_summary",
@@ -109,7 +110,8 @@ _DRIVER_PRIORITY = [
     # new checkable oracles this round (were err: no_oracle in r5)
     "q_ann_lsh",
     "q_approx_distinct",
-    # record-linkage composition new this round
+    # more round-6 additions (entity resolution, EWMA, timeout-flush
+    # state, sequence analytics, robust stats)
     "q_golden_record",
     "q_ewma_values",
     "q_stream_timeout_flush",
