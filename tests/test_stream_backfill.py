@@ -95,3 +95,42 @@ def test_fresh_checkpoint_reprocesses_from_scratch(spark, tmp_path):
         None,
     )
     assert n_b == 40
+
+
+def test_backfill_tolerates_added_column_in_new_files(spark, tmp_path):
+    """Schema drift mid-stream: later files carry an extra column. The
+    declared reader schema governs — new files still ingest (extra
+    column ignored), exactly once, no crash. The medallion CSV path has
+    the same contract (tests/test_drift_diagnosis.py); this pins it for
+    the streaming file source."""
+    import shutil
+    import tempfile
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _arrive(spark, src, 0, 30, "v1")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    assert run_incremental(spark, src, sink, ckpt, _SCHEMA, None) == 30
+
+    # evolved producer: same columns plus a new one
+    tmp = tempfile.mkdtemp()
+    (
+        spark.range(30, 50)
+        .select(
+            F.col("id"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("new").alias("extra_col"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    for i, f in enumerate(sorted(os.listdir(tmp))):
+        if f.endswith(".parquet"):
+            shutil.move(
+                os.path.join(tmp, f), os.path.join(src, f"v2_{i}.parquet")
+            )
+    assert run_incremental(spark, src, sink, ckpt, _SCHEMA, None) == 20
+    out = spark.read.parquet(sink)
+    assert out.columns == ["id", "v"]  # declared schema governs
+    assert sorted(r.id for r in out.collect()) == list(range(50))
