@@ -119,8 +119,5 @@ _DRIVER_PRIORITY = [
     "q_mom_growth",
     "q_sequence_pattern",
     "q_robust_outliers",
-    # continuity picks (one per long-green family; every family not
-    # listed has green r5 driver rows, and quarantine/SCD2/gold logic
-    # is also exercised by the 6 pipeline gates in slots 1-6)
-    "q_scd2_customer",
+    "q_ab_chi_square",
 ]

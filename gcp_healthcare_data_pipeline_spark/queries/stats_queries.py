@@ -265,6 +265,93 @@ _ORACLE_PROFILE_TABLE = " UNION ALL ".join(
 )
 
 
+def q_ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation guardrail: split users into A/B arms by id hash
+    (the assignment every experiment platform uses) and compute the
+    chi-square homogeneity statistic of the event-type distribution
+    between arms — the sample-ratio-mismatch / behavior-drift check run
+    before trusting any A/B readout. Emits each cell's contribution and
+    the total statistic (df = |types| − 1) on every row.
+
+    One pass: per (arm, type) counts collapse to a |types|-row
+    contingency table; expected counts and contributions are arithmetic
+    over that tiny frame (window-sums over ≤ 5 rows); the only
+    full-data work is the count aggregation. Deterministic md5
+    assignment → the oracle rebuilds the identical arms.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ev = load_tables(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 6), 16, 10
+        ).cast("bigint")
+        % 2
+    )
+    cell = (
+        ev.withColumn("_arm", arm)
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("_arm") == 0).cast("bigint")).alias("n_a"),
+            F.sum((F.col("_arm") == 1).cast("bigint")).alias("n_b"),
+        )
+    )
+    allw = Window.partitionBy()  # |event types| rows: tiny frame
+    tot_a = F.sum("n_a").over(allw).cast("double")
+    tot_b = F.sum("n_b").over(allw).cast("double")
+    row_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    grand = tot_a + tot_b
+    exp_a = row_tot * tot_a / grand
+    exp_b = row_tot * tot_b / grand
+    contrib = (F.col("n_a") - exp_a) ** 2 / exp_a + (
+        F.col("n_b") - exp_b
+    ) ** 2 / exp_b
+    return (
+        cell.withColumn("expected_a", F.round(exp_a, 4))
+        .withColumn("contribution", F.round(contrib, 6))
+        .withColumn(
+            "chi_square", F.round(F.sum(contrib).over(allw), 6)
+        )
+        .select(
+            "event_type", "n_a", "n_b", "expected_a", "contribution",
+            "chi_square",
+        )
+    )
+
+
+_ORACLE_AB_CHI_SQUARE = """
+WITH cell AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         1, 6))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         1, 6))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM events GROUP BY 1
+), ext AS (
+  SELECT *,
+    CAST(SUM(n_a) OVER () AS DOUBLE) AS tot_a,
+    CAST(SUM(n_b) OVER () AS DOUBLE) AS tot_b,
+    CAST(n_a + n_b AS DOUBLE) AS row_tot
+  FROM cell
+), calc AS (
+  SELECT event_type, n_a, n_b,
+    row_tot * tot_a / (tot_a + tot_b) AS exp_a,
+    POW(n_a - row_tot * tot_a / (tot_a + tot_b), 2)
+      / (row_tot * tot_a / (tot_a + tot_b))
+    + POW(n_b - row_tot * tot_b / (tot_a + tot_b), 2)
+      / (row_tot * tot_b / (tot_a + tot_b)) AS contrib
+  FROM ext
+)
+SELECT event_type, n_a, n_b,
+  ROUND(exp_a, 4) AS expected_a,
+  ROUND(contrib, 6) AS contribution,
+  ROUND(SUM(contrib) OVER (), 6) AS chi_square
+FROM calc
+"""
+
+
 _MAD_K = 0.6745  # standard-normal consistency constant
 _MAD_CUTOFF = 3.5  # Iglewicz-Hoaglin modified z-score threshold
 
@@ -566,6 +653,10 @@ QUERIES = [
     QuerySpec(
         "q_robust_outliers", q_robust_outliers, _ORACLE_ROBUST_OUTLIERS,
         "ext:stats (median/MAD modified z-score anomaly gate)",
+    ),
+    QuerySpec(
+        "q_ab_chi_square", q_ab_chi_square, _ORACLE_AB_CHI_SQUARE,
+        "ext:stats (A/B chi-square homogeneity over hash arms)",
     ),
     QuerySpec(
         "q_profile_table", q_profile_table, _ORACLE_PROFILE_TABLE,

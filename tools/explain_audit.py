@@ -41,6 +41,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q_mom_growth": "lag over the per-month revenue table",
     # prefix sum over the complete month grid (~tens of rows)
     "q_active_shipments": "cumsum over the month-grid delta table",
+    # window-sums over the |event types|-row contingency table
+    "q_ab_chi_square": "totals over the tiny contingency table",
 }
 
 
