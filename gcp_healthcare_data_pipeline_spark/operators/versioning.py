@@ -90,6 +90,54 @@ def write_version(
     return new_v
 
 
+def write_snapshot_manifest(
+    root: str, versions: dict[str, int], run_id: str
+) -> str:
+    """Pin a CONSISTENT multi-table snapshot: one manifest mapping every
+    table to the version id committed by this run, plus an atomic
+    ``_CURRENT`` pointer. Per-table pointers give single-table atomicity;
+    a reader joining two marts mid-refresh could still see table A from
+    run N and table B from run N-1 — the manifest closes that gap
+    (the multi-table-transaction idea behind lakehouse catalog commits).
+    """
+    import json
+
+    os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+    mpath = os.path.join(root, "_manifests", f"{run_id}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"run_id": run_id, "versions": versions}, fh)
+    os.replace(tmp, mpath)
+    cur_tmp = os.path.join(root, "_CURRENT.tmp")
+    with open(cur_tmp, "w") as fh:
+        fh.write(run_id + "\n")
+    os.replace(cur_tmp, os.path.join(root, "_CURRENT"))
+    return mpath
+
+
+def read_snapshot_manifest(root: str, run_id: str | None = None) -> dict:
+    """Load a pinned multi-table snapshot (default: the current run)."""
+    import json
+
+    if run_id is None:
+        with open(os.path.join(root, "_CURRENT")) as fh:
+            run_id = fh.read().strip()
+    with open(os.path.join(root, "_manifests", f"{run_id}.json")) as fh:
+        return json.load(fh)
+
+
+def read_snapshot_tables(
+    spark: SparkSession, root: str, run_id: str | None = None
+) -> dict[str, DataFrame]:
+    """DataFrames for every table at the manifest's pinned versions —
+    mutually consistent regardless of refreshes happening now."""
+    manifest = read_snapshot_manifest(root, run_id)
+    return {
+        name: read_version(spark, os.path.join(root, name), v)
+        for name, v in manifest["versions"].items()
+    }
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:

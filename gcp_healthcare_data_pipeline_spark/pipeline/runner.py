@@ -321,6 +321,7 @@ class Runner:
             "financial_metrics": gold_plans.financial_metrics(s["transactions"]),
             "payor_performance": gold_plans.payor_performance(s["claims"]),
         }
+        snapshot_versions: dict[str, int] = {}
         for name, df in marts.items():
             self._write_replace(df, self._zone("gold", name))
             if self.versioned_gold:
@@ -336,9 +337,25 @@ class Runner:
                     self._zone("gold_history", name),
                     retain=self.gold_retain,
                 )
+                snapshot_versions[name] = v
                 self.logger.log(
                     "INFO", f"gold/{name} snapshot v{v}", "gold"
                 )
+        if self.versioned_gold and snapshot_versions:
+            # one manifest pins ALL marts of this run to each other:
+            # cross-table-consistent time travel (per-table pointers
+            # alone can mix run N and N-1 for a reader mid-refresh)
+            from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+                write_snapshot_manifest,
+            )
+
+            run_id = self.clock.strftime("%Y%m%dT%H%M%S")
+            write_snapshot_manifest(
+                self._zone("gold_history"), snapshot_versions, run_id
+            )
+            self.logger.log(
+                "INFO", f"gold snapshot manifest {run_id}", "gold"
+            )
 
     # -- maintenance: small-file compaction over warehouse zones -----------
     def compact_zone(

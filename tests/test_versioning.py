@@ -110,3 +110,69 @@ def test_runner_versioned_gold_snapshots(spark, tmp_path):
     )
     # v0 is the pre-delta snapshot and still readable
     assert read_version(spark, hist, 0).count() > 0
+
+
+def test_snapshot_manifest_pins_cross_table_consistency(spark, tmp_path):
+    """The manifest maps every table to the version committed by one
+    run; read_snapshot_tables returns a mutually consistent set even
+    after later runs advance the per-table pointers."""
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        read_snapshot_manifest,
+        read_snapshot_tables,
+        write_snapshot_manifest,
+        write_version,
+    )
+
+    root = str(tmp_path / "hist")
+    # run 1 commits both tables at v0
+    for t, n in (("a", 10), ("b", 20)):
+        write_version(_snapshot(spark, n, "r1"), os.path.join(root, t),
+                      retain=5)
+    write_snapshot_manifest(root, {"a": 0, "b": 0}, "run1")
+    # run 2 advances only table a (b's refresh "hasn't landed yet")
+    write_version(_snapshot(spark, 99, "r2"), os.path.join(root, "a"),
+                  retain=5)
+    write_snapshot_manifest(root, {"a": 1, "b": 0}, "run2")
+
+    # current = run2, with a consistent pair
+    cur = read_snapshot_manifest(root)
+    assert cur["run_id"] == "run2"
+    tables = read_snapshot_tables(spark, root)
+    assert tables["a"].count() == 99
+    assert tables["b"].count() == 20
+    # time travel to run1: BOTH tables at run1's versions
+    old = read_snapshot_tables(spark, root, "run1")
+    assert old["a"].count() == 10
+    assert {r.tag for r in old["a"].collect()} == {"r1"}
+
+
+def test_runner_writes_manifest_per_versioned_run(spark, tmp_path):
+    from datetime import datetime
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        read_snapshot_manifest,
+        read_snapshot_tables,
+    )
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import (
+        Runner,
+        SourcePaths,
+    )
+    from tests.fixtures import write_fixtures
+
+    root = tmp_path
+    src_root, wh = str(root / "sources"), str(root / "warehouse")
+    sources = SourcePaths(**write_fixtures(src_root))
+    Runner(
+        spark, wh, clock=datetime(2024, 6, 1), versioned_gold=True
+    ).run(sources)
+
+    hist = os.path.join(wh, "gold_history")
+    m = read_snapshot_manifest(hist)
+    assert m["run_id"] == "20240601T000000"
+    assert set(m["versions"]) == {
+        "provider_charge_summary", "patient_history",
+        "provider_performance", "department_performance",
+        "financial_metrics", "payor_performance",
+    }
+    tables = read_snapshot_tables(spark, hist)
+    assert all(df.count() > 0 for df in tables.values())
