@@ -26,10 +26,19 @@ def write_zone_parquet(
     *,
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
+    codec: str | None = None,
 ) -> None:
     """Columnar zone write; partitioned layout enables Catalyst partition
-    pruning on downstream reads (SURVEY §4 landing-layout mapping)."""
+    pruning on downstream reads (SURVEY §4 landing-layout mapping).
+
+    ``codec`` overrides the session's parquet compression (e.g. "zstd"
+    for cold zones — ~30% smaller than snappy at a modest CPU cost, the
+    right trade for 100 TB archive/silver tables read rarely; keep
+    snappy/default for hot gold marts scanned every run).
+    """
     w = df.write.mode(mode)
+    if codec:
+        w = w.option("compression", codec)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
