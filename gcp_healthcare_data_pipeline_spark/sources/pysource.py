@@ -1,0 +1,91 @@
+"""Custom connector via the Python DataSource API (Spark 4).
+
+The reference's sources are JDBC/CSV/JSON (SURVEY §2.1); real estates
+also need connectors Spark doesn't ship — internal REST feeds, binary
+logs, proprietary stores. Spark 4's Python DataSource API is the
+engine-native way to add one without a JVM build: implement
+``DataSource`` / ``DataSourceReader``, register, and the source
+participates in normal planning (schema, partitions for parallel read,
+column pruning downstream).
+
+``SyntheticEventsDataSource`` is the engine's reference implementation:
+a deterministic partitioned event generator (seeded arithmetic, no I/O)
+used for connector-contract tests and load-generation — each input
+partition produces its own rows executor-side, proving the
+parallel-read path, and identical options always produce identical
+data, proving reader determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), False),
+        StructField("user_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+class _Partition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _Reader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_users = int(options.get("users", 50))
+        self.n_partitions = int(options.get("partitions", 4))
+
+    def partitions(self):
+        step = max(1, self.n_rows // self.n_partitions)
+        bounds = list(range(0, self.n_rows, step)) + [self.n_rows]
+        return [
+            _Partition(bounds[i], bounds[i + 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    def read(self, partition: _Partition):
+        # deterministic arithmetic per event_id: same options -> same data
+        for i in range(partition.start, partition.end):
+            yield (
+                i,
+                (i * 2654435761) % self.n_users,
+                _EVENT_TYPES[(i * 40503) % len(_EVENT_TYPES)],
+                round(((i * 69069 + 1) % 10_000) / 100.0, 2),
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events").option("rows", N)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _Reader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)

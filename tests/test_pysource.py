@@ -1,0 +1,78 @@
+"""Python DataSource API connector (sources/pysource.py): schema,
+parallel partitioned read, determinism, and composition with normal
+DataFrame planning. Plus mapInArrow coverage — the lowest-overhead
+Arrow batch path, pinned equivalent to its JVM twin."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.sources.pysource import register
+
+
+def test_custom_source_reads_with_declared_schema(spark):
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 2000)
+        .option("users", 25)
+        .option("partitions", 8)
+        .load()
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "user_id", "event_type", "value",
+    ]
+    assert df.count() == 2000
+    assert df.rdd.getNumPartitions() == 8  # parallel read path
+    assert df.select("user_id").distinct().count() == 25
+
+
+def test_custom_source_is_deterministic_and_composes(spark):
+    register(spark)
+
+    def load():
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", 500)
+            .load()
+        )
+
+    a = load().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    b = load().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s")
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # composes with joins/filters like any relation
+    top = (
+        load()
+        .filter(F.col("event_type") == "purchase")
+        .join(load().select(F.col("event_id").alias("eid")),
+              F.col("event_id") == F.col("eid"))
+        .count()
+    )
+    assert top > 0
+
+
+def test_map_in_arrow_matches_jvm_twin(spark):
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("k")
+    )
+
+    def double_ids(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "id": pa.compute.multiply(batch.column("id"), 2),
+                    "k": batch.column("k"),
+                }
+            )
+            yield from t.to_batches()
+
+    arrow = df.mapInArrow(double_ids, "id long, k long")
+    jvm = df.select((F.col("id") * 2).alias("id"), "k")
+    assert sorted(map(tuple, arrow.collect())) == sorted(
+        map(tuple, jvm.collect())
+    )
