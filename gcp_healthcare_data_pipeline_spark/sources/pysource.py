@@ -22,6 +22,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -65,16 +66,51 @@ class _Reader(DataSourceReader):
     def read(self, partition: _Partition):
         # deterministic arithmetic per event_id: same options -> same data
         for i in range(partition.start, partition.end):
-            yield (
-                i,
-                (i * 2654435761) % self.n_users,
-                _EVENT_TYPES[(i * 40503) % len(_EVENT_TYPES)],
-                round(((i * 69069 + 1) % 10_000) / 100.0, 2),
-            )
+            yield _row(i, self.n_users)
+
+
+def _row(i: int, n_users: int) -> tuple:
+    """One deterministic event; shared by the batch and stream readers
+    so a drained stream equals the batch read over the same id range."""
+    return (
+        i,
+        (i * 2654435761) % n_users,
+        _EVENT_TYPES[(i * 40503) % len(_EVENT_TYPES)],
+        round(((i * 69069 + 1) % 10_000) / 100.0, 2),
+    )
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch generator: each batch advances the
+    offset by ``rows_per_batch`` until ``rows`` is exhausted. The engine
+    checkpoints the offset, so restarts resume exactly where the last
+    commit left off — the same contract a Kafka reader fulfills with
+    topic offsets."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_users = int(options.get("users", 50))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.per_batch, self.n_rows)
+        rows = [_row(i, self.n_users) for i in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_row(i, self.n_users) for i in range(start["pos"], end["pos"])]
+        )
 
 
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("rows", N)``."""
+    """``spark.read.format("synthetic_events").option("rows", N)`` —
+    also a streaming source via ``spark.readStream`` (same deterministic
+    rows, delivered in offset-tracked micro-batches)."""
 
     @classmethod
     def name(cls) -> str:
@@ -85,6 +121,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _Reader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _StreamReader(self.options)
 
 
 def register(spark) -> None:
