@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -126,5 +128,67 @@ class SyntheticEventsDataSource(DataSource):
         return _StreamReader(self.options)
 
 
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str, n_rows: int):
+        self.tmp_file, self.n_rows = tmp_file, n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-temp + driver-commit sink protocol: every task writes to a
+    uniquely-named temp file and reports it in its commit message; the
+    driver renames ONLY the files of committed tasks into place and
+    ``abort`` removes stragglers — so a failed/speculated task never
+    leaves partial output visible. The same two-phase protocol every
+    production sink (incl. Spark's own FileCommitProtocol) uses."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for i, m in enumerate(messages):
+            os.replace(
+                m.tmp_file,
+                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+            )
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", dir).save()`` —
+    line-delimited JSON with the task-temp/driver-commit protocol."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _JsonlWriter(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -116,3 +116,31 @@ def test_custom_stream_source_resumes_from_checkpointed_offset(
         )
     )
     assert got == want
+
+
+def test_custom_jsonl_sink_commit_protocol(spark, tmp_path):
+    """The Python DataSource writer's two-phase commit: committed tasks'
+    files are renamed into place (no _tmp remnants), content round-trips
+    through Spark's own JSON reader, and row counts survive."""
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "jsonl")
+    df = spark.range(500).select(
+        "id", (F.col("id") % 9).alias("k")
+    ).repartition(3)
+    df.write.format("jsonl_sink").mode("append").option("path", out).save()
+
+    files = sorted(os.listdir(out))
+    assert all(f.startswith("part-") and f.endswith(".jsonl") for f in files)
+    assert len(files) == 3  # one committed file per task
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in rows) == list(range(500))
+    # readable by the engine's normal JSON reader
+    back = spark.read.json(out)
+    assert back.count() == 500
+    assert {f.name for f in back.schema.fields} == {"id", "k"}
