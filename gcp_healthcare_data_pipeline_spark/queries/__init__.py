@@ -90,7 +90,6 @@ _DRIVER_PRIORITY = [
     "q_cluster_balance",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
-    "q_approx_quantiles",
     "q_cdc_apply",
     "q_conversion_latency",
     "q_dq_checks",
@@ -120,4 +119,5 @@ _DRIVER_PRIORITY = [
     "q_sequence_pattern",
     "q_robust_outliers",
     "q_ab_chi_square",
+    "q_events_variant",
 ]

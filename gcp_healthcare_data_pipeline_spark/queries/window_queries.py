@@ -108,6 +108,43 @@ GROUP BY 1
 """
 
 
+def q_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on Spark 4's VARIANT type: ``props``
+    parsed once into the binary variant encoding, fields extracted with
+    typed path access, plus the inferred per-row variant schema — the
+    modern engine path for schema-on-read JSON (binary-encoded columnar
+    variant access beats repeated string re-parsing; get_json_object
+    q_events_json_props is the legacy twin).
+
+    The oracle runs DuckDB's native JSON extraction — the point is that
+    typed variant access produces EXACTLY the values the JSON text
+    defines.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count_distinct(F.schema_of_variant(v)).alias("n_schemas"),
+    )
+
+
+_ORACLE_EVENTS_VARIANT = """
+SELECT event_type,
+  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  COUNT(DISTINCT json_structure(props)) AS n_schemas
+FROM events
+GROUP BY 1
+"""
+
+
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE(4) price quartiles within each priority, rolled up to
     quartile boundaries (min/max per bucket)."""
@@ -245,5 +282,9 @@ QUERIES = [
     QuerySpec(
         "q_events_json_props", q_events_json_props, _ORACLE_EVENTS_JSON_PROPS,
         "ext:json",
+    ),
+    QuerySpec(
+        "q_events_variant", q_events_variant, _ORACLE_EVENTS_VARIANT,
+        "ext:json (Spark 4 VARIANT typed path access + schema inference)",
     ),
 ]
