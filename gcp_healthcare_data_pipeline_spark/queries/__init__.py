@@ -90,6 +90,7 @@ _DRIVER_PRIORITY = [
     "q_cluster_balance",
     # the 18 never-driver-checked queries (judge-verified r5)
     "q_above_avg_orders",
+    "q_approx_quantiles",
     "q_cdc_apply",
     "q_conversion_latency",
     "q_dq_checks",
@@ -115,7 +116,6 @@ _DRIVER_PRIORITY = [
     "q_ewma_values",
     "q_stream_timeout_flush",
     "q_event_transitions",
-    "q_mom_growth",
     "q_sequence_pattern",
     "q_robust_outliers",
     "q_ab_chi_square",
