@@ -912,8 +912,80 @@ WHERE n_pair >= {_PMI_MIN_PAIR}
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-comparison matrix: vocabulary Jaccard overlap between
+    every pair of sources — the redundancy map consulted before adding
+    a new crawl to the mix (a source whose vocabulary is already ~fully
+    covered adds little diversity).
+
+    Inverted-index pair generation, never a source×source loop over
+    vocabularies: one (source, token) distinct table, a self-join on
+    TOKEN (fan-out bounded by sources-per-token ≤ |sources|, the
+    posting-list discipline of the dedup family), intersection counts
+    per pair, and broadcast per-source vocabulary sizes for the union
+    denominator.
+    """
+    docs = load_tables(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("v", "v_a")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_b")), "src_b"
+        )
+        .withColumnRenamed("v", "v_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("v_a") + F.col("v_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_ORACLE_SOURCE_OVERLAP = """
+WITH st AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+), sizes AS (
+  SELECT source, COUNT(*) AS v FROM st GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+  ROUND(CAST(n_shared AS DOUBLE) / (sa.v + sb.v - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
+    QuerySpec(
+        "q_source_overlap", q_source_overlap, _ORACLE_SOURCE_OVERLAP,
+        "ext:text (pairwise source vocabulary Jaccard, inverted index)",
+    ),
     QuerySpec(
         "q_pmi_collocations", q_pmi_collocations, _ORACLE_PMI_COLLOCATIONS,
         "ext:text (PMI collocation mining, join-free pair generation)",
