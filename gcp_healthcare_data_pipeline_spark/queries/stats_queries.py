@@ -265,6 +265,44 @@ _ORACLE_PROFILE_TABLE = " UNION ALL ".join(
 )
 
 
+def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression of line price on quantity: slope =
+    cov(x,y)/var(x), intercept = ȳ − slope·x̄, fit = r² — the
+    regression-by-group profile (price curves, elasticity screens,
+    trend slopes per segment) computed entirely from distributive
+    aggregates: ONE map-side-combined pass, no iterative solver, no
+    driver math. Both engines evaluate the identical closed form.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")
+    slope = F.covar_samp("l_quantity", "l_extendedprice") / F.var_samp(
+        "l_quantity"
+    )
+    return li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 4
+        ).alias("intercept"),
+        F.round(
+            F.corr("l_quantity", "l_extendedprice") ** 2, 6
+        ).alias("r2"),
+    )
+
+
+_ORACLE_GROUP_REGRESSION = """
+SELECT l_returnflag AS return_flag,
+  COUNT(*) AS n_rows,
+  ROUND(covar_samp(l_quantity, l_extendedprice)
+        / var_samp(l_quantity), 6) AS slope,
+  ROUND(AVG(l_extendedprice)
+        - covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity)
+          * AVG(l_quantity), 4) AS intercept,
+  ROUND(POW(corr(l_quantity, l_extendedprice), 2), 6) AS r2
+FROM lineitem
+GROUP BY 1
+"""
+
+
 def q_ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Experimentation guardrail: split users into A/B arms by id hash
     (the assignment every experiment platform uses) and compute the
@@ -657,6 +695,10 @@ QUERIES = [
     QuerySpec(
         "q_ab_chi_square", q_ab_chi_square, _ORACLE_AB_CHI_SQUARE,
         "ext:stats (A/B chi-square homogeneity over hash arms)",
+    ),
+    QuerySpec(
+        "q_group_regression", q_group_regression, _ORACLE_GROUP_REGRESSION,
+        "ext:stats (per-group OLS from distributive aggregates)",
     ),
     QuerySpec(
         "q_profile_table", q_profile_table, _ORACLE_PROFILE_TABLE,
