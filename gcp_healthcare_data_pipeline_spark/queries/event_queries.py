@@ -428,6 +428,82 @@ FROM pairs
 """
 
 
+_SPIKE_MIN_BASE = 12  # trailing hours required before scoring
+_SPIKE_Z = 3.0
+
+
+def q_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly monitor: per event type and hour, the event
+    rate's z-score against the TRAILING 24 observed hours (RANGE frame
+    on the integer epoch-hour, excluding the current hour) — the alert
+    every on-call dashboard computes, kept cross-engine-exact by
+    deriving mean and stddev EXPLICITLY from integer window sums
+    (Σx, Σx², n are exact BIGINTs, so both engines run the identical
+    IEEE arithmetic; builtin stddev_samp's accumulation order would not
+    be portable). Hours with fewer than 12 trailing observations score
+    NULL instead of a noisy baseline.
+    """
+    ev = load_tables(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (event_ts_us(ev) / 3_600_000_000).cast("bigint").alias("hour"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-24, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s1.cast("double") / n
+    var = (s2.cast("double") - s1.cast("double") * s1 / n) / (n - 1)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        n.alias("n_base"),
+        F.when(n >= _SPIKE_MIN_BASE, F.round(z, 4)).alias("z"),
+        F.when(n >= _SPIKE_MIN_BASE, z > _SPIKE_Z).alias("is_spike"),
+    )
+    return scored
+
+
+_ORACLE_RATE_SPIKES = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, hour, n_events,
+    COUNT(*) OVER w AS n_base,
+    SUM(n_events) OVER w AS s1,
+    SUM(n_events * n_events) OVER w AS s2
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n_events, n_base,
+  CASE WHEN n_base >= {_SPIKE_MIN_BASE} THEN
+    ROUND((n_events - CAST(s1 AS DOUBLE) / n_base)
+          / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_base)
+                 / (n_base - 1)), 4)
+  END AS z,
+  CASE WHEN n_base >= {_SPIKE_MIN_BASE} THEN
+    (n_events - CAST(s1 AS DOUBLE) / n_base)
+    / SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_base)
+           / (n_base - 1)) > {_SPIKE_Z}
+  END AS is_spike
+FROM framed
+"""
+
+
 def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-event-processing pattern match (MATCH_RECOGNIZE-style):
     per user, does a ``view → … → purchase`` journey complete WITHOUT an
@@ -549,6 +625,10 @@ QUERIES = [
     QuerySpec(
         "q_sequence_pattern", q_sequence_pattern, _ORACLE_SEQUENCE_PATTERN,
         "ext:sequence (CEP regex pattern over encoded event journeys)",
+    ),
+    QuerySpec(
+        "q_rate_spikes", q_rate_spikes, _ORACLE_RATE_SPIKES,
+        "ext:monitoring (trailing-window rate z-score, integer-exact)",
     ),
     QuerySpec(
         "q_conversion_latency", q_conversion_latency,
