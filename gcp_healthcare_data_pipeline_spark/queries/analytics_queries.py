@@ -632,6 +632,101 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Market-basket affinity: co-ordered part pairs with support and lift
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_PAIR = 3  # co-occurrence support floor
+_BASKET_TOPK = 20
+
+
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: which part pairs are
+    co-ordered more than independence predicts — support counts and
+    LIFT = P(a,b) / (P(a)·P(b)) for the top pairs, the recommendation /
+    assortment primitive.
+
+    Pair generation is keyed by the basket (self-join on l_orderkey),
+    so fan-out is bounded by lines-per-order squared (~7² here), never
+    |parts|² — the same bounded-block discipline as the dedup family.
+    Item priors are a tiny per-part aggregate broadcast back; the final
+    top-k is a TakeOrdered. All counts are exact integers; lift is one
+    deterministic double expression rounded at the end.
+    """
+    li = (
+        load_tables(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    # one-row basket count, broadcast — keeps the plan fully lazy
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_PAIR)
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_orders")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(item.withColumnRenamed("part", "part_a")), "part_a"
+        )
+        .withColumnRenamed("n_item", "n_a")
+        .join(
+            F.broadcast(item.withColumnRenamed("part", "part_b")), "part_b"
+        )
+        .withColumnRenamed("n_item", "n_b")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn("lift", F.round(lift, 6))
+        .orderBy(
+            F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(_BASKET_TOPK)
+        .select("part_a", "part_b", "n_pair", "n_a", "n_b", "lift")
+    )
+
+
+_ORACLE_BASKET_AFFINITY = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li
+), item AS (
+  SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS n_item
+  FROM li GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_PAIR}
+)
+SELECT part_a, part_b, n_pair,
+       ia.n_item AS n_a, ib.n_item AS n_b,
+       ROUND(CAST(n_pair AS DOUBLE) * n_orders
+             / (CAST(ia.n_item AS DOUBLE) * ib.n_item), 6) AS lift
+FROM pairs
+JOIN item ia ON ia.part = part_a
+JOIN item ib ON ib.part = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {_BASKET_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Z-order layout statistics: Morton-curve clustering for data skipping
 # --------------------------------------------------------------------------
 
@@ -746,5 +841,9 @@ QUERIES = [
     QuerySpec(
         "q_market_share", q_market_share, _ORACLE_MARKET_SHARE,
         "ext:star-join (TPC-H Q8 shape, conditional-sum ratio)",
+    ),
+    QuerySpec(
+        "q_basket_affinity", q_basket_affinity, _ORACLE_BASKET_AFFINITY,
+        "ext:affinity (basket-bounded pair mining, support + lift)",
     ),
 ]
