@@ -265,6 +265,68 @@ _ORACLE_PROFILE_TABLE = " UNION ALL ".join(
 )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the pre-1997 reference window
+    and everything after: PSI = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over the order-
+    priority distribution — the drift metric ML monitoring standardizes
+    on (PSI < 0.1 stable, > 0.25 action). Emits each bucket's counts,
+    shares, and contribution plus the total on every row.
+
+    One conditional-count aggregation pass over the facts collapses to
+    a |buckets|-row table; shares and contributions are window
+    arithmetic over that tiny frame (audit-allowlisted). Exact integer
+    counts → identical doubles in both engines.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    orders = load_tables(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cell = orders.groupBy(
+        F.col("o_orderpriority").alias("bucket")
+    ).agg(
+        F.sum((F.col("o_orderdate") < cutoff).cast("bigint")).alias("n_ref"),
+        F.sum((F.col("o_orderdate") >= cutoff).cast("bigint")).alias(
+            "n_cur"
+        ),
+    )
+    allw = Window.partitionBy()  # |priority buckets| rows: tiny frame
+    p = F.col("n_ref").cast("double") / F.sum("n_ref").over(allw)
+    q = F.col("n_cur").cast("double") / F.sum("n_cur").over(allw)
+    contrib = (p - q) * F.log(p / q)
+    return cell.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("p_ref"),
+        F.round(q, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("contribution"),
+        F.round(F.sum(contrib).over(allw), 6).alias("psi"),
+    )
+
+
+_ORACLE_PSI_DRIFT = """
+WITH cell AS (
+  SELECT o_orderpriority AS bucket,
+    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM orders GROUP BY 1
+), ext AS (
+  SELECT *,
+    CAST(n_ref AS DOUBLE) / SUM(n_ref) OVER () AS p,
+    CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS q
+  FROM cell
+)
+SELECT bucket, n_ref, n_cur,
+  ROUND(p, 6) AS p_ref,
+  ROUND(q, 6) AS p_cur,
+  ROUND((p - q) * ln(p / q), 6) AS contribution,
+  ROUND(SUM((p - q) * ln(p / q)) OVER (), 6) AS psi
+FROM ext
+"""
+
+
 def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group OLS regression of line price on quantity: slope =
     cov(x,y)/var(x), intercept = ȳ − slope·x̄, fit = r² — the
@@ -699,6 +761,10 @@ QUERIES = [
     QuerySpec(
         "q_group_regression", q_group_regression, _ORACLE_GROUP_REGRESSION,
         "ext:stats (per-group OLS from distributive aggregates)",
+    ),
+    QuerySpec(
+        "q_psi_drift", q_psi_drift, _ORACLE_PSI_DRIFT,
+        "ext:monitoring (population stability index between windows)",
     ),
     QuerySpec(
         "q_profile_table", q_profile_table, _ORACLE_PROFILE_TABLE,

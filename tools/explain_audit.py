@@ -43,6 +43,8 @@ GLOBAL_WINDOW_ALLOWED = {
     "q_active_shipments": "cumsum over the month-grid delta table",
     # window-sums over the |event types|-row contingency table
     "q_ab_chi_square": "totals over the tiny contingency table",
+    # window-sums over the |priority buckets|-row distribution table
+    "q_psi_drift": "totals over the tiny bucket-distribution table",
 }
 
 
