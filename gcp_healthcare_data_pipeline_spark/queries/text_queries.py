@@ -141,6 +141,67 @@ FROM s
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the confusion matrix of the
+    marker-word language ID against the labeled ``lang`` column, with
+    per-cell share of the actual class — precision/recall inputs for
+    any categorical model scored at corpus scale. One pass computes the
+    deterministic prediction map-side; the matrix is a tiny
+    (|actual| × |predicted|) aggregate with the per-actual totals
+    supplied by a window over it.
+    """
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, "documents")
+    docs = docs.withColumn("_toks", tokens("text"))
+    scores = lang_scores(F.col("_toks"))
+    pred = lang_predict(scores["en"], scores["es"], scores["de"])
+    cell = (
+        docs.select(F.col("lang").alias("actual"), pred.alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_actual = Window.partitionBy("actual")
+    return cell.select(
+        "actual",
+        "predicted",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(per_actual),
+            6,
+        ).alias("share_of_actual"),
+    )
+
+
+_ORACLE_LANG_CONFUSION = f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT lang AS actual,
+    len(list_filter(toks, t -> t IN ({_marker_sql('en')}))) AS en_score,
+    len(list_filter(toks, t -> t IN ({_marker_sql('es')}))) AS es_score,
+    len(list_filter(toks, t -> t IN ({_marker_sql('de')}))) AS de_score
+  FROM d
+), p AS (
+  SELECT actual,
+    CASE WHEN en_score >= es_score AND en_score >= de_score
+              AND en_score > 0 THEN 'en'
+         WHEN es_score >= de_score AND es_score > 0 THEN 'es'
+         WHEN de_score > 0 THEN 'de'
+         ELSE 'und' END AS predicted
+  FROM s
+), cell AS (
+  SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY 1, 2
+)
+SELECT actual, predicted, n_docs,
+  ROUND(CAST(n_docs AS DOUBLE)
+        / SUM(n_docs) OVER (PARTITION BY actual), 6) AS share_of_actual
+FROM cell
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: raw md5 + order-insensitive token-set md5."""
     docs = load_tables(spark, sf_dir, "documents")
@@ -1012,6 +1073,10 @@ QUERIES = [
     ),
     QuerySpec("q_text_quality", q_text_quality, _ORACLE_TEXT_QUALITY, "ext:text"),
     QuerySpec("q_lang_id", q_lang_id, _ORACLE_LANG_ID, "ext:text"),
+    QuerySpec(
+        "q_lang_confusion", q_lang_confusion, _ORACLE_LANG_CONFUSION,
+        "ext:text (classifier confusion matrix vs labeled lang)",
+    ),
     QuerySpec(
         "q_bpe_merges", q_bpe_merges, _ORACLE_BPE_MERGES,
         "ext:text (BPE merge-learning statistic on the weighted vocab)",
