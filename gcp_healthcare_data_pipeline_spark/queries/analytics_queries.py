@@ -727,6 +727,83 @@ LIMIT {_BASKET_TOPK}
 
 
 # --------------------------------------------------------------------------
+# Revenue concentration: per-segment Gini coefficient
+# --------------------------------------------------------------------------
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-revenue inequality per market segment: the Gini
+    coefficient G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over each segment's
+    rank-ordered customer revenues — the concentration metric behind
+    'what share of revenue depends on how few customers'.
+
+    Per-customer revenue accumulates in exact integer cents; the rank
+    is a window WITHIN each segment (partitioned, never global), and
+    Σ i·xᵢ / Σx / n are integer aggregates per segment — so the final
+    double arithmetic is identical across engines. Two shuffles total:
+    the per-customer aggregate and the per-segment rank/reduce.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cust_rev = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev_c"))
+        .join(
+            t["customer"].select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"), "o_custkey", "rev_c"
+        )
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("rev_c").asc(), F.col("o_custkey").asc()
+    )
+    ranked = cust_rev.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_c").alias("_sum_c"),
+        F.sum(F.col("i").cast("bigint") * F.col("rev_c")).alias("_isum_c"),
+    )
+    n = F.col("n_customers").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_isum_c") / (n * F.col("_sum_c"))
+        - (n + 1.0) / n
+    )
+    return agg.select(
+        "segment",
+        "n_customers",
+        F.round(F.col("_sum_c") / 100.0, 2).alias("total_revenue"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+_ORACLE_REVENUE_GINI = """
+WITH cust_rev AS (
+  SELECT c_mktsegment AS segment, o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY segment
+             ORDER BY rev_c ASC, o_custkey ASC) AS i
+  FROM cust_rev
+), agg AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(rev_c) AS sum_c,
+         SUM(i * rev_c) AS isum_c
+  FROM ranked GROUP BY 1
+)
+SELECT segment, n_customers,
+  ROUND(sum_c / 100.0, 2) AS total_revenue,
+  ROUND(2.0 * isum_c / (CAST(n_customers AS DOUBLE) * sum_c)
+        - (n_customers + 1.0) / n_customers, 6) AS gini
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Z-order layout statistics: Morton-curve clustering for data skipping
 # --------------------------------------------------------------------------
 
@@ -845,5 +922,9 @@ QUERIES = [
     QuerySpec(
         "q_basket_affinity", q_basket_affinity, _ORACLE_BASKET_AFFINITY,
         "ext:affinity (basket-bounded pair mining, support + lift)",
+    ),
+    QuerySpec(
+        "q_revenue_gini", q_revenue_gini, _ORACLE_REVENUE_GINI,
+        "ext:stats (per-segment Gini concentration, integer-exact)",
     ),
 ]
