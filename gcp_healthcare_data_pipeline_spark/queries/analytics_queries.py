@@ -881,6 +881,57 @@ FROM coded GROUP BY 1
 """
 
 
+def q_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out profile for the orders→lineitem one-to-many: the
+    full distribution of lines-per-order (histogram rows) plus exact
+    p50/p95/max context on every row — the companion to
+    q_skew_diagnose's hottest-keys view, and the number you check
+    before trusting any per-order explode or interval fan-out estimate.
+
+    Two tiny aggregations over one scan: per-order counts (bounded by
+    |orders|), then the |distinct fan-out|-row histogram; percentile
+    context rides a broadcast one-row aggregate.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    ctx = per_order.agg(
+        F.expr("percentile(n_lines, 0.5)").alias("p50"),
+        F.expr("percentile(n_lines, 0.95)").alias("p95"),
+        F.max("n_lines").alias("max_lines"),
+    )
+    return (
+        per_order.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(ctx))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round("p50", 4).alias("p50"),
+            F.round("p95", 4).alias("p95"),
+            "max_lines",
+        )
+    )
+
+
+_ORACLE_FANOUT_PROFILE = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+), ctx AS (
+  SELECT quantile_cont(n_lines::DOUBLE, 0.5) AS p50,
+         quantile_cont(n_lines::DOUBLE, 0.95) AS p95,
+         MAX(n_lines) AS max_lines
+  FROM per_order
+)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(p50, 4) AS p50, ROUND(p95, 4) AS p95, max_lines
+FROM per_order CROSS JOIN ctx
+GROUP BY 1, p50, p95, max_lines
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_regional_supplier_volume", q_regional_supplier_volume,
@@ -926,5 +977,9 @@ QUERIES = [
     QuerySpec(
         "q_revenue_gini", q_revenue_gini, _ORACLE_REVENUE_GINI,
         "ext:stats (per-segment Gini concentration, integer-exact)",
+    ),
+    QuerySpec(
+        "q_fanout_profile", q_fanout_profile, _ORACLE_FANOUT_PROFILE,
+        "ext:scale (join fan-out distribution + percentiles)",
     ),
 ]
