@@ -932,6 +932,74 @@ GROUP BY 1, p50, p95, max_lines
 """
 
 
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply concentration per nation: the Herfindahl–Hirschman index
+    (Σ shareᵢ², share = supplier's fraction of the nation's line
+    revenue) — the market-concentration metric (HHI > 0.25 ≈ highly
+    concentrated), the squared-share companion to the rank-based Gini.
+
+    Per-(nation, supplier) revenue accumulates in exact integer revenue
+    units; shares and the squared-sum reduce per nation from integer
+    aggregates, so both engines run identical double arithmetic. Two
+    aggregations and one broadcast dim join — no windows at all.
+    """
+    t = load_tables(spark, sf_dir, "nation", "supplier", "lineitem")
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(t["nation"]),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    per_supp = (
+        t["lineitem"]
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", "s_suppkey")
+        .agg(F.sum(rev_i).alias("rev_i"))
+    )
+    return (
+        per_supp.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev_i").alias("_tot"),
+            F.sum(
+                F.col("rev_i").cast("double") * F.col("rev_i")
+            ).alias("_sq"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.round(F.col("_tot") / 10000.0, 2).alias("total_revenue"),
+            F.round(
+                F.col("_sq")
+                / (F.col("_tot").cast("double") * F.col("_tot")),
+                6,
+            ).alias("hhi"),
+        )
+    )
+
+
+_ORACLE_SUPPLIER_HHI = """
+WITH per_supp AS (
+  SELECT n_name AS nation, s_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  ROUND(SUM(rev_i) / 10000.0, 2) AS total_revenue,
+  ROUND(SUM(CAST(rev_i AS DOUBLE) * rev_i)
+        / (CAST(SUM(rev_i) AS DOUBLE) * SUM(rev_i)), 6) AS hhi
+FROM per_supp
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_regional_supplier_volume", q_regional_supplier_volume,
@@ -981,5 +1049,9 @@ QUERIES = [
     QuerySpec(
         "q_fanout_profile", q_fanout_profile, _ORACLE_FANOUT_PROFILE,
         "ext:scale (join fan-out distribution + percentiles)",
+    ),
+    QuerySpec(
+        "q_supplier_hhi", q_supplier_hhi, _ORACLE_SUPPLIER_HHI,
+        "ext:stats (Herfindahl concentration per nation)",
     ),
 ]
