@@ -1000,6 +1000,54 @@ GROUP BY 1
 """
 
 
+def q_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment coverage per part type: how much of the catalog has
+    EVER been ordered — dead-stock share, mean order depth over the
+    covered portion — the inverse view of the customers-without-orders
+    anti-join, aggregated to a merchandising report.
+
+    One left join from the catalog to per-part order counts (the fact
+    side pre-aggregates to |parts| rows before joining, so the join is
+    dim-sized on both sides), then a per-type rollup. No windows.
+    """
+    t = load_tables(spark, sf_dir, "part", "lineitem")
+    per_part = t["lineitem"].groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    j = t["part"].select("p_partkey", "p_type").join(
+        per_part, F.col("p_partkey") == F.col("l_partkey"), "left"
+    )
+    never = F.col("n_lines").isNull().cast("bigint")
+    return j.groupBy(F.col("p_type").alias("part_type")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(never).alias("n_never_ordered"),
+        F.round(
+            F.lit(1.0) - F.sum(never).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+        F.round(
+            F.avg(F.col("n_lines").cast("double")), 4
+        ).alias("avg_lines_when_ordered"),
+    )
+
+
+_ORACLE_CATALOG_COVERAGE = """
+WITH per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT p_type AS part_type,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_never_ordered,
+  ROUND(1.0 - CAST(SUM(CASE WHEN n_lines IS NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*), 6) AS coverage,
+  ROUND(AVG(CAST(n_lines AS DOUBLE)), 4) AS avg_lines_when_ordered
+FROM part LEFT JOIN per_part ON p_partkey = l_partkey
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_regional_supplier_volume", q_regional_supplier_volume,
@@ -1053,5 +1101,9 @@ QUERIES = [
     QuerySpec(
         "q_supplier_hhi", q_supplier_hhi, _ORACLE_SUPPLIER_HHI,
         "ext:stats (Herfindahl concentration per nation)",
+    ),
+    QuerySpec(
+        "q_catalog_coverage", q_catalog_coverage, _ORACLE_CATALOG_COVERAGE,
+        "ext:anti-join (assortment coverage rollup)",
     ),
 ]
