@@ -23,6 +23,18 @@ partitions, mirroring operators/incremental_mart.py's refresh scope.
 The rewrite preserves rows exactly (tests/test_compaction.py pins
 row-identical content and the file-count drop). Row order within the
 table changes — parquet tables carry no order contract.
+
+FILESYSTEM SCOPE: inventory sizes and the swap renames go through
+``os``/``shutil``, so this module supports **local-filesystem tables
+only** (``file:`` paths — the warehouse layout this repo runs). On
+``hdfs://``/``s3a://``/``gs://`` the rewrite step (``repartition(n)``
++ parquet write) would still work, but sizing and the atomic swap must
+be routed through the Hadoop FileSystem API (``FileSystem.get`` via
+``spark._jvm`` — ``getFileStatus().getLen``, ``rename``, ``delete``);
+object stores additionally lack atomic directory rename, so the swap
+there should become a manifest/pointer commit (operators/versioning.py
+is that pattern). ``file_inventory`` raises on non-local paths rather
+than mis-sizing them.
 """
 
 from __future__ import annotations
@@ -36,10 +48,20 @@ from pyspark.sql import SparkSession
 
 
 def file_inventory(spark: SparkSession, path: str) -> list[tuple[str, int]]:
-    """(file, bytes) for every data file the table at ``path`` reads."""
+    """(file, bytes) for every data file the table at ``path`` reads.
+
+    Local filesystem only (module docstring) — refuses remote schemes
+    instead of silently mis-sizing them.
+    """
     df = spark.read.parquet(path)
     out = []
     for f in df.inputFiles():
+        scheme, _, rest = f.partition(":")
+        if ":" in f and scheme != "file":
+            raise NotImplementedError(
+                f"compaction supports local file: paths only, got {f!r} "
+                "(route through the Hadoop FileSystem API for remote FS)"
+            )
         local = f.removeprefix("file:")
         out.append((local, os.path.getsize(local)))
     return out

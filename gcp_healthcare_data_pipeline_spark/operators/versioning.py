@@ -59,13 +59,19 @@ def latest_version(path: str) -> int | None:
 
 
 def write_version(
-    df: DataFrame, path: str, retain: int = 3
+    df: DataFrame, path: str, retain: int = 3, pinned: set[int] | None = None
 ) -> int:
     """Commit ``df`` as the next version of the table at ``path``.
 
     Returns the committed version id. Sweep-then-write: orphans from a
     crashed previous writer are removed first so their ids are reused
     safely (single-writer discipline, same as the runner's swap sinks).
+
+    ``pinned``: version ids that must survive retention regardless of
+    age — callers coordinating with snapshot manifests pass
+    ``manifest_pins(root, table)`` so a manifest never references a
+    pruned directory (GC manifests first via
+    ``prune_snapshot_manifests`` to bound the pin set).
     """
     os.makedirs(path, exist_ok=True)
     committed = latest_version(path)
@@ -82,8 +88,9 @@ def write_version(
     with open(tmp, "w") as fh:
         fh.write(f"{new_v}\n")
     os.replace(tmp, os.path.join(path, _POINTER))
-    # retention: keep the newest ``retain`` committed versions
-    keep = {new_v - i for i in range(retain)}
+    # retention: keep the newest ``retain`` committed versions, plus any
+    # version a retained snapshot manifest still pins
+    keep = {new_v - i for i in range(retain)} | set(pinned or ())
     for v in list_versions(path):
         if v not in keep and v <= new_v:
             shutil.rmtree(os.path.join(path, f"v={v:06d}"))
@@ -113,6 +120,54 @@ def write_snapshot_manifest(
         fh.write(run_id + "\n")
     os.replace(cur_tmp, os.path.join(root, "_CURRENT"))
     return mpath
+
+
+def list_snapshot_manifests(root: str) -> list[str]:
+    """run_ids of all snapshot manifests on disk, ascending (run_ids are
+    UTC ``%Y%m%dT%H%M%S`` stamps, so lexical order == commit order)."""
+    mdir = os.path.join(root, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    return sorted(
+        f[: -len(".json")] for f in os.listdir(mdir) if f.endswith(".json")
+    )
+
+
+def manifest_pins(root: str, table: str) -> set[int]:
+    """Version ids of ``table`` that any retained manifest references.
+
+    Pass to ``write_version(pinned=...)`` so retention never prunes a
+    version a manifest still points at — the coordination that keeps
+    ``read_snapshot_tables`` for an old (but retained) run working even
+    when one table has advanced more than ``retain`` times since.
+    """
+    pins: set[int] = set()
+    for run_id in list_snapshot_manifests(root):
+        try:
+            manifest = read_snapshot_manifest(root, run_id)
+        except (OSError, ValueError):
+            continue
+        v = manifest.get("versions", {}).get(table)
+        if v is not None:
+            pins.add(int(v))
+    return pins
+
+
+def prune_snapshot_manifests(root: str, keep_runs: int) -> list[str]:
+    """GC old snapshot manifests, keeping the newest ``keep_runs``.
+
+    Returns the pruned run_ids. Run BEFORE computing ``manifest_pins``
+    for a new write: dropping a manifest releases the versions only it
+    pinned, so manifests and versions are garbage-collected together
+    (never a manifest pointing at a pruned version, never a version kept
+    alive by a manifest nobody can list). The ``_CURRENT`` pointer is
+    never pruned-under: the newest manifest always survives.
+    """
+    runs = list_snapshot_manifests(root)
+    doomed = runs[:-keep_runs] if keep_runs > 0 else runs
+    for run_id in doomed:
+        os.remove(os.path.join(root, "_manifests", f"{run_id}.json"))
+    return doomed
 
 
 def read_snapshot_manifest(root: str, run_id: str | None = None) -> dict:

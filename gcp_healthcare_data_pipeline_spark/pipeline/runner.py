@@ -329,13 +329,21 @@ class Runner:
                 # version id for reproducible downstream runs while the
                 # truncate-reload path stays reference-faithful
                 from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+                    manifest_pins,
+                    prune_snapshot_manifests,
                     write_version,
                 )
 
+                history_root = self._zone("gold_history")
+                # GC manifests first, then honor surviving pins: version
+                # retention and manifest retention move together, so an
+                # old-but-retained run's snapshot always resolves
+                prune_snapshot_manifests(history_root, self.gold_retain)
                 v = write_version(
                     self.spark.read.parquet(self._zone("gold", name)),
                     self._zone("gold_history", name),
                     retain=self.gold_retain,
+                    pinned=manifest_pins(history_root, name),
                 )
                 snapshot_versions[name] = v
                 self.logger.log(
@@ -379,8 +387,22 @@ class Runner:
             return results
         for name in sorted(os.listdir(zone_dir)):
             path = os.path.join(zone_dir, name)
-            recover_interrupted_swap(path)
-            if not os.path.isdir(path) or name.endswith(".old"):
+            if name.endswith(".old"):
+                # a crash between _swap_dirs' two renames leaves only
+                # '<table>.old' in the listing — recovery must target the
+                # LIVE path, not the .old dir itself. If the live dir
+                # survived (crash after tmp->live but before .old
+                # cleanup), finish the swap by dropping the leftover.
+                live = path[: -len(".old")]
+                if not recover_interrupted_swap(live) and os.path.isdir(live):
+                    shutil.rmtree(path, ignore_errors=True)
+                continue
+            if ".compact-" in name:
+                # orphaned rewrite temp from a crash before the swap:
+                # never a real table — sweep it, don't compact it
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            if not os.path.isdir(path):
                 continue
             try:
                 results[name] = compact(self.spark, path, target_bytes)

@@ -648,8 +648,8 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pair generation is keyed by the basket (self-join on l_orderkey),
     so fan-out is bounded by lines-per-order squared (~7² here), never
     |parts|² — the same bounded-block discipline as the dedup family.
-    Item priors are a tiny per-part aggregate broadcast back; the final
-    top-k is a TakeOrdered. All counts are exact integers; lift is one
+    Item priors join back on the support-filtered pair table (hint-free
+    — AQE sizes the build side); the final top-k is a TakeOrdered. All counts are exact integers; lift is one
     deterministic double expression rounded at the end.
     """
     li = (
@@ -678,14 +678,14 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("n_orders")
         / (F.col("n_a").cast("double") * F.col("n_b"))
     )
+    # no broadcast hint on the item priors: their cardinality is
+    # O(|part|), unbounded at 100 TB. pairs is already support-filtered
+    # (the small side after _BASKET_MIN_PAIR), so AQE picks the right
+    # strategy per scale instead of a hint forcing an over-limit build
     return (
-        pairs.join(
-            F.broadcast(item.withColumnRenamed("part", "part_a")), "part_a"
-        )
+        pairs.join(item.withColumnRenamed("part", "part_a"), "part_a")
         .withColumnRenamed("n_item", "n_a")
-        .join(
-            F.broadcast(item.withColumnRenamed("part", "part_b")), "part_b"
-        )
+        .join(item.withColumnRenamed("part", "part_b"), "part_b")
         .withColumnRenamed("n_item", "n_b")
         .crossJoin(F.broadcast(n_orders))
         .withColumn("lift", F.round(lift, 6))

@@ -532,7 +532,8 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: blocking keeps candidate generation a near-unique-key
     shuffle (never O(n²)); components converge in O(cluster diameter)
     rounds over duplicate-sized clusters; the canonical election is one
-    aggregation on the (tiny) component table broadcast back. The
+    aggregation joined back hint-free (AQE sizes it — cluster-size
+    cardinality grows with the entity count, so no broadcast hint). The
     transitive step is what pairwise linkage alone can't do: A~B and
     B~C unify A,B,C under one id even though A and C never matched
     directly — pinned by the recursive-CTE oracle.
@@ -581,7 +582,10 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = resolved.groupBy("canonical_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return resolved.join(F.broadcast(sizes), "canonical_id").select(
+    # hint-free join: cluster-size cardinality is O(n_entities) —
+    # unbounded at scale, so let AQE choose (both sides are already
+    # partitioned on canonical_id by the groupBy/join chain)
+    return resolved.join(sizes, "canonical_id").select(
         "entity_id",
         "name",
         "canonical_id",

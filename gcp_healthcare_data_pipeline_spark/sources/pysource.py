@@ -141,10 +141,17 @@ class _JsonlWriter(DataSourceWriter):
     leaves partial output visible. The same two-phase protocol every
     production sink (incl. Spark's own FileCommitProtocol) uses."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires option 'path'")
+        self.overwrite = overwrite
+        # job-unique commit id: committed filenames never collide with a
+        # previous job's parts, so append-mode writes can't clobber them
+        # and a smaller overwrite can't leave stale higher-numbered parts
+        self.commit_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
         import json
@@ -161,12 +168,21 @@ class _JsonlWriter(DataSourceWriter):
         return _JsonlCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        import glob
         import os
 
+        if self.overwrite:
+            # data is already safe in the task temps — clearing the old
+            # parts here (commit time, all tasks succeeded) keeps the
+            # all-or-nothing contract: a failed job never touched them
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(old)
         for i, m in enumerate(messages):
             os.replace(
                 m.tmp_file,
-                os.path.join(self.path, f"part-{i:05d}.jsonl"),
+                os.path.join(
+                    self.path, f"part-{self.commit_id}-{i:05d}.jsonl"
+                ),
             )
 
     def abort(self, messages) -> None:
@@ -186,7 +202,7 @@ class JsonlSinkDataSource(DataSource):
         return "jsonl_sink"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

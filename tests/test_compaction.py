@@ -100,3 +100,64 @@ def test_runner_compact_zone_after_fragmented_silver(spark, tmp_path):
     assert results["healthy"]["compacted"] is False
     assert _n_parquet_files(frag) < 30
     assert sorted(map(tuple, spark.read.parquet(frag).collect())) == rows_before
+
+
+def test_compact_zone_recovers_crash_between_swap_renames(spark, tmp_path):
+    """Crash AFTER live->.old but BEFORE tmp->live: the zone listing
+    holds only '<t>.old' and an orphaned '<t>.compact-*' temp. The sweep
+    must restore the live dir from .old and discard the temp — never
+    treat the temp as a real table."""
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import Runner
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(os.path.join(wh, "silver"))
+    t = os.path.join(wh, "silver", "t")
+    _fragmented_table(spark, t, n_files=4, rows=200)
+    rows = sorted(map(tuple, spark.read.parquet(t).collect()))
+    # simulate the crash point: rewrite temp written, live renamed away
+    spark.read.parquet(t).coalesce(1).write.parquet(t + ".compact-deadbeef")
+    os.rename(t, t + ".old")
+
+    results = Runner(spark, wh).compact_zone("silver", target_bytes=1 << 30)
+    assert os.path.isdir(t), "live table restored from .old"
+    assert not os.path.exists(t + ".old")
+    assert not os.path.exists(t + ".compact-deadbeef"), "temp swept"
+    assert "t.compact-deadbeef" not in results, "temp never compacted"
+    assert sorted(map(tuple, spark.read.parquet(t).collect())) == rows
+
+
+def test_compact_zone_finishes_crash_after_swap(spark, tmp_path):
+    """Crash AFTER tmp->live but BEFORE .old cleanup: both live and .old
+    exist. The sweep keeps the new live state and drops the leftover."""
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import Runner
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(os.path.join(wh, "silver"))
+    t = os.path.join(wh, "silver", "t")
+    _fragmented_table(spark, t, n_files=3, rows=100)
+    rows = sorted(map(tuple, spark.read.parquet(t).collect()))
+    spark.range(5).write.parquet(t + ".old")  # stale pre-swap copy
+
+    Runner(spark, wh).compact_zone("silver", target_bytes=1 << 30)
+    assert not os.path.exists(t + ".old"), "leftover .old dropped"
+    assert sorted(map(tuple, spark.read.parquet(t).collect())) == rows
+
+
+def test_file_inventory_rejects_remote_schemes(spark):
+    import pytest
+
+    from gcp_healthcare_data_pipeline_spark.operators import compaction
+
+    class _FakeDF:
+        def inputFiles(self):
+            return ["s3a://bucket/table/part-0.parquet"]
+
+    class _FakeReader:
+        def parquet(self, path):
+            return _FakeDF()
+
+    class _FakeSpark:
+        read = _FakeReader()
+
+    with pytest.raises(NotImplementedError, match="local file:"):
+        compaction.file_inventory(_FakeSpark(), "s3a://bucket/table")

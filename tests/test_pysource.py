@@ -144,3 +144,30 @@ def test_custom_jsonl_sink_commit_protocol(spark, tmp_path):
     back = spark.read.json(out)
     assert back.count() == 500
     assert {f.name for f in back.schema.fields} == {"id", "k"}
+
+
+def test_jsonl_sink_overwrite_replaces_append_accumulates(spark, tmp_path):
+    """Second writes must not clobber or interleave with the first job's
+    parts: append accumulates under job-unique filenames; overwrite
+    clears every previous part at commit time (including stale
+    higher-numbered parts from an earlier larger write)."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "jsonl2")
+    big = spark.range(300).select("id").repartition(4)
+    small = spark.range(1000, 1010).select("id").repartition(1)
+
+    big.write.format("jsonl_sink").mode("append").option("path", out).save()
+    small.write.format("jsonl_sink").mode("append").option("path", out).save()
+    # append: both jobs' rows survive (no filename collisions)
+    assert spark.read.json(out).count() == 310
+
+    # overwrite with a SMALLER write: every stale part must vanish
+    small.write.format("jsonl_sink").mode("overwrite").option(
+        "path", out
+    ).save()
+    ids = sorted(r.id for r in spark.read.json(out).collect())
+    assert ids == list(range(1000, 1010))
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(files) == 1

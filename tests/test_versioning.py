@@ -176,3 +176,77 @@ def test_runner_writes_manifest_per_versioned_run(spark, tmp_path):
     }
     tables = read_snapshot_tables(spark, hist)
     assert all(df.count() > 0 for df in tables.values())
+
+
+def test_retention_honors_manifest_pins(spark, tmp_path):
+    """A version an old-but-retained manifest pins survives newest-N
+    retention; once the manifest is GC'd the pin is released. This is
+    the coordination that keeps read_snapshot_tables for a retained run
+    working even when one table advances more than `retain` times."""
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        manifest_pins,
+        prune_snapshot_manifests,
+        read_snapshot_tables,
+        write_snapshot_manifest,
+        write_version,
+    )
+
+    root = str(tmp_path / "hist")
+    t = os.path.join(root, "a")
+    write_version(_snapshot(spark, 10, "r1"), t, retain=2)
+    write_snapshot_manifest(root, {"a": 0}, "run1")
+
+    # table advances 4 more times; retain=2 alone would prune v0
+    for i in range(4):
+        write_version(
+            _snapshot(spark, 20 + i, f"r{i + 2}"), t, retain=2,
+            pinned=manifest_pins(root, "a"),
+        )
+        write_snapshot_manifest(root, {"a": i + 1}, f"run{i + 2}")
+
+    # run1's pinned v0 still resolves alongside the newest two
+    assert read_snapshot_tables(spark, root, "run1")["a"].count() == 10
+    assert read_version(spark, t, 0).count() == 10
+
+    # GC manifests to the newest 2 -> run1's pin is released, and the
+    # next write prunes v0 with it
+    pruned = prune_snapshot_manifests(root, keep_runs=2)
+    assert "run1" in pruned
+    write_version(_snapshot(spark, 99, "r9"), t, retain=2,
+                  pinned=manifest_pins(root, "a"))
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        list_versions,
+    )
+
+    assert 0 not in list_versions(t)
+
+
+def test_runner_gc_keeps_retained_manifests_resolvable(spark, tmp_path):
+    """Every manifest the runner retains must fully resolve via
+    read_snapshot_tables — no FileNotFoundError from a pruned version."""
+    from datetime import datetime
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        list_snapshot_manifests,
+        read_snapshot_tables,
+    )
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import Runner
+    from gcp_healthcare_data_pipeline_spark.queries.pipeline_queries import FX
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import SourcePaths
+
+    src_root = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    sources = SourcePaths(**FX.write_fixtures(src_root))
+    for day in range(1, 5):
+        Runner(
+            spark, wh, clock=datetime(2025, 1, day), versioned_gold=True,
+            gold_retain=2,
+        ).run(sources)
+
+    root = os.path.join(wh, "gold_history")
+    runs = list_snapshot_manifests(root)
+    assert len(runs) <= 2 + 1  # GC runs before this run's manifest lands
+    for run_id in runs:
+        tables = read_snapshot_tables(spark, root, run_id)
+        for name, df in tables.items():
+            df.count()  # must not raise FileNotFoundError
