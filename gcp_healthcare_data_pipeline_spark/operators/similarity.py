@@ -87,7 +87,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
-    centroid_mod: int = 31,
+    centroid_mod: int | None = 31,
     probes: int = 2,
     lloyd_iters: int = 0,
     id_col: str = "vec_id",
@@ -96,7 +96,11 @@ def ivf_topk(
     """IVF-style approximate top-k: the second classic ANN scale path.
 
     Centroid seeds are a deterministic corpus sample
-    (id % centroid_mod == 0); ``lloyd_iters`` > 0 then refines them with
+    (id % centroid_mod == 0; ``centroid_mod=None`` derives the mod from
+    corpus size as max(31, ceil(sqrt(n))) — the canonical nlist ~
+    sqrt(n) IVF sizing, keeping both the centroid broadcast and the
+    probed-cluster scan at O(sqrt(n)) as data grows);
+    ``lloyd_iters`` > 0 then refines them with
     that many spherical-k-means rounds (assign every corpus vector to
     its max-cosine centroid, recompute each centroid as the per-
     dimension member mean) — the real-deployment centroid quality while
@@ -114,9 +118,27 @@ def ivf_topk(
     c_raw = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
     ).withColumn("_cn", norm(F.col("_v")))
+    if centroid_mod is None:
+        # scale-adaptive nlist: mod = max(31, ceil(sqrt(n))) gives the
+        # canonical IVF sizing (nlist ~ sqrt(n)) — both the centroid
+        # broadcast (n/mod rows) and each probed cluster (~mod rows)
+        # grow as sqrt(n) instead of one of them growing linearly. The
+        # derivation is a 1-row broadcast aggregate (no driver collect)
+        # and pure arithmetic the DuckDB oracle replicates.
+        moddf = corpus.agg(
+            F.greatest(
+                F.lit(31), F.ceil(F.sqrt(F.count(F.lit(1))))
+            )
+            .cast("bigint")
+            .alias("_mod")
+        )
+        seed_filter = corpus.crossJoin(F.broadcast(moddf)).filter(
+            F.col(id_col) % F.col("_mod") == 0
+        )
+    else:
+        seed_filter = corpus.filter(F.col(id_col) % centroid_mod == 0)
     cents = (
-        corpus.filter(F.col(id_col) % centroid_mod == 0)
-        .select(
+        seed_filter.select(
             F.col(id_col).alias("centroid_id"),
             as_double(vec_col).alias("_cv"),
         )

@@ -227,7 +227,10 @@ FROM topk t CROSS JOIN recall r
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic centroid seeds (vec_id % 31 = 0)
+    """IVF-style ANN: deterministic centroid seeds (vec_id % mod = 0
+    with mod = max(31, ceil(sqrt(n))) derived from corpus size — the
+    canonical nlist ~ sqrt(n) sizing, so neither the centroid broadcast
+    nor the probed clusters grow linearly with data)
     refined by one spherical-k-means Lloyd round (assign all corpus
     vectors by cosine, recompute centroids as per-dimension member
     means), nearest-centroid cluster assignment, 2-probe query search —
@@ -243,7 +246,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(
-        emb, queries, k=_K, centroid_mod=31, probes=2, lloyd_iters=1
+        emb, queries, k=_K, centroid_mod=None, probes=2, lloyd_iters=1
     )
 
 
@@ -252,7 +255,8 @@ WITH c AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
 ), cent0 AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % 31 = 0
+  FROM embeddings WHERE vec_id % (SELECT GREATEST(31,
+    CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings) = 0
 ), r0 AS (
   -- Lloyd round 1: cosine-assign every corpus vector to its seed
   SELECT neighbor_id, centroid_id FROM (
@@ -391,7 +395,55 @@ SELECT label, vec_id, centroid_dist, rank FROM ranked WHERE rank <= 5
 """
 
 
-_KMEANS_K = 8
+# ---------------------------------------------------------------------------
+# Scale-adaptive blocking for the k-means family (q_kmeans, q_semdedup,
+# q_knn_graph, q_cluster_balance): the block count derives from corpus
+# size, k = max(K_MIN, ceil(n / TARGET_BLOCK_ROWS)), so the within-block
+# self-joins the dedup/graph operators run stay bounded at ~TARGET_BLOCK
+# rows per block as the corpus grows — a fixed k would turn them
+# quadratic again at 100x data. The derivation is pure arithmetic both
+# engines replicate: Spark computes k as a 1-row broadcast aggregate
+# (no driver collect), the DuckDB oracle as a scalar subquery.
+#
+# Cost shape at extreme n: nearest-centroid assignment is n*k vectorized
+# codegen ops (k = n/B keeps blocks bounded for the heavy pair-cosine
+# stage, which is the dominant term); when assignment itself becomes the
+# bottleneck (n >> B^2), raise TARGET_BLOCK_ROWS toward sqrt(n) or go
+# hierarchical (coarse-assign to sqrt(k) super-clusters first) — same
+# plan shape, documented trade.
+# ---------------------------------------------------------------------------
+_KMEANS_K_MIN = 8
+_TARGET_BLOCK_ROWS = 256
+
+# DuckDB twin of the k derivation; valid wherever CTE ``e`` (the
+# embedding corpus) is in scope
+_K_SQL = (
+    f"(SELECT GREATEST({_KMEANS_K_MIN}, "
+    f"CAST(CEIL(COUNT(*) / {_TARGET_BLOCK_ROWS}.0) AS BIGINT)) FROM e)"
+)
+
+
+def _derived_k(emb: DataFrame) -> DataFrame:
+    """1-row frame holding the derived block count ``_k``."""
+    return emb.agg(
+        F.greatest(
+            F.lit(_KMEANS_K_MIN),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(_TARGET_BLOCK_ROWS))),
+        )
+        .cast("bigint")
+        .alias("_k")
+    )
+
+
+def _seed_centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic seeds: the k lowest vec_ids, k derived from corpus
+    size (see module block comment). The k-frame is a 1-row broadcast,
+    so seed selection is map-side — no collect, no shuffle."""
+    return (
+        emb.crossJoin(F.broadcast(_derived_k(emb)))
+        .filter(F.col("vec_id") < F.col("_k"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    )
 
 
 def _dist_to_centroid() -> "F.Column":
@@ -456,9 +508,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double("embedding").alias("v"))
         .localCheckpoint(eager=False)
     )
-    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
-    )
+    centroids = _seed_centroids(emb)
     assigned = None
     for _ in range(2):
         assigned = _kmeans_assign(emb, centroids)
@@ -479,7 +529,7 @@ _ORACLE_KMEANS = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
 ), s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0
@@ -533,9 +583,7 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double("embedding").alias("v"))
         .localCheckpoint(eager=False)
     )
-    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
-    )
+    centroids = _seed_centroids(emb)
     centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
     assigned = _kmeans_assign(emb, centroids).select("vec_id", "centroid_id")
     shuffle_key = F.conv(
@@ -555,7 +603,7 @@ _ORACLE_CLUSTER_BALANCE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
 ), s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0
@@ -614,9 +662,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double("embedding").alias("v"))
         .localCheckpoint(eager=False)  # shared by seed + assign branches
     )
-    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
-    )
+    centroids = _seed_centroids(emb)
     # one Lloyd refinement round: the blocking quality a real deployment
     # gets from k-means, still fully deterministic / oracle-checkable
     centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
@@ -669,7 +715,7 @@ _ORACLE_SEMDEDUP = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
 ), s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0
@@ -793,9 +839,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double("embedding").alias("v"))
         .localCheckpoint(eager=False)
     )
-    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
-    )
+    centroids = _seed_centroids(emb)
     centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
     assigned = (
         _kmeans_assign(emb, centroids)
@@ -859,7 +903,7 @@ _ORACLE_KNN_GRAPH = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_KMEANS_K}
+  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
 ), s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0

@@ -111,3 +111,66 @@ def test_lsh_probe_depth_zero_rejected(spark):
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     with pytest.raises(ValueError, match="probe_depth"):
         lsh_bucket_topk(emb, queries, k=5, probe_depth=0)
+
+
+def test_kmeans_block_count_scales_with_corpus(spark):
+    """The derived block count k = max(K_MIN, ceil(n/TARGET_BLOCK_ROWS))
+    grows with corpus size, and the resulting k-means blocks stay within
+    a small factor of the target — the bound that keeps the semdedup /
+    kNN-graph within-block self-joins from going quadratic at scale."""
+    import math
+
+    from gcp_healthcare_data_pipeline_spark.queries import (
+        vector_queries as vq,
+    )
+
+    for n in (500, 2048, 8192):
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 7), "
+                "i -> sin(cast(id * (i + 3) as double)))"
+            ).alias("v"),
+        )
+        expect_k = max(vq._KMEANS_K_MIN, math.ceil(n / vq._TARGET_BLOCK_ROWS))
+        assert vq._derived_k(emb).collect()[0]["_k"] == expect_k
+        cent = vq._seed_centroids(emb)
+        assert cent.count() == min(expect_k, n)
+        refined = vq._kmeans_recompute(vq._kmeans_assign(emb, cent))
+        assigned = vq._kmeans_assign(emb, refined)
+        sizes = [
+            r["cnt"]
+            for r in assigned.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ]
+        assert sum(sizes) == n  # every vector assigned exactly once
+        # k-means gives no hard balance guarantee; empirically blocks
+        # stay within a small factor of the target on this data shape
+        assert max(sizes) <= 4 * vq._TARGET_BLOCK_ROWS
+
+
+def test_ivf_adaptive_mod_scales_centroids(spark):
+    """centroid_mod=None derives nlist ~ sqrt(n): more centroids on a
+    bigger corpus, same result contract (rank column, k rows cap)."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    n = 4000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 7), "
+            "i -> sin(cast(id * (i + 3) as double)))"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % 1000 == 0)
+    out = ivf_topk(emb, queries, k=3, centroid_mod=None, probes=2)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1000, 2000, 3000}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    # derived mod = max(31, ceil(sqrt(4000))=64) = 64 -> ~63 centroids;
+    # each query probes 2 clusters of ~64 rows, so every query's
+    # candidate pool stays far under the 3999-row brute-force scan
+    assert len(rows) == 4 * 3
