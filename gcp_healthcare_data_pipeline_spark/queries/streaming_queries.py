@@ -586,7 +586,109 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 maintenance under streaming delivery — the reference's
+    core MERGE operator (silver.sql:142-199) fed by a change-data stream
+    instead of batch runs: streaming/sinks.py:apply_scd2_batch composes
+    operators/scd2.py with the idempotent ledger + two-rename swap sink.
+
+    Two change batches land as files and drain through ONE checkpoint
+    (exactly-once across restarts, like q_stream_backfill): batch 0 is
+    the initial customer snapshot; batch 1 updates every c_custkey % 3
+    key (segment + balance change -> expire under strict reference
+    semantics) and replays every c_custkey % 5 key unchanged (no-op
+    path: matched but no tracked column differs). The batch timestamp is
+    keyed on batch_id, so replays are byte-identical. The oracle derives
+    the same end state directly; replay-idempotence and crash recovery
+    are pinned in tests/test_streaming_sinks.py.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+    from datetime import datetime, timedelta  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.streaming.sinks import (  # noqa: PLC0415
+        read_upsert_target,
+        stream_scd2_to_parquet,
+    )
+
+    work = tempfile.mkdtemp(prefix="q_stream_scd2_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    cust = load_tables(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+    def land(df: DataFrame, tag: str) -> None:
+        stage = os.path.join(work, f"stage_{tag}")
+        df.write.mode("overwrite").parquet(stage)
+        i = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(stage, f),
+                    os.path.join(src, f"{tag}_{i}.parquet"),
+                )
+                i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema(cust.schema).parquet(src)
+        )
+        stream_scd2_to_parquet(
+            stream,
+            os.path.join(work, "target"),
+            ["customer_key"],
+            ["segment", "acctbal"],
+            lambda bid: datetime(2025, 1, 1) + timedelta(days=bid),
+            os.path.join(work, "ckpt"),
+        )
+
+    changed = cust.filter(F.col("customer_key") % 3 == 0).select(
+        "customer_key",
+        F.concat(F.col("segment"), F.lit(" rev2")).alias("segment"),
+        (F.col("acctbal") + 10.0).alias("acctbal"),
+    )
+    unchanged = cust.filter(
+        (F.col("customer_key") % 5 == 0) & (F.col("customer_key") % 3 != 0)
+    )
+    land(cust, "b1")
+    drain()
+    land(changed.unionByName(unchanged), "b2")
+    drain()
+    return read_upsert_target(spark, os.path.join(work, "target")).select(
+        "customer_key",
+        "segment",
+        F.round("acctbal", 2).alias("acctbal"),
+        "inserted_date",
+        "modified_date",
+        "is_current",
+    )
+
+
+# strict reference semantics: batch-1 changes EXPIRE the current row
+# (modified_date advances, is_current false) without re-inserting the
+# new version; unchanged batch-1 rows are no-ops
+_ORACLE_STREAM_SCD2 = """
+SELECT c_custkey AS customer_key,
+       c_mktsegment AS segment,
+       ROUND(c_acctbal, 2) AS acctbal,
+       TIMESTAMP '2025-01-01' AS inserted_date,
+       CASE WHEN c_custkey % 3 = 0 THEN TIMESTAMP '2025-01-02'
+            ELSE TIMESTAMP '2025-01-01' END AS modified_date,
+       c_custkey % 3 <> 0 AS is_current
+FROM customer
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "q_stream_scd2", q_stream_scd2, _ORACLE_STREAM_SCD2,
+        "J6 ext:streaming (SCD2 MERGE under streaming delivery)",
+    ),
     QuerySpec(
         "q_stream_stateful_profiles", q_stream_stateful_profiles,
         _ORACLE_STREAM_STATEFUL, "ext:streaming applyInPandasWithState",

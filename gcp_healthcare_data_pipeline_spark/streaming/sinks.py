@@ -147,3 +147,98 @@ def stream_upsert_to_parquet(
 def read_upsert_target(spark: SparkSession, target_dir: str) -> DataFrame:
     recover_target(target_dir)
     return spark.read.parquet(os.path.join(target_dir, "data"))
+
+
+def apply_scd2_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_dir: str,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    batch_ts,
+    carry_cols: tuple[str, ...] = (),
+    order_col: str | None = None,
+    strict_reference_semantics: bool = True,
+) -> bool:
+    """Apply one micro-batch of dimension changes as an SCD2 merge —
+    the reference's core MERGE (silver.sql:142-199) under streaming
+    delivery: operators/scd2.py composed with this module's ledger +
+    two-rename swap, so replays of an already-committed batch_id are
+    no-ops and a crash at any point is recoverable (recover_target).
+
+    ``batch_ts(batch_id) -> datetime`` supplies the run timestamp for
+    the batch's inserted/modified/expired rows; keying it on batch_id
+    (not wall clock) keeps a replayed batch byte-identical — the same
+    injectable-clock discipline as pipeline/runner.py. With
+    ``order_col``, only the latest row per key (highest order_col,
+    deterministic) participates — a micro-batch may carry several
+    versions of one key.
+    """
+    recover_target(target_dir)
+    if batch_id <= last_committed_batch(target_dir):
+        return False  # replay: no-op
+    from gcp_healthcare_data_pipeline_spark.operators.scd2 import (  # noqa: PLC0415
+        scd2_initial,
+        scd2_merge,
+    )
+
+    spark = batch_df.sparkSession
+    if order_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    ts = F.lit(batch_ts(batch_id)).cast("timestamp")
+    data_dir, old_dir, tmp_dir = _data_dirs(target_dir)
+    if os.path.exists(data_dir):
+        target = spark.read.parquet(data_dir)
+        merged = scd2_merge(
+            target,
+            batch_df,
+            key_cols,
+            tracked_cols,
+            ts,
+            carry_cols=carry_cols,
+            strict_reference_semantics=strict_reference_semantics,
+        )
+    else:
+        merged = scd2_initial(batch_df, ts)
+    merged.write.mode("overwrite").parquet(tmp_dir)
+    if os.path.exists(data_dir):
+        os.rename(data_dir, old_dir)
+    os.replace(tmp_dir, data_dir)
+    with open(_ledger_path(target_dir), "w") as fh:
+        fh.write(str(batch_id))
+    if os.path.exists(old_dir):
+        shutil.rmtree(old_dir)
+    return True
+
+
+def stream_scd2_to_parquet(
+    stream_df: DataFrame,
+    target_dir: str,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    batch_ts,
+    checkpoint_dir: str,
+    **scd2_opts,
+) -> None:
+    """Drain a stream of dimension change batches into an SCD2-maintained
+    parquet table (availableNow trigger; exactly-once via the ledger)."""
+    os.makedirs(target_dir, exist_ok=True)
+
+    def _sink(df: DataFrame, bid: int) -> None:
+        apply_scd2_batch(
+            df, bid, target_dir, key_cols, tracked_cols, batch_ts,
+            **scd2_opts,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

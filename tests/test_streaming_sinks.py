@@ -124,3 +124,93 @@ def test_stream_upsert_end_to_end(spark, tmp_path):
     )
     got = out.filter(F.col("user_id") == uid).first()
     assert got.event_time == expect_ts
+
+
+def _scd2_batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, attr string, val double")
+
+
+def _apply(spark, rows, bid, target):
+    from datetime import datetime, timedelta
+
+    from gcp_healthcare_data_pipeline_spark.streaming.sinks import (
+        apply_scd2_batch,
+    )
+
+    return apply_scd2_batch(
+        _scd2_batch(spark, rows), bid, target, ["k"], ["attr", "val"],
+        lambda b: datetime(2025, 1, 1) + timedelta(days=b),
+    )
+
+
+def test_scd2_batch_stream_matches_batch_merge(spark, tmp_path):
+    """Drained sink state == batch scd2_initial + scd2_merge over the
+    same change feed (strict reference semantics: change -> expire)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.scd2 import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    target = str(tmp_path / "scd2")
+    b0 = [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    b1 = [(2, "b2", 2.5), (3, "c", 3.0), (4, "d", 4.0)]  # chg, no-op, new
+    assert _apply(spark, b0, 0, target) is True
+    assert _apply(spark, b1, 1, target) is True
+
+    got = sorted(
+        map(tuple, read_upsert_target(spark, target).collect()), key=str
+    )
+    batch_t0 = scd2_initial(
+        _scd2_batch(spark, b0), F.lit(datetime(2025, 1, 1)).cast("timestamp")
+    )
+    batch_t1 = scd2_merge(
+        batch_t0, _scd2_batch(spark, b1), ["k"], ["attr", "val"],
+        F.lit(datetime(2025, 1, 2)).cast("timestamp"),
+    )
+    want = sorted(
+        map(tuple, batch_t1.select(*read_upsert_target(
+            spark, target).columns).collect()), key=str
+    )
+    assert got == want
+    by_k = {(r[0], r[5]) for r in got}  # (k, is_current)
+    assert (2, False) in by_k, "changed key expired"
+    assert (4, True) in by_k, "new key inserted current"
+
+
+def test_scd2_batch_replay_is_noop(spark, tmp_path):
+    """Replaying an already-committed batch_id (at-least-once delivery)
+    must not double-expire or re-timestamp anything."""
+    target = str(tmp_path / "scd2r")
+    _apply(spark, [(1, "a", 1.0), (2, "b", 2.0)], 0, target)
+    _apply(spark, [(1, "a9", 9.0)], 1, target)
+    before = sorted(
+        map(tuple, read_upsert_target(spark, target).collect()), key=str
+    )
+    # replay both batches out of order — all must be no-ops
+    assert _apply(spark, [(1, "a9", 9.0)], 1, target) is False
+    assert _apply(spark, [(1, "a", 1.0), (2, "b", 2.0)], 0, target) is False
+    after = sorted(
+        map(tuple, read_upsert_target(spark, target).collect()), key=str
+    )
+    assert after == before
+    assert last_committed_batch(target) == 1
+
+
+def test_scd2_batch_crash_recovery(spark, tmp_path):
+    """Crash between the sink's two renames: recover_target restores the
+    last committed state and the interrupted batch replays in full."""
+    target = str(tmp_path / "scd2c")
+    _apply(spark, [(1, "a", 1.0)], 0, target)
+    data = os.path.join(target, "data")
+    # simulate: died after data -> _data_old, before tmp -> data
+    os.rename(data, os.path.join(target, "_data_old"))
+    recover_target(target)
+    rows = read_upsert_target(spark, target).collect()
+    assert len(rows) == 1 and rows[0].k == 1
+    # the interrupted batch now applies cleanly
+    assert _apply(spark, [(1, "a2", 2.0)], 1, target) is True
+    assert read_upsert_target(spark, target).count() == 1  # strict: expire
