@@ -5,12 +5,18 @@ decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` stages so the Python hop is per-batch, not per-row, and
 the pipeline stays partition-parallel at 100 TB.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-environment): ``decode_stub_features`` produces deterministic fake
-features derived from the payload bytes, clearly marked; swap
-``_decode_one`` for a real decoder (PIL/torchaudio/ffmpeg) in deployment.
-The Spark-side contract — schemas, batch iteration, partitioning — is
-real and tested (tests/test_multimodal.py).
+Codec status: **BMP (24-bit uncompressed) decode/encode is REAL** — a
+pure-Python parser/writer (``decode_bmp24`` / ``encode_bmp24``) handling
+the BITMAPINFOHEADER layout, BGR channel order, bottom-up (and top-down
+negative-height) row order, and 4-byte row padding; ``_decode_one``
+routes ``BM``-magic payloads through it and emits decoded-pixel
+features, and ``decode_image_stats`` / ``resize_images`` run real
+pixel work inside their mapInPandas stages (oracle-pinned cross-engine
+by queries/extended_queries.py:q_multimodal_decode). Other formats
+(JPEG/audio/video) remain stubbed with deterministic digest features —
+no codec libraries in this environment; swap ``_decode_one``'s fallback
+for PIL/torchaudio/ffmpeg in deployment. The Spark-side contract —
+schemas, batch iteration, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -54,15 +60,105 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_one(payload: bytes, dim: int) -> list[float]:
-    """STUB decoder: deterministic pseudo-features from payload bytes.
+# --------------------------------------------------------------------------
+# Real pure-Python BMP codec (24-bit uncompressed, BITMAPINFOHEADER)
+# --------------------------------------------------------------------------
 
-    Replace with a real decode (PIL image -> embedding, audio -> spectro
-    stats, video -> frame samples). Raises on None payload like a real
-    decoder would on corrupt input.
+def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down row-major RGB bytes (len = w*h*3) as a standard
+    24-bit BMP: 14-byte file header, 40-byte BITMAPINFOHEADER, pixel
+    rows stored bottom-up in BGR order, each row padded to 4 bytes."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(
+            f"rgb length {len(rgb)} != {width}x{height}x3"
+        )
+    row_size = (width * 3 + 3) & ~3
+    img_size = row_size * height
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+        2835, 2835, 0, 0,
+    )
+    pad = b"\x00" * (row_size - width * 3)
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            off = (y * width + x) * 3
+            row += bytes((rgb[off + 2], rgb[off + 1], rgb[off]))  # BGR
+        rows.append(bytes(row) + pad)
+    return header + info + b"".join(rows)
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24-bit uncompressed BMP to (width, height, RGB bytes in
+    top-down row-major order). Handles the standard bottom-up layout,
+    top-down images (negative height), and row padding; raises on
+    malformed headers / unsupported bpp/compression like any real
+    decoder — callers quarantine, not crash (extract_features)."""
+    import struct
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant: planes={planes} bpp={bpp} "
+            f"compression={compression}"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    row_size = (width * 3 + 3) & ~3
+    if len(payload) < pix_offset + row_size * height:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for file_row in range(height):
+        y = file_row if top_down else height - 1 - file_row
+        base = pix_offset + file_row * row_size
+        for x in range(width):
+            b, g, r = payload[base + x * 3: base + x * 3 + 3]
+            off = (y * width + x) * 3
+            out[off], out[off + 1], out[off + 2] = r, g, b
+    return width, height, bytes(out)
+
+
+def _decode_one(payload: bytes, dim: int) -> list[float]:
+    """Decode a media payload to a fixed-dim feature vector.
+
+    BMP payloads (``BM`` magic) get a REAL decode: features are the
+    decoded image's per-channel means (r, g, b in [0,1]) followed by the
+    first pixels' normalized luminance — actual pixel content, not a
+    digest. Other formats fall back to the deterministic sha256 stub
+    (no codec libraries in this environment; swap for
+    PIL/torchaudio/ffmpeg in deployment). Raises on None payload like a
+    real decoder would on corrupt input.
     """
     if payload is None:
         raise ValueError("corrupt media payload: None")
+    if payload[:2] == b"BM":
+        w, h, rgb = decode_bmp24(payload)
+        n = w * h
+        means = [
+            sum(rgb[c::3]) / (255.0 * n) for c in range(3)
+        ]
+        lum = [
+            (0.299 * rgb[i * 3] + 0.587 * rgb[i * 3 + 1]
+             + 0.114 * rgb[i * 3 + 2]) / 255.0
+            for i in range(min(n, max(dim - 3, 0)))
+        ]
+        feats = means + lum
+        feats += [0.0] * (dim - len(feats))
+        return feats[:dim]
     h = hashlib.sha256(payload).digest()
     return [h[i % len(h)] / 255.0 for i in range(dim)]
 
@@ -101,6 +197,72 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("pix_checksum", LongType(), True),
+    ]
+)
+
+
+def decode_image_stats(media: DataFrame) -> DataFrame:
+    """REAL decode stage (Arrow-batched mapInPandas): parse each BMP
+    payload with ``decode_bmp24`` and emit per-image pixel statistics —
+    dimensions, per-channel means (0..255 scale), and a position- AND
+    channel-weighted checksum ``sum((y*w+x+1) * (r<<16 | g<<8 | b))``
+    over top-down row-major pixels. The checksum is deliberately
+    sensitive to the three classic decoder bugs (bottom-up row order not
+    flipped, BGR not swapped to RGB, row padding miscounted), so the
+    cross-engine oracle in q_multimodal_decode value-pins the decoder's
+    correctness, not just the plumbing. Undecodable payloads yield NULL
+    stats (quarantine posture, same as extract_features)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, mrs, mgs, mbs, cks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    w, h, rgb = decode_bmp24(
+                        bytes(payload) if payload is not None else None
+                    )
+                except (ValueError, TypeError):
+                    for col in (ws, hs, mrs, mgs, mbs, cks):
+                        col.append(None)
+                    continue
+                n = w * h
+                ws.append(w)
+                hs.append(h)
+                mrs.append(sum(rgb[0::3]) / n)
+                mgs.append(sum(rgb[1::3]) / n)
+                mbs.append(sum(rgb[2::3]) / n)
+                cks.append(
+                    sum(
+                        (i + 1)
+                        * ((rgb[i * 3] << 16) | (rgb[i * 3 + 1] << 8)
+                           | rgb[i * 3 + 2])
+                        for i in range(n)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "mean_r": pd.array(mrs, dtype="float64"),
+                    "mean_g": pd.array(mgs, dtype="float64"),
+                    "mean_b": pd.array(mbs, dtype="float64"),
+                    "pix_checksum": pd.array(cks, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -114,10 +276,12 @@ RESIZED_SCHEMA = StructType(
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage for image payloads (mapInPandas, Arrow-batched).
 
-    STUB codec: a real deployment decodes with PIL and re-encodes; the
-    stub emits a deterministic truncated-digest payload so the batch
-    shape, schema, and partition parallelism are real and testable.
-    Non-image rows pass through untouched metadata with NULL payload.
+    BMP payloads get a REAL decode -> nearest-neighbor resample ->
+    re-encode round trip (src pixel = floor(dst * src_dim / dst_dim),
+    the standard NN kernel, fully deterministic). Non-BMP image
+    payloads fall back to a deterministic digest stub (no codec libs in
+    this environment). Non-image rows pass through untouched metadata
+    with NULL payload.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -126,9 +290,24 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             payloads, ws, hs = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if kind == "image" and payload is not None:
-                    # stands in for decode->resize->encode
-                    digest = hashlib.sha256(bytes(payload)).digest()
-                    payloads.append(digest[: out_w * out_h % 32 + 4])
+                    raw = bytes(payload)
+                    if raw[:2] == b"BM":
+                        src_w, src_h, rgb = decode_bmp24(raw)
+                        out = bytearray(out_w * out_h * 3)
+                        for y in range(out_h):
+                            sy = min(src_h - 1, y * src_h // out_h)
+                            for x in range(out_w):
+                                sx = min(src_w - 1, x * src_w // out_w)
+                                src = (sy * src_w + sx) * 3
+                                dst = (y * out_w + x) * 3
+                                out[dst:dst + 3] = rgb[src:src + 3]
+                        payloads.append(
+                            encode_bmp24(out_w, out_h, bytes(out))
+                        )
+                    else:
+                        # stands in for decode->resize->encode
+                        digest = hashlib.sha256(raw).digest()
+                        payloads.append(digest[: out_w * out_h % 32 + 4])
                     ws.append(out_w)
                     hs.append(out_h)
                 else:

@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+    decode_image_stats,
+    encode_bmp24,
     extract_features,
 )
 from gcp_healthcare_data_pipeline_spark.operators.scd2 import scd2_merge
@@ -318,6 +320,79 @@ SELECT media_id, n_bytes, h AS content_digest,
   ROUND(((strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16
        + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) / 255.0, 9) AS f3
 FROM d
+"""
+
+
+_BMP_W, _BMP_H = 5, 4  # width 5 -> 15-byte rows, padded to 16 (exercises
+# the BMP 4-byte row-padding rule in every single image)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, value-pinned cross-engine: synthesize one
+    24-bit BMP per document from a deterministic pixel formula
+    (mapInPandas encode), parse it back with the pure-Python BMP decoder
+    (operators/multimodal.py:decode_bmp24 inside decode_image_stats),
+    and emit per-image pixel statistics. The DuckDB oracle computes the
+    same statistics straight from the pixel formula — so a decoder that
+    mishandles BGR order (channel means split it), bottom-up row storage
+    or row padding (the position-weighted checksum splits those) cannot
+    hash-match. This closes the 'stub codec' gap: the mapInPandas stage
+    does actual byte-format decoding, batch-wise, partition-parallel.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    w, h = _BMP_W, _BMP_H
+
+    def make_bmp(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                rgb = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        rgb += bytes((
+                            (m * 7 + x * 13 + y * 29) % 256,
+                            (m * 11 + x * 3 + y * 17) % 256,
+                            (m * 5 + x * 19 + y * 7) % 256,
+                        ))
+                payloads.append(encode_bmp24(w, h, bytes(rgb)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_bmp, "media_id long, payload binary")
+    return decode_image_stats(media).select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "pix_checksum",
+    )
+
+
+_ORACLE_MULTIMODAL_DECODE = f"""
+WITH px AS (
+  SELECT d.doc_id AS media_id, xs.x, ys.y,
+    (d.doc_id * 7 + xs.x * 13 + ys.y * 29) % 256 AS r,
+    (d.doc_id * 11 + xs.x * 3 + ys.y * 17) % 256 AS g,
+    (d.doc_id * 5 + xs.x * 19 + ys.y * 7) % 256 AS b
+  FROM documents d, range(0, {_BMP_W}) xs(x), range(0, {_BMP_H}) ys(y)
+)
+SELECT media_id,
+  CAST({_BMP_W} AS BIGINT) AS width,
+  CAST({_BMP_H} AS BIGINT) AS height,
+  ROUND(AVG(r), 6) AS mean_r,
+  ROUND(AVG(g), 6) AS mean_g,
+  ROUND(AVG(b), 6) AS mean_b,
+  CAST(SUM((y * {_BMP_W} + x + 1) * (r * 65536 + g * 256 + b)) AS BIGINT)
+    AS pix_checksum
+FROM px GROUP BY 1
 """
 
 
@@ -1242,5 +1317,10 @@ QUERIES = [
     QuerySpec(
         "q_multimodal_features", q_multimodal_features,
         _ORACLE_MULTIMODAL_FEATURES, "ext:multimodal",
+    ),
+    QuerySpec(
+        "q_multimodal_decode", q_multimodal_decode,
+        _ORACLE_MULTIMODAL_DECODE,
+        "ext:multimodal (real BMP byte-format decode, pixel-stat oracle)",
     ),
 ]

@@ -67,3 +67,95 @@ def test_digest_dedup(spark):
     dedup = exact_media_dedup(extract_features(_media(spark)))
     got = {r.keeper_id: r.n_copies for r in dedup.collect()}
     assert got == {1: 2, 3: 1, 5: 1}
+
+
+def test_bmp_codec_roundtrip_and_edge_layouts():
+    """Pure-Python BMP codec: encode->decode is identity for padded and
+    unpadded row widths; decoder also handles top-down (negative height)
+    files and rejects malformed/unsupported payloads."""
+    import struct
+
+    import pytest
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    for w, h in ((5, 4), (4, 3), (1, 1), (7, 2)):
+        rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+        assert decode_bmp24(encode_bmp24(w, h, rgb)) == (w, h, rgb)
+
+    # top-down variant: negative height, rows stored first-row-first
+    w, h = 3, 2
+    rgb = bytes(range(w * h * 3))
+    bmp = bytearray(encode_bmp24(w, h, rgb))
+    struct.pack_into("<i", bmp, 22, -h)
+    # rebuild pixel area in top-down order (BGR, padded rows)
+    row_size = (w * 3 + 3) & ~3
+    for y in range(h):
+        for x in range(w):
+            off = (y * w + x) * 3
+            base = 54 + y * row_size + x * 3
+            bmp[base:base + 3] = bytes(
+                (rgb[off + 2], rgb[off + 1], rgb[off])
+            )
+    assert decode_bmp24(bytes(bmp)) == (w, h, rgb)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp24(b"JFIF....")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp24(encode_bmp24(4, 4, bytes(48))[:-8])
+    bad_bpp = bytearray(encode_bmp24(2, 2, bytes(12)))
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        decode_bmp24(bytes(bad_bpp))
+
+
+def test_resize_images_real_bmp_nearest_neighbor(spark):
+    """BMP payloads are really decoded, NN-resampled, and re-encoded:
+    the output parses as a BMP of the target size and every output
+    pixel equals its floor-mapped source pixel."""
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_images,
+    )
+
+    src_w, src_h, out_w, out_h = 6, 4, 3, 2
+    rgb = bytes((i * 29 + 5) % 256 for i in range(src_w * src_h * 3))
+    media = spark.createDataFrame(
+        [(1, "image", encode_bmp24(src_w, src_h, rgb))],
+        "media_id long, kind string, payload binary",
+    )
+    out = resize_images(media, out_w, out_h).collect()[0]
+    assert (out.width, out.height) == (out_w, out_h)
+    w, h, got = decode_bmp24(bytes(out.payload))
+    assert (w, h) == (out_w, out_h)
+    for y in range(out_h):
+        sy = min(src_h - 1, y * src_h // out_h)
+        for x in range(out_w):
+            sx = min(src_w - 1, x * src_w // out_w)
+            src = (sy * src_w + sx) * 3
+            dst = (y * out_w + x) * 3
+            assert got[dst:dst + 3] == rgb[src:src + 3]
+
+
+def test_extract_features_real_decode_for_bmp(spark):
+    """_decode_one routes BM-magic payloads through the real decoder:
+    the first three features are the decoded per-channel means."""
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        encode_bmp24,
+        extract_features,
+    )
+
+    w, h = 4, 2
+    rgb = bytes((i * 31 + 3) % 256 for i in range(w * h * 3))
+    n = w * h
+    media = spark.createDataFrame(
+        [(7, "image", encode_bmp24(w, h, rgb))],
+        "media_id long, kind string, payload binary",
+    )
+    feats = extract_features(media, dim=4).collect()[0].features
+    for c in range(3):
+        assert abs(feats[c] - sum(rgb[c::3]) / (255.0 * n)) < 1e-12
