@@ -38,12 +38,15 @@ def main() -> None:
     exempt: dict[str, float] = {}
     errors: dict[str, str] = {}
     specs = {
-        # q_pipeline_* run the fixture-sized healthcare pipeline (constant
-        # work regardless of sf) — correctness-gate only, excluded so the
-        # bench metric stays a pure sf-scaling measurement
+        # fixture-sized q_pipeline_* gates run the healthcare pipeline at
+        # constant work regardless of sf — correctness-gate only, excluded
+        # so the bench metric stays a pure sf-scaling measurement.
+        # q_pipeline_sf is the exception BY DESIGN: its silver->gold chain
+        # derives from the TPC-H tables, so it scales with sf and is
+        # measured like any other query
         name: spec
         for name, spec in all_queries().items()
-        if not name.startswith("q_pipeline_")
+        if not name.startswith("q_pipeline_") or name == "q_pipeline_sf"
     }
     for name, spec in specs.items():
         # per-query failure isolation: one broken query costs one error

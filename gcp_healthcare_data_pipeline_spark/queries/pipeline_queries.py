@@ -360,3 +360,199 @@ QUERIES = [
     )
     for name in _MARTS
 ]
+
+
+# ---------------------------------------------------------------------------
+# sf-scaling silver->gold chain (q_pipeline_sf): the fixture gates above
+# prove reference semantics at reference data volume (~71k rows); this
+# query proves the SAME code path (plans/conform.py conformance +
+# quarantine + union-distinct, operators/scd2.py initial load,
+# plans/gold.py broadcast-dim mart) SCALES — its input is derived
+# deterministically from the TPC-H tables, so bench measures it at
+# sf0.1 (600k fact rows) as a regular non-exempt entry and the driver
+# oracle-gates it at sf0.01.
+# ---------------------------------------------------------------------------
+
+_SF_TS = "2025-01-01 00:00:00"
+
+
+def q_pipeline_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver->gold chain at scale factor: lineitem becomes a two-
+    hospital transactions feed (600k rows at sf0.1; NULL EncounterID and
+    'notanumber' Amount injections exercise the quarantine and
+    SAFE_CAST paths), supplier/nation become the provider/department
+    dims, and the REAL pipeline functions run end to end — conform_source
+    per branch, conform_union (+DISTINCT), scd2_initial at a frozen
+    clock, then the provider_charge_summary gold mart (reference
+    gold.sql:13-25 semantics: broadcast dims, computed SPLIT dept key,
+    null-rejecting dept filter, SUM(COALESCE) money).
+
+    Fully lazy one-DataFrame plan: conformance is row-local projection,
+    the only wide stages are the union DISTINCT and the final groupBy —
+    the shape that holds at 100 TB (dims stay broadcast; the fact table
+    shuffles once for dedup, once for the aggregate).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.scd2 import (  # noqa: PLC0415
+        scd2_initial,
+    )
+    from gcp_healthcare_data_pipeline_spark.plans.conform import (  # noqa: PLC0415
+        DEPARTMENTS,
+        PROVIDERS,
+        TRANSACTIONS,
+        conform_source,
+        conform_union,
+    )
+    from gcp_healthcare_data_pipeline_spark.plans.gold import (  # noqa: PLC0415
+        provider_charge_summary,
+    )
+    from gcp_healthcare_data_pipeline_spark.session import (  # noqa: PLC0415
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+
+    tid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    vd = F.date_format("l_shipdate", "yyyy-MM-dd")
+    cents = (
+        F.col("l_orderkey") * 37 + F.col("l_linenumber") * 13
+        + F.col("l_partkey")
+    ) % 100000
+    raw_tx = t["lineitem"].select(
+        tid.alias("TransactionID"),
+        F.when(F.col("l_orderkey") % 50 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("E"), tid))
+        .alias("EncounterID"),
+        F.concat(
+            F.lit("P"), (F.col("l_orderkey") % 1000).cast("string")
+        ).alias("PatientID"),
+        F.concat(
+            F.lit("PR"), (F.col("l_suppkey") % 100 + 1).cast("string")
+        ).alias("ProviderID"),
+        F.concat(
+            F.lit("D"), (F.col("l_partkey") % 25).cast("string")
+        ).alias("DeptID"),
+        vd.alias("VisitDate"),
+        vd.alias("ServiceDate"),
+        vd.alias("PaidDate"),
+        F.col("l_linestatus").alias("VisitType"),
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit("notanumber"))
+        .otherwise(cents.cast("string"))
+        .alias("Amount"),
+        F.col("l_returnflag").alias("AmountType"),
+        ((cents * 3) % 100000).cast("string").alias("PaidAmount"),
+        F.concat(F.lit("C"), tid).alias("ClaimID"),
+        F.concat(
+            F.lit("PY"), (F.col("l_partkey") % 10).cast("string")
+        ).alias("PayorID"),
+        (F.col("l_partkey") % 500).cast("string").alias("ProcedureCode"),
+        F.concat(
+            F.lit("ICD"), (F.col("l_partkey") % 30).cast("string")
+        ).alias("ICDCode"),
+        F.col("l_returnflag").alias("LineOfBusiness"),
+        F.concat(
+            F.lit("MA"), (F.col("l_orderkey") % 7).cast("string")
+        ).alias("MedicaidID"),
+        F.concat(
+            F.lit("MC"), (F.col("l_orderkey") % 11).cast("string")
+        ).alias("MedicareID"),
+        vd.alias("InsertDate"),
+        vd.alias("ModifiedDate"),
+        (F.col("l_orderkey") % 2).alias("_branch"),
+    )
+    branches = [
+        conform_source(
+            raw_tx.filter(F.col("_branch") == 0), TRANSACTIONS,
+            "hospital_a_db",
+        ),
+        conform_source(
+            raw_tx.filter(F.col("_branch") == 1), TRANSACTIONS,
+            "hospital_b_db",
+        ),
+    ]
+    silver_tx = scd2_initial(
+        conform_union(branches), F.lit(_SF_TS).cast("timestamp")
+    )
+
+    raw_prov = t["supplier"].filter(F.col("s_suppkey") < 100).select(
+        F.concat(
+            F.lit("PR"), (F.col("s_suppkey") + 1).cast("string")
+        ).alias("ProviderID"),
+        F.lit("Dr").alias("FirstName"),
+        F.col("s_name").alias("LastName"),
+        F.concat(
+            F.lit("S"), (F.col("s_nationkey") % 5).cast("string")
+        ).alias("Specialization"),
+        F.concat(
+            F.lit("D"), (F.col("s_suppkey") % 25).cast("string")
+        ).alias("DeptID"),
+        (F.col("s_suppkey") + 1000000).cast("string").alias("NPI"),
+    )
+    silver_prov = conform_union(
+        [conform_source(raw_prov, PROVIDERS, "hospital_a_db")]
+    )
+
+    raw_dept = t["nation"].select(
+        F.concat(
+            F.lit("D"), F.col("n_nationkey").cast("string")
+        ).alias("DeptID"),
+        F.when(F.col("n_nationkey") == 7, F.lit(None).cast("string"))
+        .otherwise(F.col("n_name"))
+        .alias("Name"),
+    )
+    silver_dept = conform_union(
+        [conform_source(raw_dept, DEPARTMENTS, "hospital_a_db")]
+    )
+
+    return provider_charge_summary(silver_tx, silver_prov, silver_dept)
+
+
+_ORACLE_PIPELINE_SF = f"""
+WITH tx_raw AS (
+  SELECT CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS tid,
+         l_orderkey, l_partkey, l_suppkey,
+         strftime(l_shipdate, '%Y-%m-%d') AS vd,
+         (l_orderkey * 37 + l_linenumber * 13 + l_partkey) % 100000 AS cents
+  FROM lineitem
+), tx_conf AS (
+  SELECT
+    tid AS SRC_TransactionID,
+    CASE WHEN l_orderkey % 50 = 0 THEN NULL ELSE 'E' || tid END
+      AS EncounterID,
+    'P' || CAST(l_orderkey % 1000 AS VARCHAR) AS PatientID,
+    'PR' || CAST(l_suppkey % 100 + 1 AS VARCHAR) AS ProviderID,
+    TRY_CAST(CASE WHEN l_orderkey % 97 = 0 THEN 'notanumber'
+                  ELSE CAST(cents AS VARCHAR) END AS DOUBLE) AS Amount,
+    -- raw-value quarantine CASE (silver.sql:263-266 column set)
+    ((CASE WHEN l_orderkey % 50 = 0 THEN NULL ELSE 'E' || tid END) IS NULL
+     OR ('P' || CAST(l_orderkey % 1000 AS VARCHAR)) IS NULL
+     OR tid IS NULL OR vd IS NULL) AS is_quarantined
+  FROM tx_raw
+), prov AS (
+  SELECT 'PR' || CAST(s_suppkey + 1 AS VARCHAR) AS ProviderID,
+         'Dr ' || s_name AS Provider_Name,
+         'D' || CAST(s_suppkey % 25 AS VARCHAR) AS DeptID
+  FROM supplier WHERE s_suppkey < 100
+), dept AS (
+  SELECT 'D' || CAST(n_nationkey AS VARCHAR) AS dept_key,
+         CASE WHEN n_nationkey = 7 THEN NULL ELSE n_name END AS Dept_Name
+  FROM nation
+)
+SELECT p.Provider_Name, d.Dept_Name,
+       ROUND(SUM(COALESCE(t.Amount, 0.0)), 2) AS Amount
+FROM tx_conf t
+LEFT JOIN prov p USING (ProviderID)
+LEFT JOIN dept d ON d.dept_key = p.DeptID
+WHERE t.is_quarantined = FALSE AND d.Dept_Name IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES.append(
+    QuerySpec(
+        "q_pipeline_sf",
+        q_pipeline_sf,
+        _ORACLE_PIPELINE_SF,
+        "sf-scaling chain: P1,P3,P6,F2,F4,F7,J1,J2,A1,U1,§2.6 at sf",
+    )
+)
