@@ -1048,7 +1048,294 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q4-style: EXISTS correlated semi-join on late-shipping orders
+# --------------------------------------------------------------------------
+
+def q_priority_late_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: COUNT orders per priority WHERE EXISTS a lineitem
+    violating the shipping SLA (shipped > 20 days after order date) —
+    the correlated-EXISTS pattern expressed as a LEFT SEMI join.
+
+    The semi join shuffles on the equi key (orderkey) and applies the
+    date-band predicate inside the join; the quarter filter pushes into
+    the orders scan. A semi join never duplicates the left side, so the
+    count needs no DISTINCT — the property EXISTS gives you for free and
+    an inner join would not.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    sla_violated = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 20 DAYS")),
+        "left_semi",
+    )
+    return sla_violated.groupBy(
+        F.col("o_orderpriority").alias("order_priority")
+    ).agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_ORACLE_PRIORITY_LATE_EXISTS = """
+SELECT o_orderpriority AS order_priority,
+       COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 20 DAY)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11-style: group-HAVING against a global scalar aggregate
+# --------------------------------------------------------------------------
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds a FRACTION of the
+    global total — a per-group aggregate filtered against a whole-table
+    scalar (HAVING SUM(...) > global * 0.001).
+
+    Revenue accumulates in exact integer ten-thousandths (cents x
+    integer discount percent, the q_market_share discipline), and the
+    threshold compares integers (value_i * n_parts * 10 > 14 *
+    total_i, i.e. parts above 1.4x the MEAN part value) so no float sum-order
+    difference can flip membership at the boundary — and the cut is
+    scale-invariant: it selects the same fraction-of-distribution at
+    sf0.001 and at 100 TB, where TPC-H's fixed 0.0001 fraction returns
+    nothing below full scale. The global total is a 1-row broadcast —
+    the same partial aggregation pass Catalyst already runs, reused.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(rev_i).alias("_value_i")
+    )
+    total = per_part.agg(
+        F.sum("_value_i").alias("_total_i"),
+        F.count(F.lit(1)).alias("_n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_value_i") * F.col("_n_parts") * 10
+            > F.col("_total_i") * 14
+        )
+        .select(
+            "part_key",
+            # exact: value_i < 2^53, so bigint->double is lossless and
+            # one IEEE division is bit-identical in both engines — a
+            # ROUND(...,2) here can flip on x.xx5 ties (value_i is exact
+            # ten-thousandths, so ties are COMMON, not corner cases)
+            (F.col("_value_i") / 10000.0).alias("part_value"),
+        )
+    )
+
+
+_ORACLE_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey AS part_key,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS value_i
+  FROM lineitem GROUP BY 1
+), total AS (
+  SELECT SUM(value_i) AS total_i, COUNT(*) AS n_parts FROM per_part
+)
+SELECT part_key, value_i / 10000.0 AS part_value
+FROM per_part CROSS JOIN total
+WHERE value_i * n_parts * 10 > total_i * 14
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15-style: top supplier(s) by windowed revenue (view + MAX)
+# --------------------------------------------------------------------------
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: a revenue 'view' per supplier over one quarter,
+    then the supplier(s) whose revenue EQUALS the view's maximum — the
+    aggregate-of-aggregate pattern (ties all returned, like the spec).
+
+    Same exact-integer revenue units, so the equality against MAX is an
+    integer compare (a double == double would be engine-fragile). The
+    max is a 1-row broadcast against the (already small) per-supplier
+    aggregate; supplier names ride a broadcast dim join.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_key"))
+        .agg(F.sum(rev_i).alias("_rev_i"))
+    )
+    top = revenue.agg(F.max("_rev_i").alias("_max_i"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("_rev_i") == F.col("_max_i"))
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("supplier_key") == F.col("s_suppkey"),
+        )
+        .select(
+            "supplier_key",
+            F.col("s_name").alias("supplier_name"),
+            (F.col("_rev_i") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+_ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_key,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT supplier_key, s_name AS supplier_name,
+       rev_i / 10000.0 AS total_revenue
+FROM revenue JOIN supplier ON supplier_key = s_suppkey
+WHERE rev_i = (SELECT MAX(rev_i) FROM revenue)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21-style: multi-correlated semi + anti join (waiting suppliers)
+# --------------------------------------------------------------------------
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers of NATION_5 who were the SOLE late
+    supplier on a finished multi-supplier order — one correlated EXISTS
+    (another supplier participated) and one correlated NOT EXISTS (no
+    other supplier was late), composed as LEFT SEMI + LEFT ANTI joins
+    with a non-equi residual (suppkey <>) on the orderkey shuffle key.
+
+    'Late' = shipped > 30 days after order date. The per-order line set
+    is shuffled once on orderkey and reused by candidate generation and
+    both correlated probes; nation/supplier dims are broadcast. Count is
+    per supplier over DISTINCT (order, supplier) candidacy.
+    """
+    t = load_tables(
+        spark, sf_dir, "orders", "lineitem", "supplier", "nation"
+    )
+    fo = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lines = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 30 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
+    )
+    cand = (
+        lines.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    others = lines.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        "is_late",
+    )
+    # EXISTS: another supplier has a line on the same order
+    cand = cand.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier was late on that order
+    cand = cand.join(
+        others.filter(F.col("is_late")),
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_anti",
+    )
+    nation5 = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].filter(F.col("n_name") == "NATION_5")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        cand.join(
+            F.broadcast(nation5), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+_ORACLE_WAITING_SUPPLIERS = """
+WITH fo AS (
+  SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'
+), l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 30 DAY AS is_late
+  FROM lineitem JOIN fo ON l_orderkey = o_orderkey
+), cand AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE is_late
+)
+SELECT s_name AS supplier_name, COUNT(*) AS numwait
+FROM cand c
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+WHERE EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = c.l_orderkey
+                AND l2.l_suppkey <> c.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = c.l_orderkey
+                    AND l3.l_suppkey <> c.l_suppkey
+                    AND l3.is_late)
+GROUP BY 1
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "q_priority_late_exists", q_priority_late_exists,
+        _ORACLE_PRIORITY_LATE_EXISTS,
+        "ext:tpch-q4 (correlated EXISTS as LEFT SEMI)",
+    ),
+    QuerySpec(
+        "q_important_parts", q_important_parts, _ORACLE_IMPORTANT_PARTS,
+        "ext:tpch-q11 (group HAVING vs global scalar, exact units)",
+    ),
+    QuerySpec(
+        "q_top_supplier", q_top_supplier, _ORACLE_TOP_SUPPLIER,
+        "ext:tpch-q15 (view + MAX aggregate-of-aggregate)",
+    ),
+    QuerySpec(
+        "q_waiting_suppliers", q_waiting_suppliers,
+        _ORACLE_WAITING_SUPPLIERS,
+        "ext:tpch-q21 (multi-correlated SEMI + ANTI, non-equi residual)",
+    ),
     QuerySpec(
         "q_regional_supplier_volume", q_regional_supplier_volume,
         _ORACLE_REGIONAL_SUPPLIER_VOLUME,
