@@ -40,9 +40,9 @@ def test_semdedup_never_crosses_clusters(spark):
     # recompute each doc's cluster independently and verify every
     # (drop, keep) pair shares it
     from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
-        _KMEANS_K,
         _kmeans_assign,
         _kmeans_recompute,
+        _seed_centroids,
     )
     from gcp_healthcare_data_pipeline_spark.functions.vectors import as_double
 
@@ -50,9 +50,8 @@ def test_semdedup_never_crosses_clusters(spark):
         spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         .select("vec_id", as_double("embedding").alias("v"))
     )
-    centroids = emb.filter(F.col("vec_id") < _KMEANS_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
-    )
+    # same corpus-size-derived seeds q_semdedup starts from
+    centroids = _seed_centroids(emb)
     # same one-Lloyd-round refinement q_semdedup blocks on
     centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
     cluster = {
