@@ -1317,7 +1317,180 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q17-style: correlated scalar AVG per part (small-quantity revenue)
+# --------------------------------------------------------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below 20%
+    of the part's own average quantity — the correlated-scalar-AVG
+    pattern (``l_quantity < (SELECT 0.2*AVG(..) WHERE l2.partkey =
+    p.partkey)``), decorrelated as a per-part aggregate joined back to
+    the fact on the same shuffle key; grouped by brand over ECONOMY
+    parts so the signature is a rows-per-brand vector, not one scalar.
+
+    Exactness: quantities are integer-valued, so the 20%-of-avg cut
+    compares integers (qty*5*cnt < sum_qty — avg never materialized as
+    a float), and revenue accumulates as exact bigint cents; the only
+    float ops are one lossless bigint->double and one IEEE division by
+    700.0 (Q17's yearly divisor), bit-identical in both engines.
+
+    100 TB shape: ONE shuffle of the fact on l_partkey feeds both the
+    per-part aggregate and the join back (Catalyst reuses the
+    exchange); the part dim prunes to one p_type and broadcasts.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_brand"
+    )
+    li = t["lineitem"].select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty_i"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "price_cents"
+        ),
+    ).join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.sum("qty_i").alias("_sum_qty"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(
+            F.col("qty_i") * F.lit(5) * F.col("_cnt") < F.col("_sum_qty")
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            (F.sum("price_cents") / F.lit(700.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+_ORACLE_SMALL_QUANTITY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, p_brand,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty_i,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY'
+), per_part AS (
+  SELECT l_partkey AS pp_key, SUM(qty_i) AS sum_qty, COUNT(*) AS cnt
+  FROM li GROUP BY 1
+)
+SELECT p_brand AS brand,
+       CAST(SUM(price_cents) AS BIGINT) / 700.0 AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM li JOIN per_part ON l_partkey = pp_key
+WHERE qty_i * 5 * cnt < sum_qty
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20-style: nested semi-join with a correlated scalar threshold
+# --------------------------------------------------------------------------
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in one region) who DOMINATED supply
+    of some red part in 1996 — ``s_suppkey IN (SELECT .. GROUP BY
+    supp,part HAVING SUM(qty) > 0.3 * <correlated per-part total>)``,
+    the nested-IN + correlated-scalar pattern (the reference's partsupp
+    availability threshold re-expressed over shipped quantities, since
+    the test schema has no partsupp table).
+
+    Decorrelation: one shuffle of the 1996 red-part lines on
+    (suppkey, partkey) builds the inner aggregate; the per-part total
+    re-aggregates THAT (tiny) result rather than rescanning the fact;
+    the dominance cut compares exact integers (sp*10 > 3*total); the
+    outer IN becomes a LEFT SEMI against the supplier dim, with the
+    nation->region chain broadcast.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    l96 = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.round(F.col("l_quantity")).cast("bigint").alias("qty_i"),
+        )
+    )
+    sp = l96.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty_i").alias("_sp_qty")
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pt_key")).agg(
+        F.sum("_sp_qty").alias("_pt_qty")
+    )
+    dominant = (
+        sp.join(pt, F.col("l_partkey") == F.col("pt_key"))
+        .filter(F.col("_sp_qty") * 10 > F.col("_pt_qty") * 3)
+        .select("l_suppkey")
+    )
+    europe = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(europe),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("s_suppkey").alias("supplier_key"),
+            F.col("s_name").alias("supplier_name"),
+        )
+    )
+
+
+_ORACLE_DOMINANT_SUPPLIERS = """
+WITH l96 AS (
+  SELECT l_suppkey, l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty_i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+), sp AS (
+  SELECT l_suppkey, l_partkey, SUM(qty_i) AS sp_qty FROM l96 GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, SUM(sp_qty) AS pt_qty FROM sp GROUP BY 1
+)
+SELECT n_name AS nation_name, s_suppkey AS supplier_key,
+       s_name AS supplier_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (
+  SELECT sp.l_suppkey FROM sp JOIN pt USING (l_partkey)
+  WHERE sp.sp_qty * 10 > pt.pt_qty * 3)
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "q_small_quantity_revenue", q_small_quantity_revenue,
+        _ORACLE_SMALL_QUANTITY_REVENUE,
+        "ext:tpch-q17 (correlated scalar AVG per part, exact cut)",
+    ),
+    QuerySpec(
+        "q_dominant_suppliers", q_dominant_suppliers,
+        _ORACLE_DOMINANT_SUPPLIERS,
+        "ext:tpch-q20 (nested IN + correlated scalar threshold)",
+    ),
     QuerySpec(
         "q_priority_late_exists", q_priority_late_exists,
         _ORACLE_PRIORITY_LATE_EXISTS,

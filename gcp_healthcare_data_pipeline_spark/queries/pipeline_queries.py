@@ -556,3 +556,173 @@ QUERIES.append(
         "sf-scaling chain: P1,P3,P6,F2,F4,F7,J1,J2,A1,U1,§2.6 at sf",
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 MERGE at scale factor (q_scd2_sf): q_pipeline_sf proves the
+# initial-load half of the silver layer scales; this query proves the
+# MERGE half (operators/scd2.py:68, reference silver.sql:142-199) does.
+# Batch 1 = every lineitem row as a current version at a frozen TS1;
+# batch 2 mutates it four ways — changed tracked values (expire),
+# NULL-injected tracked values (the NULL-unsafe `<>` quirk: a NULL term
+# keeps the OR unknown, so the row must NOT expire unless another term
+# is literally TRUE), absent keys (stay current — BigQuery MERGE has no
+# NOT-MATCHED-BY-SOURCE clause), and brand-new keys (insert). A gold
+# mart (broadcast dept dim + groupBy) over the merged state gives the
+# oracle a precise (is_current, modified_date, dept) classification
+# signature: unchanged-current / expired / inserted land in disjoint
+# groups, so any merge misclassification flips a hash.
+#
+# 100 TB shape: the merge is ONE full-outer shuffle on the business key
+# (both 600k-row sides at sf0.1), the mart is one groupBy shuffle with
+# a 25-row broadcast dim; amounts aggregate as exact BIGINT cents so
+# the oracle hash is float-order-independent at any sf.
+# ---------------------------------------------------------------------------
+
+_SCD2_SF_TS1 = "2025-01-01 00:00:00"
+_SCD2_SF_TS2 = "2025-02-01 00:00:00"
+
+
+def q_scd2_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 merge cycle at sf: initial load + second-batch MERGE
+    (strict reference semantics incl. half-SCD2 and NULL-unsafe ``<>``),
+    then a broadcast-dim gold mart over the merged table."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.scd2 import (  # noqa: PLC0415
+        scd2_initial,
+        scd2_merge,
+    )
+    from gcp_healthcare_data_pipeline_spark.session import (  # noqa: PLC0415
+        load_tables,
+    )
+
+    t = load_tables(spark, sf_dir, "lineitem", "nation")
+    tid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint")
+    cents = (
+        F.col("l_orderkey") * 37 + F.col("l_linenumber") * 13
+        + F.col("l_partkey")
+    ) % 100000
+    base = t["lineitem"].select(
+        tid.alias("txn_id"),
+        cents.cast("bigint").alias("amount_cents"),
+        F.col("l_linestatus").alias("status"),
+        F.concat(
+            F.lit("D"), (F.col("l_partkey") % 25).cast("string")
+        ).alias("dept_id"),
+        F.col("l_orderkey").alias("_ok"),
+    )
+
+    target = scd2_initial(
+        base.drop("_ok"), F.lit(_SCD2_SF_TS1).cast("timestamp")
+    )
+    # batch 2: drop %17 keys, mutate %3 amounts, NULL %31 statuses,
+    # add brand-new %10 keys
+    source = base.filter(F.col("_ok") % 17 != 0).select(
+        "txn_id",
+        F.when(F.col("_ok") % 3 == 0, F.col("amount_cents") + 100)
+        .otherwise(F.col("amount_cents"))
+        .alias("amount_cents"),
+        F.when(F.col("_ok") % 31 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("status"))
+        .alias("status"),
+        "dept_id",
+    ).unionByName(
+        base.filter(F.col("_ok") % 10 == 0).select(
+            (F.col("txn_id") + F.lit(1000000000000)).alias("txn_id"),
+            (F.col("amount_cents") * 2).alias("amount_cents"),
+            F.lit("N").alias("status"),
+            "dept_id",
+        )
+    )
+    merged = scd2_merge(
+        target,
+        source,
+        key_cols=["txn_id"],
+        tracked_cols=["amount_cents", "status"],
+        ts=F.lit(_SCD2_SF_TS2).cast("timestamp"),
+        carry_cols=["dept_id"],
+    )
+
+    dept = t["nation"].select(
+        F.concat(F.lit("D"), F.col("n_nationkey").cast("string")).alias(
+            "dept_id"
+        ),
+        F.col("n_name").alias("dept_name"),
+    )
+    return (
+        merged.join(F.broadcast(dept), "dept_id", "left")
+        .groupBy(
+            "is_current",
+            F.date_format("modified_date", "yyyy-MM-dd").alias("modified"),
+            "dept_name",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount_cents").alias("total_cents"),
+            F.countDistinct("status").alias("n_status"),
+        )
+    )
+
+
+# DuckDB twin: LEFT-join change classification replicates the MERGE —
+# expire fires only when the OR of NULL-unsafe <> terms is literally
+# TRUE (CASE/COALESCE -> FALSE on NULL, same three-valued gate as
+# Spark's when()); inserts are the anti-join side; absent keys stay
+# current. modified collapses to TS1/TS2 by construction.
+_ORACLE_SCD2_SF = """
+WITH b1 AS (
+  SELECT l_orderkey * 10 + l_linenumber AS txn_id,
+         (l_orderkey * 37 + l_linenumber * 13 + l_partkey) % 100000
+           AS amount_cents,
+         l_linestatus AS status,
+         'D' || CAST(l_partkey % 25 AS VARCHAR) AS dept_id,
+         l_orderkey AS ok
+  FROM lineitem
+), src AS (
+  SELECT txn_id,
+         CASE WHEN ok % 3 = 0 THEN amount_cents + 100
+              ELSE amount_cents END AS amount_cents,
+         CASE WHEN ok % 31 = 0 THEN NULL ELSE status END AS status,
+         dept_id
+  FROM b1 WHERE ok % 17 <> 0
+  UNION ALL
+  SELECT txn_id + 1000000000000, amount_cents * 2, 'N', dept_id
+  FROM b1 WHERE ok % 10 = 0
+), from_target AS (
+  SELECT b1.amount_cents, b1.status, b1.dept_id,
+         NOT COALESCE(
+           s.txn_id IS NOT NULL AND
+           (b1.amount_cents <> s.amount_cents OR b1.status <> s.status),
+           FALSE) AS is_current
+  FROM b1 LEFT JOIN src s ON b1.txn_id = s.txn_id
+), merged AS (
+  SELECT dept_id, amount_cents, status, is_current,
+         CASE WHEN is_current THEN '2025-01-01'
+              ELSE '2025-02-01' END AS modified
+  FROM from_target
+  UNION ALL
+  SELECT s.dept_id, s.amount_cents, s.status, TRUE, '2025-02-01'
+  FROM src s LEFT JOIN b1 ON b1.txn_id = s.txn_id
+  WHERE b1.txn_id IS NULL
+)
+SELECT m.is_current, m.modified, n.n_name AS dept_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM(m.amount_cents) AS BIGINT) AS total_cents,
+       COUNT(DISTINCT m.status) AS n_status
+FROM merged m
+LEFT JOIN (
+  SELECT 'D' || CAST(n_nationkey AS VARCHAR) AS dept_id, n_name FROM nation
+) n USING (dept_id)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES.append(
+    QuerySpec(
+        "q_scd2_sf",
+        q_scd2_sf,
+        _ORACLE_SCD2_SF,
+        "§2.6 SCD2 MERGE at sf: expire/insert/absent/NULL-quirk "
+        "+ J1 broadcast mart (silver.sql:142-199)",
+    )
+)
