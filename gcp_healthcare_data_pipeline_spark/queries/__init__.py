@@ -55,13 +55,15 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
-# driver-vs-oracle evidence each round. Round-6 rotation: the 6
-# pipeline gates, then the 23 queries NEW this round (every new
-# operator needs first driver evidence), then the 18 that had never
-# had a driver row before r6 (judge-verified r5), then q_ann_lsh /
-# q_approx_distinct whose oracles are new this round, then one
-# continuity pick (SCD2). Union of driver rows across rounds covers
-# every registry query; all rotated-out families have green r5 rows.
+# driver-vs-oracle evidence each round. Round-9 rotation (the round-6
+# block had been left pinned through r7/r8, freezing the sample): the
+# 6 pipeline gates, then ALL 21 queries that have never had a driver
+# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 3
+# new round-9 queries), then 23 continuity picks drawn from the
+# OLDEST driver evidence (the 3 r2-only rows, then an every-family
+# spread over the r4 cohort: SCD2, dedup, text, vector, gold marts).
+# Union of driver rows across rounds covers every registry query;
+# rotated-out entries all hold green r5-r8 rows.
 _DRIVER_PRIORITY = [
     # reference end-to-end gates (silver.sql + gold.sql full pipeline)
     "q_pipeline_provider_charge_summary",
@@ -70,54 +72,57 @@ _DRIVER_PRIORITY = [
     "q_pipeline_department_performance",
     "q_pipeline_financial_metrics",
     "q_pipeline_payor_performance",
-    # new round-6 operators (unigram-LM gate, partition-incremental
-    # mart refresh, Z-order layout) — need first driver evidence
-    "q_unigram_logprob",
-    "q_mart_refresh",
-    "q_zorder_stats",
-    "q_pmi_collocations",
-    "q_active_shipments",
-    "q_countmin_heavy",
-    "q_knn_graph",
-    "q_stream_backfill",
-    "q_version_diff",
-    "q_compaction_roundtrip",
-    "q_nation_trade",
-    "q_market_share",
-    "q_weighted_sample",
-    "q_stream_left_join",
-    "q_temperature_mix",
-    "q_cluster_balance",
-    # the 18 never-driver-checked queries (judge-verified r5)
-    "q_above_avg_orders",
-    "q_approx_quantiles",
-    "q_cdc_apply",
-    "q_conversion_latency",
-    "q_dq_checks",
-    "q_embedding_quantize",
-    "q_feature_hashing",
-    "q_group_split",
-    "q_hll_incremental",
-    "q_importance_weights",
-    "q_oov_rate",
-    "q_regional_supplier_volume",
-    "q_rolling_active_users",
-    "q_shipping_priority",
-    "q_skew_diagnose",
-    "q_stable_ids",
-    "q_stream_session",
-    "q_stream_sliding",
-    # new checkable oracles this round (were err: no_oracle in r5)
-    "q_ann_lsh",
-    "q_approx_distinct",
-    # more round-6 additions (entity resolution, EWMA, timeout-flush
-    # state, sequence analytics, robust stats)
-    "q_golden_record",
-    "q_ewma_values",
-    "q_stream_timeout_flush",
-    "q_event_transitions",
-    "q_sequence_pattern",
-    "q_robust_outliers",
-    "q_ab_chi_square",
-    "q_events_variant",
+    # never-driver-sampled: round-7 additions
+    "q_pipeline_sf",
+    "q_stream_scd2",
+    "q_multimodal_decode",
+    "q_top_supplier",
+    "q_waiting_suppliers",
+    "q_important_parts",
+    "q_priority_late_exists",
+    # never-driver-sampled: round-6 stragglers
+    "q_basket_affinity",
+    "q_catalog_coverage",
+    "q_fanout_profile",
+    "q_group_regression",
+    "q_lang_confusion",
+    "q_mom_growth",
+    "q_psi_drift",
+    "q_rate_spikes",
+    "q_revenue_gini",
+    "q_source_overlap",
+    "q_supplier_hhi",
+    # new this round (first driver evidence)
+    "q_scd2_sf",
+    "q_small_quantity_revenue",
+    "q_dominant_suppliers",
+    # continuity: last sampled r2
+    "q_parts_ordered",
+    "q_pivot_order_status",
+    "q_rollup_sales",
+    # continuity: last sampled r4 — SCD2 family
+    "q_scd2_customer",
+    "q_scd2_two_runs",
+    "q_scd2_corrected",
+    # continuity r4 — dedup family
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_clusters",
+    # continuity r4 — text family
+    "q_lang_id",
+    "q_text_quality",
+    "q_token_count",
+    "q_bm25_search",
+    "q_fingerprint",
+    # continuity r4 — vector family
+    "q_ann_ivf",
+    "q_ann_topk",
+    "q_kmeans",
+    "q_semdedup",
+    "q_embedding_neardup",
+    # continuity r4 — reference gold-mart analogs
+    "q_charge_summary",
+    "q_patient_history",
 ]
