@@ -49,3 +49,30 @@ def bucketize_silver(
         )
         out[entity] = table
     return out
+
+
+def bucketize_scd2_sf(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> tuple[str, str]:
+    """Materialize the sf-scale SCD2 target + source batches as catalog
+    tables bucketed (and sorted) on the business key ``txn_id``.
+
+    This is the at-scale layout for the silver MERGE (operators/
+    scd2.py:68, reference silver.sql:142-199): with both sides bucketed
+    on the key with the same bucket count, the merge's full-outer join
+    consumes the bucketing as its required hash distribution — NO
+    shuffle exchange, the property tests/test_scd2_bucketed_sf.py pins
+    at sf0.1. At 100 TB this is the difference between re-shuffling the
+    whole current table every nightly run and a scan-local merge.
+
+    Returns (target_table, source_table).
+    """
+    from gcp_healthcare_data_pipeline_spark.queries.pipeline_queries import (  # noqa: PLC0415
+        scd2_sf_batches,
+    )
+
+    target, source = scd2_sf_batches(spark, sf_dir)
+    t_name, s_name = "scd2_sf_target_bucketed", "scd2_sf_source_bucketed"
+    write_bucketed_table(target, t_name, ("txn_id",), n_buckets)
+    write_bucketed_table(source, s_name, ("txn_id",), n_buckets)
+    return t_name, s_name

@@ -57,11 +57,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-9 rotation (the round-6
 # block had been left pinned through r7/r8, freezing the sample): the
-# 6 pipeline gates, then ALL 21 queries that have never had a driver
-# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 3
-# new round-9 queries), then 23 continuity picks drawn from the
+# 6 pipeline gates, then ALL 22 queries that have never had a driver
+# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 4
+# new round-9 queries), then 22 continuity picks drawn from the
 # OLDEST driver evidence (the 3 r2-only rows, then an every-family
-# spread over the r4 cohort: SCD2, dedup, text, vector, gold marts).
+# spread over the r4 cohort: SCD2, dedup, text, vector, gold mart).
 # Union of driver rows across rounds covers every registry query;
 # rotated-out entries all hold green r5-r8 rows.
 _DRIVER_PRIORITY = [
@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "q_supplier_hhi",
     # new this round (first driver evidence)
     "q_scd2_sf",
+    "q_jdbc_ingest",
     "q_small_quantity_revenue",
     "q_dominant_suppliers",
     # continuity: last sampled r2
@@ -122,7 +123,6 @@ _DRIVER_PRIORITY = [
     "q_kmeans",
     "q_semdedup",
     "q_embedding_neardup",
-    # continuity r4 — reference gold-mart analogs
+    # continuity r4 — reference gold-mart analog (flagship)
     "q_charge_summary",
-    "q_patient_history",
 ]

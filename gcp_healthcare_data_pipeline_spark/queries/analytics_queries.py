@@ -1480,7 +1480,265 @@ WHERE s_suppkey IN (
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q13-style: left-outer fan count -> distribution histogram
+# --------------------------------------------------------------------------
+
+def q_customer_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    non-urgent orders they placed — a LEFT OUTER join with the filter in
+    the JOIN CONDITION (not the WHERE clause, which would turn the outer
+    join inner and silently drop zero-order customers), then two stacked
+    aggregations (orders per customer, customers per order-count).
+
+    At scale: the first groupBy reuses the join's hash partitioning on
+    c_custkey (no second exchange); the histogram aggregate shuffles
+    only the per-customer counts (one row per customer), and its key
+    space (~tens of distinct counts) is tiny — partial map-side combine
+    collapses it before the exchange.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    o = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        t["customer"]
+        .select("c_custkey")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_ORACLE_CUSTOMER_ORDER_DIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18-style: IN over a grouped-HAVING subquery (large-volume orders)
+# --------------------------------------------------------------------------
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind orders whose total lineitem
+    quantity exceeds 250 units — ``o_orderkey IN (SELECT .. GROUP BY ..
+    HAVING SUM(qty) > 250)`` built as the aggregate itself joined back
+    (the HAVING output is both the filter and the total_qty payload, so
+    no second pass over the fact).
+
+    Quantities are integer-valued, so the HAVING cut and the reported
+    totals are exact bigints; o_totalprice passes through untouched
+    (same parquet bits in both engines, no float arithmetic). The big
+    aggregate shuffles the fact once on orderkey and the orders join
+    reuses that partitioning; the customer join shuffles only the
+    ~0.1% surviving rows.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias(
+                "total_qty"
+            )
+        )
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderkey").alias("order_key"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+_ORACLE_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1 HAVING total_qty > 250
+)
+SELECT c_custkey AS customer_key, c_name AS customer_name,
+       o_orderkey AS order_key,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_totalprice AS total_price, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19-style: equi join with a disjunctive (OR-of-ANDs) residual
+# --------------------------------------------------------------------------
+
+def q_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR'd (type, size-band,
+    quantity-band) predicate branches — the disjunctive residual that a
+    naive planner turns into three scans + UNION. Here it's ONE equi
+    join on partkey with the OR applied as a residual filter; the size
+    bound (p_size <= 15 covers every branch) is a conjunct Catalyst
+    pushes into the part scan, pruning ~70% of the dim before the join.
+
+    Revenue in exact integer ten-thousandths (cents x integer discount
+    percent); grouped by branch type so each OR arm is independently
+    hash-pinned. Join is hint-free: at test sf the pruned part side
+    broadcasts, at 100 TB (where part scales with SF) AQE picks the
+    shuffle join — both plans honor the same pushed scan filter.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    p = t["part"].filter(F.col("p_size") <= 15).select(
+        "p_partkey", "p_type", "p_size"
+    )
+    li = t["lineitem"].select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty_i"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (
+                F.lit(100).cast("bigint")
+                - F.round(F.col("l_discount") * 100).cast("bigint")
+            )
+        ).alias("rev_i"),
+    )
+    branch = (
+        ((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 5)
+         & F.col("qty_i").between(1, 11))
+        | ((F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+           & F.col("qty_i").between(10, 20))
+        | ((F.col("p_type") == "MEDIUM") & (F.col("p_size") <= 15)
+           & F.col("qty_i").between(20, 30))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum("rev_i") / 10000.0).alias("revenue"),
+        )
+    )
+
+
+_ORACLE_DISJUNCT_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty_i,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_i
+  FROM lineitem
+)
+SELECT p_type AS part_type, COUNT(*) AS n_lines,
+       CAST(SUM(rev_i) AS BIGINT) / 10000.0 AS revenue
+FROM li JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'ECONOMY' AND p_size <= 5  AND qty_i BETWEEN 1 AND 11)
+   OR (p_type = 'SMALL'   AND p_size <= 10 AND qty_i BETWEEN 10 AND 20)
+   OR (p_type = 'MEDIUM'  AND p_size <= 15 AND qty_i BETWEEN 20 AND 30)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22-style: global-scalar threshold + NOT EXISTS anti join
+# --------------------------------------------------------------------------
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count/balance of customers from a
+    fixed nation set whose balance beats the set's positive-balance
+    average AND who placed no order since 2000 — a whole-table scalar
+    aggregate feeding a threshold, composed with a NOT EXISTS expressed
+    as LEFT ANTI (Q22's phone-country-code list becomes a nationkey
+    list; its no-orders-at-all becomes no-recent-orders, since every
+    test customer has some order).
+
+    The average is never materialized as a float: ``bal_cents * n >
+    sum_cents`` is an exact integer comparison (the q_above_avg_orders
+    discipline), and the reported balance is an exact cents sum with
+    one lossless final division. The scalar is a 1-row broadcast; the
+    anti join shuffles only the date-pruned orders projection.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    cust = t["customer"].filter(F.col("c_nationkey").isin(nations)).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("_sum_cents"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("_n") > F.col("_sum_cents"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
+        )
+    )
+
+
+_ORACLE_DORMANT_RICH_CUSTOMERS = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+), pos AS (
+  SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents, COUNT(*) AS n
+  FROM cust WHERE bal_cents > 0
+)
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(bal_cents) AS BIGINT) / 100.0 AS totacctbal
+FROM cust, pos
+WHERE bal_cents * n > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "q_customer_order_dist", q_customer_order_dist,
+        _ORACLE_CUSTOMER_ORDER_DIST,
+        "ext:tpch-q13 (outer-join fan count -> histogram)",
+    ),
+    QuerySpec(
+        "q_large_volume_customers", q_large_volume_customers,
+        _ORACLE_LARGE_VOLUME_CUSTOMERS,
+        "ext:tpch-q18 (IN over grouped HAVING, aggregate reused)",
+    ),
+    QuerySpec(
+        "q_disjunct_revenue", q_disjunct_revenue,
+        _ORACLE_DISJUNCT_REVENUE,
+        "ext:tpch-q19 (disjunctive residual on one equi join)",
+    ),
+    QuerySpec(
+        "q_dormant_rich_customers", q_dormant_rich_customers,
+        _ORACLE_DORMANT_RICH_CUSTOMERS,
+        "ext:tpch-q22 (global-scalar threshold + anti join)",
+    ),
     QuerySpec(
         "q_small_quantity_revenue", q_small_quantity_revenue,
         _ORACLE_SMALL_QUANTITY_REVENUE,

@@ -137,10 +137,91 @@ FROM orders GROUP BY 1
 """
 
 
+def q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 under the oracle gate: the customer table round-trips through
+    a LIVE JDBC endpoint (embedded Apache Derby — bundled with Spark's
+    distribution, a real database in-process), then comes back through
+    ``jdbc_subquery_reader`` with the incremental watermark evaluated
+    INSIDE the source and the scan fanned out over 8 parallel stride
+    connections (hospitalA_mysqlToLanding.py:148-163 analog, fixed for
+    ingest parallelism).
+
+    Each customer gets a deterministic MODIFIED date ('2024-0M-01',
+    M = custkey%6+1); the watermark '2024-03-15' keeps months 4-6, i.e.
+    custkey%6 >= 3 — the predicate the oracle applies directly to the
+    parquet table. Any Spark-side divergence (watermark not pushed,
+    stride overlap/gap dropping or duplicating rows) flips the
+    per-segment counts/balances.
+    """
+    from gcp_healthcare_data_pipeline_spark.sources.readers import (  # noqa: PLC0415
+        jdbc_subquery_reader,
+    )
+
+    db = os.path.join(tempfile.mkdtemp(prefix="q_jdbc_"), "derbydb")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    cust = load_tables(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("int").alias("CUSTKEY"),
+        F.col("c_mktsegment").alias("SEGMENT"),
+        F.col("c_acctbal").alias("ACCTBAL"),
+        F.format_string(
+            "2024-%02d-01", (F.col("c_custkey") % 6 + 1).cast("int")
+        ).alias("MODIFIED"),
+    )
+    (
+        cust.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customers")
+        .option("driver", driver)
+        # Derby maps StringType to CLOB, which it refuses to compare
+        # with literals — force VARCHAR like a MySQL source would be
+        .option(
+            "createTableColumnTypes",
+            "CUSTKEY INT, SEGMENT VARCHAR(16), ACCTBAL DOUBLE, "
+            "MODIFIED VARCHAR(10)",
+        )
+        .mode("overwrite")
+        .save()
+    )
+    df = jdbc_subquery_reader(
+        spark,
+        url,
+        "customers",
+        watermark_col="MODIFIED",
+        last_watermark="2024-03-15",
+        properties={"driver": driver},
+        partition_column="CUSTKEY",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=8,
+    ).load()
+    return df.groupBy(F.col("SEGMENT").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("ACCTBAL") * 100).cast("bigint")).alias(
+            "balance_cents"
+        ),
+    )
+
+
+_ORACLE_JDBC_INGEST = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS balance_cents
+FROM customer
+WHERE c_custkey % 6 >= 3
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec(
         "q_version_diff", q_version_diff, _ORACLE_VERSION_DIFF,
         "ext:lake (time-travel snapshot diff -> I/U/D feed)",
+    ),
+    QuerySpec(
+        "q_jdbc_ingest", q_jdbc_ingest, _ORACLE_JDBC_INGEST,
+        "S1:jdbc pushdown + parallel stride read (live Derby endpoint)",
     ),
     QuerySpec(
         "q_compaction_roundtrip", q_compaction_roundtrip,

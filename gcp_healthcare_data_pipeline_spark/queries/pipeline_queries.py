@@ -583,27 +583,30 @@ _SCD2_SF_TS1 = "2025-01-01 00:00:00"
 _SCD2_SF_TS2 = "2025-02-01 00:00:00"
 
 
-def q_scd2_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full SCD2 merge cycle at sf: initial load + second-batch MERGE
-    (strict reference semantics incl. half-SCD2 and NULL-unsafe ``<>``),
-    then a broadcast-dim gold mart over the merged table."""
+def scd2_sf_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(initial SCD2 target, second-batch source) at scale factor.
+
+    Shared by q_scd2_sf (in-memory merge) and the bucketed-layout path
+    (pipeline/bucketing.py writes both sides bucketed on txn_id so the
+    merge's full-outer join runs exchange-free)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.scd2 import (  # noqa: PLC0415
         scd2_initial,
-        scd2_merge,
     )
     from gcp_healthcare_data_pipeline_spark.session import (  # noqa: PLC0415
         load_tables,
     )
 
-    t = load_tables(spark, sf_dir, "lineitem", "nation")
+    lineitem = load_tables(spark, sf_dir, "lineitem")
     tid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("bigint")
     cents = (
         F.col("l_orderkey") * 37 + F.col("l_linenumber") * 13
         + F.col("l_partkey")
     ) % 100000
-    base = t["lineitem"].select(
+    base = lineitem.select(
         tid.alias("txn_id"),
         cents.cast("bigint").alias("amount_cents"),
         F.col("l_linestatus").alias("status"),
@@ -635,7 +638,18 @@ def q_scd2_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dept_id",
         )
     )
-    merged = scd2_merge(
+    return target, source
+
+
+def scd2_sf_merge(target: DataFrame, source: DataFrame) -> DataFrame:
+    """The strict reference MERGE over the sf batches (any layout)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.scd2 import (  # noqa: PLC0415
+        scd2_merge,
+    )
+
+    return scd2_merge(
         target,
         source,
         key_cols=["txn_id"],
@@ -644,7 +658,22 @@ def q_scd2_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
         carry_cols=["dept_id"],
     )
 
-    dept = t["nation"].select(
+
+def q_scd2_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 merge cycle at sf: initial load + second-batch MERGE
+    (strict reference semantics incl. half-SCD2 and NULL-unsafe ``<>``),
+    then a broadcast-dim gold mart over the merged table."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.session import (  # noqa: PLC0415
+        load_tables,
+    )
+
+    nation = load_tables(spark, sf_dir, "nation")
+    target, source = scd2_sf_batches(spark, sf_dir)
+    merged = scd2_sf_merge(target, source)
+
+    dept = nation.select(
         F.concat(F.lit("D"), F.col("n_nationkey").cast("string")).alias(
             "dept_id"
         ),
