@@ -1481,6 +1481,320 @@ WHERE s_suppkey IN (
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q1-style: full-scan pricing summary (the map-side-combine workhorse)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the wide multi-aggregate pricing report per
+    (returnflag, linestatus) — eight aggregates in ONE scan pass.
+
+    All money/quantity math in exact integer units (cents, percent):
+    sum_charge accumulates cents x (100-disc) x (100+tax) as bigint
+    (< 2^53 per row, < 2^63 summed at any plausible sf), and every
+    reported average is ONE IEEE division of exact operands — no float
+    accumulation anywhere, so the hash is partition-order-free.
+
+    At 100 TB this is the best-case distributed aggregate: 6 grouping
+    keys total, so partial (map-side) aggregation collapses each input
+    partition to ≤6 rows before the one tiny exchange; the date filter
+    pushes into the parquet scan.
+    """
+    li = load_tables(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp")
+    )
+    qty_i = F.round(F.col("l_quantity")).cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_i = F.round(F.col("l_discount") * 100).cast("bigint")
+    tax_i = F.round(F.col("l_tax") * 100).cast("bigint")
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.sum(qty_i).alias("sum_qty"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(cents * (F.lit(100) - disc_i)) / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(cents * (F.lit(100) - disc_i) * (F.lit(100) + tax_i))
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum(qty_i) / F.count(F.lit(1)).cast("double")).alias(
+                "avg_qty"
+            ),
+            (F.sum(cents) / (F.count(F.lit(1)) * F.lit(100)).cast("double"))
+            .alias("avg_price"),
+            (F.sum(disc_i) / (F.count(F.lit(1)) * F.lit(100)).cast("double"))
+            .alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING_SUMMARY = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty_i,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_i,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_i
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+)
+SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+       CAST(SUM(qty_i) AS BIGINT) AS sum_qty,
+       CAST(SUM(cents) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM(cents * (100 - disc_i)) AS BIGINT) / 10000.0
+         AS sum_disc_price,
+       CAST(SUM(cents * (100 - disc_i) * (100 + tax_i)) AS BIGINT)
+         / 1000000.0 AS sum_charge,
+       CAST(SUM(qty_i) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(cents) AS BIGINT) / CAST(COUNT(*) * 100 AS DOUBLE)
+         AS avg_price,
+       CAST(SUM(disc_i) AS BIGINT) / CAST(COUNT(*) * 100 AS DOUBLE)
+         AS avg_disc,
+       COUNT(*) AS count_order
+FROM li GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6-style: pushed-predicate scan + forecast-revenue aggregate
+# --------------------------------------------------------------------------
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue increase if small-quantity 1996
+    discounts had been dropped — a pure filter-and-aggregate whose
+    entire predicate (date band, discount band, quantity cap) pushes
+    into the parquet scan; grouped by the integer discount percent so
+    each band lands in its own hash-checked row.
+
+    Revenue = Σ price x discount in exact ten-thousandths. The
+    discount-band predicate compares INTEGER percents — the float form
+    (l_discount BETWEEN 0.05 AND 0.07) is the classic Q6 trap, since
+    0.05/0.07 have no exact binary representation and engines disagree
+    on the boundary rows.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")
+    disc_i = F.round(F.col("l_discount") * 100).cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.round(F.col("l_quantity")).cast("bigint") < 24)
+        )
+        .filter(disc_i.between(5, 7))
+        .groupBy(disc_i.alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(cents * disc_i) / 10000.0).alias("revenue_increase"),
+        )
+    )
+
+
+_ORACLE_FORECAST_REVENUE = """
+WITH li AS (
+  SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_i,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+)
+SELECT disc_i AS discount_pct, COUNT(*) AS n_lines,
+       CAST(SUM(cents * disc_i) AS BIGINT) / 10000.0 AS revenue_increase
+FROM li WHERE disc_i BETWEEN 5 AND 7 GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q10-style: returned-item loss, top-k customers
+# --------------------------------------------------------------------------
+
+def q_returned_item_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who cost the most in returned
+    items over one quarter — fact-to-orders join on the orderkey
+    shuffle, customer + nation dims broadcast, then top-k via
+    ``orderBy().limit()`` which compiles to TakeOrderedAndProject
+    (per-partition heaps + a 20-row driver merge, never a global sort).
+
+    Revenue is exact integer ten-thousandths, and the ordering
+    tie-breaks on custkey so the top-20 MEMBERSHIP is deterministic in
+    both engines (a bare ORDER BY revenue LIMIT 20 can differ across
+    engines when row 20 and 21 tie).
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev_i.alias("rev_i"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_i").alias("_rev_i"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("customer_key"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+            (F.col("_rev_i") / 10000.0).alias("lost_revenue"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("customer_key"))
+        .limit(20)
+    )
+
+
+_ORACLE_RETURNED_ITEM_LOSS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS rev_i
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT c_custkey AS customer_key, c_name AS customer_name,
+       n_name AS nation_name, rev_i / 10000.0 AS lost_revenue
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY lost_revenue DESC, customer_key LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14-style: conditional-sum ratio per month (promo revenue share)
+# --------------------------------------------------------------------------
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the percentage of each 1996 month's revenue
+    that came from PROMO parts — numerator (CASE-gated sum) and
+    denominator computed in the SAME aggregation pass, never two scans.
+
+    Both sums are exact bigint ten-thousandths; the share is
+    numerator x 100 (still exact) divided once by the denominator —
+    bit-identical across engines. Part dim joins hint-free on partkey
+    (broadcast at test sf, AQE-planned at 100 TB where part scales).
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", F.month("l_shipdate").alias("ship_month"),
+             rev_i.alias("rev_i"))
+    joined = li.join(
+        t["part"].select("p_partkey", "p_type"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    promo_i = F.when(F.col("p_type") == "PROMO", F.col("rev_i")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return joined.groupBy("ship_month").agg(
+        (F.sum(promo_i) * F.lit(100) / F.sum("rev_i")).alias(
+            "promo_share_pct"
+        ),
+        (F.sum("rev_i") / 10000.0).alias("total_revenue"),
+    )
+
+
+_ORACLE_PROMO_REVENUE_SHARE = """
+WITH li AS (
+  SELECT MONTH(l_shipdate) AS ship_month, p_type,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev_i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+)
+SELECT ship_month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_i ELSE 0 END) * 100
+            AS BIGINT) / CAST(SUM(rev_i) AS DOUBLE) AS promo_share_pct,
+       CAST(SUM(rev_i) AS BIGINT) / 10000.0 AS total_revenue
+FROM li GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16-style: NOT-IN exclusion + COUNT DISTINCT rollup
+# --------------------------------------------------------------------------
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can ship each
+    (type, size-band) of non-STANDARD part — with a NOT IN exclusion
+    list of 'complaint' suppliers (name containing '7', the test
+    schema's stand-in for Q16's LIKE '%Complaints%'; the supplier-part
+    relation comes from lineitem since the schema has no partsupp).
+
+    The NOT IN over a never-NULL key column is expressed as LEFT ANTI
+    against the (tiny, broadcast) blacklist — same semantics, no
+    driver-side collect. COUNT(DISTINCT suppkey) shuffles (type, band,
+    suppkey) once with map-side dedup, then counts per group — Spark's
+    two-phase distinct-aggregate, the plan that survives a 100x fact
+    scale-up.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    p = t["part"].filter(F.col("p_type") != "STANDARD").select(
+        "p_partkey", "p_type",
+        F.floor(F.col("p_size") / 10).cast("int").alias("size_band"),
+    )
+    blacklist = t["supplier"].filter(F.col("s_name").contains("7")).select(
+        "s_suppkey"
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_type").alias("part_type"), "size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_ORACLE_PART_SUPPLIER_COUNTS = """
+SELECT p_type AS part_type,
+       CAST(FLOOR(p_size / 10.0) AS INT) AS size_band,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'STANDARD'
+  AND l_suppkey NOT IN
+    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q13-style: left-outer fan count -> distribution histogram
 # --------------------------------------------------------------------------
 
@@ -1719,6 +2033,29 @@ GROUP BY 1
 
 
 QUERIES = [
+    QuerySpec(
+        "q_pricing_summary", q_pricing_summary, _ORACLE_PRICING_SUMMARY,
+        "ext:tpch-q1 (wide multi-aggregate, exact integer units)",
+    ),
+    QuerySpec(
+        "q_forecast_revenue", q_forecast_revenue, _ORACLE_FORECAST_REVENUE,
+        "ext:tpch-q6 (fully-pushed predicate scan, integer bands)",
+    ),
+    QuerySpec(
+        "q_returned_item_loss", q_returned_item_loss,
+        _ORACLE_RETURNED_ITEM_LOSS,
+        "ext:tpch-q10 (top-k via TakeOrdered, deterministic ties)",
+    ),
+    QuerySpec(
+        "q_promo_revenue_share", q_promo_revenue_share,
+        _ORACLE_PROMO_REVENUE_SHARE,
+        "ext:tpch-q14 (conditional-sum ratio, one pass)",
+    ),
+    QuerySpec(
+        "q_part_supplier_counts", q_part_supplier_counts,
+        _ORACLE_PART_SUPPLIER_COUNTS,
+        "ext:tpch-q16 (NOT-IN exclusion + two-phase COUNT DISTINCT)",
+    ),
     QuerySpec(
         "q_customer_order_dist", q_customer_order_dist,
         _ORACLE_CUSTOMER_ORDER_DIST,
