@@ -606,14 +606,30 @@ def scd2_sf_batches(
         F.col("l_orderkey") * 37 + F.col("l_linenumber") * 13
         + F.col("l_partkey")
     ) % 100000
-    base = lineitem.select(
-        tid.alias("txn_id"),
-        cents.cast("bigint").alias("amount_cents"),
-        F.col("l_linestatus").alias("status"),
-        F.concat(
-            F.lit("D"), (F.col("l_partkey") % 25).cast("string")
-        ).alias("dept_id"),
-        F.col("l_orderkey").alias("_ok"),
+    # the synthetic lineitem repeats (orderkey, linenumber) pairs, so the
+    # entity derivation AGGREGATES to the business key — the dedupe-
+    # before-SCD2 step every real silver layer runs (a MERGE with
+    # multi-row keys is an error in BigQuery, silver.sql:142-145 relies
+    # on source uniqueness). All aggregates are deterministic (SUM of
+    # exact ints, MIN/MAX) so both engines derive identical batches.
+    base = (
+        lineitem.select(
+            tid.alias("txn_id"),
+            cents.cast("bigint").alias("cents"),
+            F.col("l_linestatus").alias("ls"),
+            (F.col("l_partkey") % 25).alias("dk"),
+        )
+        .groupBy("txn_id")
+        .agg(
+            F.sum("cents").alias("amount_cents"),
+            F.max("ls").alias("status"),
+            F.concat(F.lit("D"), F.min("dk").cast("string")).alias(
+                "dept_id"
+            ),
+        )
+        # linenumber < 10, so txn_id div 10 recovers the orderkey the
+        # batch-2 mutations key on
+        .withColumn("_ok", F.floor(F.col("txn_id") / 10).cast("bigint"))
     )
 
     target = scd2_initial(
@@ -701,13 +717,20 @@ def q_scd2_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # current. modified collapses to TS1/TS2 by construction.
 _ORACLE_SCD2_SF = """
 WITH b1 AS (
-  SELECT l_orderkey * 10 + l_linenumber AS txn_id,
-         (l_orderkey * 37 + l_linenumber * 13 + l_partkey) % 100000
-           AS amount_cents,
-         l_linestatus AS status,
-         'D' || CAST(l_partkey % 25 AS VARCHAR) AS dept_id,
-         l_orderkey AS ok
-  FROM lineitem
+  SELECT txn_id,
+         CAST(SUM(cents) AS BIGINT) AS amount_cents,
+         MAX(ls) AS status,
+         'D' || CAST(MIN(dk) AS VARCHAR) AS dept_id,
+         txn_id // 10 AS ok
+  FROM (
+    SELECT l_orderkey * 10 + l_linenumber AS txn_id,
+           (l_orderkey * 37 + l_linenumber * 13 + l_partkey) % 100000
+             AS cents,
+           l_linestatus AS ls,
+           l_partkey % 25 AS dk
+    FROM lineitem
+  )
+  GROUP BY txn_id
 ), src AS (
   SELECT txn_id,
          CASE WHEN ok % 3 = 0 THEN amount_cents + 100
