@@ -63,3 +63,41 @@ def test_bucketed_merge_matches_unbucketed(spark, bucketed):
     target, source = scd2_sf_batches(spark, SF_DIR)
     plain_merge = scd2_sf_merge(target, source)
     assert signature(bucketed_merge) == signature(plain_merge)
+
+
+def test_sf_merge_zone_compaction(spark, tmp_path):
+    """The sf merge output, fragmented the way incremental runs fragment
+    silver (48 small task files), bin-packs back through the runner's
+    scheduled maintenance stage (Runner.compact_zone) with row-identical
+    content — write_bucketed_table covers the co-located-join layout,
+    this covers the small-file hygiene half of the at-scale story."""
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.pipeline.runner import Runner
+
+    target, source = scd2_sf_batches(spark, SF_DIR)
+    merged = scd2_sf_merge(target, source)
+    wh = str(tmp_path / "wh")
+    path = os.path.join(wh, "silver", "scd2_sf")
+    merged.repartition(48).write.parquet(path)
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before >= 48
+
+    results = Runner(spark, wh).compact_zone("silver", target_bytes=1 << 30)
+    assert results["scd2_sf"]["compacted"] is True
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_after < n_before
+
+    # content identical: same classification signature as the live merge
+    def signature(df):
+        return {
+            tuple(r)
+            for r in df.groupBy("is_current", "modified_date")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amount_cents").alias("cents"),
+            )
+            .collect()
+        }
+
+    assert signature(spark.read.parquet(path)) == signature(merged)
