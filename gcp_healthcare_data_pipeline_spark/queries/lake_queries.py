@@ -10,7 +10,9 @@ can assert on mtimes and directory inventories the oracle can't see).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,7 +159,9 @@ def q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         jdbc_subquery_reader,
     )
 
-    db = os.path.join(tempfile.mkdtemp(prefix="q_jdbc_"), "derbydb")
+    root = tempfile.mkdtemp(prefix="q_jdbc_")
+    atexit.register(shutil.rmtree, root, True)  # Derby dirs are not tiny
+    db = os.path.join(root, "derbydb")
     url = f"jdbc:derby:{db};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     cust = load_tables(spark, sf_dir, "customer").select(
