@@ -57,9 +57,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-9 rotation (the round-6
 # block had been left pinned through r7/r8, freezing the sample): the
-# 6 pipeline gates, then ALL 22 queries that have never had a driver
-# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 4
-# new round-9 queries), then 22 continuity picks drawn from the
+# 6 pipeline gates, then ALL 25 queries that have never had a driver
+# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 7
+# new round-9 queries), then 19 continuity picks drawn from the
 # OLDEST driver evidence (the 3 r2-only rows, then an every-family
 # spread over the r4 cohort: SCD2, dedup, text, vector, gold mart).
 # Union of driver rows across rounds covers every registry query;
@@ -97,6 +97,9 @@ _DRIVER_PRIORITY = [
     "q_jdbc_ingest",
     "q_small_quantity_revenue",
     "q_dominant_suppliers",
+    "q_min_cost_supplier",
+    "q_product_profit",
+    "q_shipmode_priority",
     # continuity: last sampled r2
     "q_parts_ordered",
     "q_pivot_order_status",
@@ -108,7 +111,6 @@ _DRIVER_PRIORITY = [
     # continuity r4 — dedup family
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_dedup_clusters",
     # continuity r4 — text family
@@ -116,10 +118,8 @@ _DRIVER_PRIORITY = [
     "q_text_quality",
     "q_token_count",
     "q_bm25_search",
-    "q_fingerprint",
     # continuity r4 — vector family
     "q_ann_ivf",
-    "q_ann_topk",
     "q_kmeans",
     "q_semdedup",
     "q_embedding_neardup",

@@ -1742,6 +1742,283 @@ FROM li GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# TPC-H Q2-style: correlated MIN subquery over a derived partsupp relation
+# --------------------------------------------------------------------------
+# The test schema has no partsupp/shipmode/commitdate columns, so the Q2/
+# Q9/Q12 shapes derive them deterministically (distinct (part, supp)
+# pairs from lineitem; integer-hash supply cost; modular ship modes and
+# date offsets) — pure arithmetic both engines replicate exactly, the
+# q_pipeline_sf synthetic-feed discipline. The SHAPES are the point:
+# correlated MIN, multi-way profit rollup, conditional class counts.
+
+def _supply_cost_cents() -> "F.Column":
+    """Deterministic integer supply cost per (part, supplier) pair."""
+    return (
+        F.col("l_partkey") * 31 + F.col("l_suppkey") * 17
+    ) % 10000 + 1
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each SMALL part, the EUROPE supplier(s)
+    offering it at the region's MINIMUM derived supply cost — the
+    correlated-MIN-subquery pattern (``ps_supplycost = (SELECT MIN(..)
+    WHERE ps_partkey = p_partkey AND <region>)``), decorrelated as a
+    per-part MIN aggregate joined back on (part, cost) equality; cost
+    is an exact integer so the equality never wobbles and ties keep
+    every minimal supplier, like the spec.
+
+    The partsupp relation is the DISTINCT (partkey, suppkey) projection
+    of lineitem — one shuffle, reused by both the MIN aggregate and the
+    join back; supplier->nation->region prune-then-broadcast.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    europe_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"]
+                .join(
+                    F.broadcast(
+                        t["region"].filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    ps = (
+        t["lineitem"]
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            _supply_cost_cents().alias("cost_cents"),
+        )
+        .distinct()
+        .join(
+            F.broadcast(europe_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+    )
+    small = t["part"].filter(F.col("p_type") == "SMALL").select(
+        "p_partkey", "p_name"
+    )
+    ps = ps.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+    min_cost = ps.groupBy(F.col("l_partkey").alias("mc_key")).agg(
+        F.min("cost_cents").alias("min_cents")
+    )
+    return (
+        ps.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_key"))
+            & (F.col("cost_cents") == F.col("min_cents")),
+        )
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            (F.col("cost_cents") / 100.0).alias("supply_cost"),
+        )
+    )
+
+
+_ORACLE_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey,
+         (l_partkey * 31 + l_suppkey * 17) % 10000 + 1 AS cost_cents
+  FROM lineitem
+), eps AS (
+  SELECT ps.*, s_name, n_name
+  FROM ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+), sp AS (
+  SELECT eps.*, p_name FROM eps
+  JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+)
+SELECT l_partkey AS part_key, p_name AS part_name,
+       s_name AS supplier_name, n_name AS nation_name,
+       cost_cents / 100.0 AS supply_cost
+FROM sp
+WHERE cost_cents = (SELECT MIN(cost_cents) FROM sp sp2
+                    WHERE sp2.l_partkey = sp.l_partkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9-style: multi-way profit rollup by nation and year
+# --------------------------------------------------------------------------
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for
+    'bolt' parts — revenue minus derived supply cost x quantity, the
+    five-way join + computed-measure rollup. All terms exact integer
+    ten-thousandths (rev_i as elsewhere; cost_cents x qty x 100 lifts
+    cost into the same unit), one lossless final division.
+
+    The fact joins orders on the orderkey shuffle for the year; part
+    (name-pruned) and supplier->nation broadcast.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    bolts = t["part"].filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100).cast("bigint")
+        - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    profit_i = rev_i - (
+        _supply_cost_cents().cast("bigint")
+        * F.round(F.col("l_quantity")).cast("bigint")
+        * F.lit(100).cast("bigint")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(bolts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp_nation),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", F.year("o_orderdate").alias(
+                "order_year"
+            )),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation_name"), "order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            (F.sum(profit_i) / 10000.0).alias("profit"),
+        )
+    )
+
+
+_ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation_name,
+       YEAR(o_orderdate) AS order_year,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                - ((l_partkey * 31 + l_suppkey * 17) % 10000 + 1)
+                  * CAST(ROUND(l_quantity) AS BIGINT) * 100)
+            AS BIGINT) / 10000.0 AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12-style: shipmode SLA audit with conditional priority counts
+# --------------------------------------------------------------------------
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for the cheap ship modes (MAIL/SHIP, derived
+    modularly from the line identity), count high- vs low-priority
+    orders among 1996-received lines that MISSED their commit date —
+    the conditional-CASE-count pair over a date-predicate join.
+
+    Derived columns: ship_mode = one of 7 modes by (orderkey +
+    linenumber) % 7; commit = shipdate + (partkey%30 - 15) days;
+    receipt = shipdate + (suppkey%10 + 1) days. Integer day offsets on
+    DATE arithmetic — identical in both engines, no timezone math.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    mode_idx = (F.col("l_orderkey") + F.col("l_linenumber")) % 7
+    ship_mode = (
+        F.when(mode_idx == 0, "MAIL")
+        .when(mode_idx == 1, "SHIP")
+        .when(mode_idx == 2, "RAIL")
+        .when(mode_idx == 3, "AIR")
+        .when(mode_idx == 4, "TRUCK")
+        .when(mode_idx == 5, "FOB")
+        .otherwise("REG AIR")
+    )
+    ship_date = F.to_date("l_shipdate")
+    commit_date = F.date_add(
+        ship_date, (F.col("l_partkey") % 30 - 15).cast("int")
+    )
+    receipt_date = F.date_add(
+        ship_date, (F.col("l_suppkey") % 10 + 1).cast("int")
+    )
+    li = (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            ship_mode.alias("ship_mode"),
+            commit_date.alias("commit_date"),
+            receipt_date.alias("receipt_date"),
+        )
+        .filter(F.col("ship_mode").isin("MAIL", "SHIP"))
+        .filter(
+            (F.col("receipt_date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("receipt_date") < F.lit("1997-01-01").cast("date"))
+        )
+        .filter(F.col("commit_date") < F.col("receipt_date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_ORACLE_SHIPMODE_PRIORITY = """
+WITH li AS (
+  SELECT l_orderkey,
+         CASE (l_orderkey + l_linenumber) % 7
+           WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'RAIL'
+           WHEN 3 THEN 'AIR' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB'
+           ELSE 'REG AIR' END AS ship_mode,
+         CAST(l_shipdate AS DATE)
+           + CAST(l_partkey % 30 - 15 AS INT) * INTERVAL 1 DAY
+           AS commit_date,
+         CAST(l_shipdate AS DATE)
+           + CAST(l_suppkey % 10 + 1 AS INT) * INTERVAL 1 DAY
+           AS receipt_date
+  FROM lineitem
+)
+SELECT ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM li JOIN orders ON l_orderkey = o_orderkey
+WHERE ship_mode IN ('MAIL', 'SHIP')
+  AND receipt_date >= DATE '1996-01-01'
+  AND receipt_date <  DATE '1997-01-01'
+  AND commit_date < receipt_date
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q16-style: NOT-IN exclusion + COUNT DISTINCT rollup
 # --------------------------------------------------------------------------
 
@@ -2033,6 +2310,20 @@ GROUP BY 1
 
 
 QUERIES = [
+    QuerySpec(
+        "q_min_cost_supplier", q_min_cost_supplier,
+        _ORACLE_MIN_COST_SUPPLIER,
+        "ext:tpch-q2 (correlated MIN over derived partsupp, exact ties)",
+    ),
+    QuerySpec(
+        "q_product_profit", q_product_profit, _ORACLE_PRODUCT_PROFIT,
+        "ext:tpch-q9 (five-way profit rollup, exact integer measure)",
+    ),
+    QuerySpec(
+        "q_shipmode_priority", q_shipmode_priority,
+        _ORACLE_SHIPMODE_PRIORITY,
+        "ext:tpch-q12 (derived shipmode SLA, conditional class counts)",
+    ),
     QuerySpec(
         "q_pricing_summary", q_pricing_summary, _ORACLE_PRICING_SUMMARY,
         "ext:tpch-q1 (wide multi-aggregate, exact integer units)",
