@@ -12,11 +12,18 @@ negative-height) row order, and 4-byte row padding; ``_decode_one``
 routes ``BM``-magic payloads through it and emits decoded-pixel
 features, and ``decode_image_stats`` / ``resize_images`` run real
 pixel work inside their mapInPandas stages (oracle-pinned cross-engine
-by queries/extended_queries.py:q_multimodal_decode). Other formats
-(JPEG/audio/video) remain stubbed with deterministic digest features —
-no codec libraries in this environment; swap ``_decode_one``'s fallback
-for PIL/torchaudio/ffmpeg in deployment. The Spark-side contract —
-schemas, batch iteration, partitioning — is identical either way.
+by queries/extended_queries.py:q_multimodal_decode). **WAV (RIFF 16-bit
+mono PCM) decode/encode is REAL too** — ``encode_wav_pcm16`` /
+``decode_wav_pcm16`` with a proper chunk walk (unknown chunks skipped,
+2-byte alignment honored, malformed payloads raise); ``_decode_one``
+routes ``RIFF``-magic payloads to real signal features and
+``decode_audio_stats`` emits duration/RMS/zero-crossing/peak stats
+(oracle-pinned as q_multimodal_audio). Remaining formats (JPEG/
+compressed audio/video) stay stubbed with deterministic digest features
+— no codec libraries in this environment; swap ``_decode_one``'s
+fallback for PIL/torchaudio/ffmpeg in deployment. The Spark-side
+contract — schemas, batch iteration, partitioning — is identical
+either way.
 """
 
 from __future__ import annotations
@@ -159,6 +166,27 @@ def _decode_one(payload: bytes, dim: int) -> list[float]:
         feats = means + lum
         feats += [0.0] * (dim - len(feats))
         return feats[:dim]
+    if payload[:4] == b"RIFF":
+        import math  # noqa: PLC0415
+
+        try:
+            rate, s = decode_wav_pcm16(payload)
+        except ValueError:
+            # RIFF magic but not decodable 16-bit PCM (compressed
+            # audio, video container) -> the digest stub, same as JPEG
+            pass
+        else:
+            n = max(len(s), 1)
+            feats = [
+                math.sqrt(sum(v * v for v in s) / n) / 32768.0,  # rms
+                sum((s[i] >= 0) != (s[i - 1] >= 0)
+                    for i in range(1, len(s))) / n,              # zcr
+                (max(abs(v) for v in s) if s else 0) / 32768.0,  # peak
+                len(s) / rate,                                   # dur s
+            ]
+            feats += [abs(v) / 32768.0 for v in s[: max(dim - 4, 0)]]
+            feats += [0.0] * (dim - len(feats))
+            return feats[:dim]
     h = hashlib.sha256(payload).digest()
     return [h[i % len(h)] / 255.0 for i in range(dim)]
 
@@ -261,6 +289,128 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=IMAGE_STATS_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real pure-Python WAV codec (RIFF, 16-bit mono PCM) + audio stats stage
+# --------------------------------------------------------------------------
+
+def encode_wav_pcm16(sample_rate: int, samples: "list[int]") -> bytes:
+    """Encode signed 16-bit mono samples as a standard RIFF/WAVE file:
+    12-byte RIFF header, 16-byte PCM ``fmt `` chunk, ``data`` chunk."""
+    import struct  # noqa: PLC0415
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )  # PCM, mono, rate, byte-rate, block-align, bits
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, "list[int]"]:
+    """Parse a RIFF/WAVE payload to (sample_rate, samples).
+
+    A real chunk walk — unknown chunks (LIST/INFO/fact/...) are skipped
+    by their declared size with odd-size padding honored, the ``fmt ``
+    chunk is validated as 16-bit mono PCM, and truncated/malformed
+    payloads raise (the caller's quarantine posture turns that into
+    NULL stats, never a task failure)."""
+    import struct  # noqa: PLC0415
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt_tag != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    "only 16-bit mono PCM supported by the pure-Python "
+                    "codec (swap for torchaudio/ffmpeg in deployment)"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossings", LongType(), True),
+        StructField("peak", LongType(), True),
+    ]
+)
+
+
+def decode_audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode stage (Arrow-batched mapInPandas): parse each
+    WAV payload with ``decode_wav_pcm16`` and emit per-clip signal
+    statistics — duration, RMS amplitude (normalized to full scale, an
+    exact integer sum-of-squares with ONE division and ONE sqrt so the
+    cross-engine oracle hash-pins it), sign-change count, and peak.
+    Undecodable payloads yield NULL stats (quarantine posture)."""
+    import math  # noqa: PLC0415
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, ns, durs, rmss, zcs, peaks = [], [], [], [], [], []
+            for payload in pdf["payload"]:
+                try:
+                    rate, s = decode_wav_pcm16(
+                        bytes(payload) if payload is not None else None
+                    )
+                except (ValueError, TypeError):
+                    for col in (rates, ns, durs, rmss, zcs, peaks):
+                        col.append(None)
+                    continue
+                n = len(s)
+                rates.append(rate)
+                ns.append(n)
+                durs.append(n * 1000 // rate)
+                rmss.append(
+                    math.sqrt(sum(v * v for v in s) / n) / 32768.0
+                    if n else 0.0
+                )
+                zcs.append(
+                    sum(
+                        (s[i] >= 0) != (s[i - 1] >= 0)
+                        for i in range(1, n)
+                    )
+                )
+                peaks.append(max(abs(v) for v in s) if n else 0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pd.array(rates, dtype="Int64"),
+                    "n_samples": pd.array(ns, dtype="Int64"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                    "zero_crossings": pd.array(zcs, dtype="Int64"),
+                    "peak": pd.array(peaks, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

@@ -12,8 +12,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+    decode_audio_stats,
     decode_image_stats,
     encode_bmp24,
+    encode_wav_pcm16,
     extract_features,
 )
 from gcp_healthcare_data_pipeline_spark.operators.scd2 import scd2_merge
@@ -393,6 +395,84 @@ SELECT media_id,
   CAST(SUM((y * {_BMP_W} + x + 1) * (r * 65536 + g * 256 + b)) AS BIGINT)
     AS pix_checksum
 FROM px GROUP BY 1
+"""
+
+
+
+
+_WAV_RATE = 8000
+_WAV_BASE_N = 64  # clip length 64..95 samples, varies by media_id
+
+
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, value-pinned cross-engine: synthesize one
+    16-bit mono PCM WAV per document from a deterministic sample formula
+    (mapInPandas encode through the RIFF writer), parse it back with the
+    pure-Python chunk-walking WAV decoder (operators/multimodal.py:
+    decode_wav_pcm16 inside decode_audio_stats), and emit per-clip
+    signal statistics. The DuckDB oracle computes the same statistics
+    straight from the sample formula — duration and peak are exact
+    integers, the RMS is an exact integer sum-of-squares with one
+    division and one sqrt (bit-identical both engines), and the
+    sign-change count catches any sample-order or endianness bug in the
+    codec. Clip lengths vary per id so the data-chunk size math is
+    exercised across the corpus.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_wav(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n = _WAV_BASE_N + m % 32
+                samples = [
+                    ((m * 31 + i * i * 7 + i * 3) % 4001) - 2000
+                    for i in range(n)
+                ]
+                payloads.append(encode_wav_pcm16(_WAV_RATE, samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_wav, "media_id long, payload binary")
+    return decode_audio_stats(media).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 9).alias("rms"),
+        "zero_crossings",
+        "peak",
+    )
+
+
+_ORACLE_MULTIMODAL_AUDIO = f"""
+WITH s AS (
+  SELECT d.doc_id AS media_id, i.i,
+         ((d.doc_id * 31 + i.i * i.i * 7 + i.i * 3) % 4001) - 2000 AS v
+  FROM documents d, range(0, {_WAV_BASE_N + 31}) i(i)
+  WHERE i.i < {_WAV_BASE_N} + d.doc_id % 32
+), sc AS (
+  SELECT media_id, i, v,
+         CASE WHEN (v >= 0) <> (LAG(v) OVER
+                (PARTITION BY media_id ORDER BY i) >= 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM s
+)
+SELECT media_id,
+       CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+       COUNT(*) AS n_samples,
+       COUNT(*) * 1000 // {_WAV_RATE} AS duration_ms,
+       ROUND(SQRT(CAST(SUM(v * v) AS BIGINT)
+                  / CAST(COUNT(*) AS DOUBLE)) / 32768.0, 9) AS rms,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak
+FROM sc GROUP BY 1
 """
 
 
@@ -1322,5 +1402,10 @@ QUERIES = [
         "q_multimodal_decode", q_multimodal_decode,
         _ORACLE_MULTIMODAL_DECODE,
         "ext:multimodal (real BMP byte-format decode, pixel-stat oracle)",
+    ),
+    QuerySpec(
+        "q_multimodal_audio", q_multimodal_audio,
+        _ORACLE_MULTIMODAL_AUDIO,
+        "ext:multimodal (real RIFF/WAV PCM decode, signal-stat oracle)",
     ),
 ]

@@ -159,3 +159,76 @@ def test_extract_features_real_decode_for_bmp(spark):
     feats = extract_features(media, dim=4).collect()[0].features
     for c in range(3):
         assert abs(feats[c] - sum(rgb[c::3]) / (255.0 * n)) < 1e-12
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 5, -1]
+    payload = encode_wav_pcm16(8000, samples)
+    rate, back = decode_wav_pcm16(payload)
+    assert rate == 8000 and back == samples
+
+    # a real-world WAV often carries extra chunks (LIST/INFO) between
+    # fmt and data — the chunk walk must skip them by declared size,
+    # including the odd-size 2-byte-alignment pad
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"JUNKS" + b"\x00"  # odd+pad
+    with_junk = payload[:fmt_end] + junk + payload[fmt_end:]
+    with_junk = with_junk[:4] + struct.pack(
+        "<I", len(with_junk) - 8
+    ) + with_junk[8:]
+    rate2, back2 = decode_wav_pcm16(with_junk)
+    assert rate2 == 8000 and back2 == samples
+
+
+def test_wav_decoder_rejects_malformed():
+    import pytest
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    ok = encode_wav_pcm16(8000, [1, 2, 3])
+    for bad in (None, b"", b"RIFFxxxx", ok[:-3], b"NOTW" + ok[4:]):
+        with pytest.raises((ValueError, TypeError)):
+            decode_wav_pcm16(bad)
+
+
+def test_decode_audio_stats_values_and_quarantine(spark):
+    import math
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_audio_stats,
+        encode_wav_pcm16,
+    )
+
+    samples = [1000, -1000, 2000, -2000, 0, 3000]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav_pcm16(4000, samples))),
+            (2, bytearray(b"garbage-not-a-wav")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_audio_stats(media).collect()}
+    good = rows[1]
+    assert good.sample_rate == 4000 and good.n_samples == 6
+    assert good.duration_ms == 6 * 1000 // 4000
+    assert abs(
+        good.rms
+        - math.sqrt(sum(v * v for v in samples) / 6) / 32768.0
+    ) < 1e-12
+    # sign convention: 0 counts as non-negative -> crossings at
+    # 1000/-1000, -1000/2000, 2000/-2000, -2000/0(no: both classes
+    # differ -> -2000 neg, 0 nonneg -> crossing), 0/3000 same class
+    assert good.zero_crossings == 4
+    assert good.peak == 3000
+    bad = rows[2]
+    assert bad.sample_rate is None and bad.rms is None
