@@ -18,12 +18,16 @@ mono PCM) decode/encode is REAL too** — ``encode_wav_pcm16`` /
 2-byte alignment honored, malformed payloads raise); ``_decode_one``
 routes ``RIFF``-magic payloads to real signal features and
 ``decode_audio_stats`` emits duration/RMS/zero-crossing/peak stats
-(oracle-pinned as q_multimodal_audio). Remaining formats (JPEG/
-compressed audio/video) stay stubbed with deterministic digest features
-— no codec libraries in this environment; swap ``_decode_one``'s
-fallback for PIL/torchaudio/ffmpeg in deployment. The Spark-side
-contract — schemas, batch iteration, partitioning — is identical
-either way.
+(oracle-pinned as q_multimodal_audio). **AVI (RIFF, uncompressed
+24-bit DIB frames) decode/encode is REAL as well** — ``encode_avi_rgb24``
+/ ``decode_avi_rgb24`` with a nested-LIST RIFF walk; ``sample_frames``
+emits REAL decoded frames for AVI payloads and ``decode_video_stats``
+fan-outs per-frame channel means + exact frame-to-frame motion
+(oracle-pinned as q_multimodal_video). Remaining formats (JPEG/
+compressed audio/video codecs) stay stubbed with deterministic digest
+features — no codec libraries in this environment; swap the fallbacks
+for PIL/torchaudio/ffmpeg in deployment. The Spark-side contract —
+schemas, batch iteration, partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -413,6 +417,179 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, schema=AUDIO_STATS_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Real pure-Python AVI codec (RIFF, uncompressed 24-bit DIB frames)
+# --------------------------------------------------------------------------
+
+def _rgb_to_dib(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB -> the DIB pixel array (bottom-up BGR, 4-byte row
+    padding) shared by BMP bodies and AVI '00db' frames."""
+    row_size = (width * 3 + 3) & ~3
+    out = bytearray(row_size * height)
+    for file_row in range(height):
+        y = height - 1 - file_row
+        base = file_row * row_size
+        for x in range(width):
+            off = (y * width + x) * 3
+            r, g, b = rgb[off: off + 3]
+            out[base + x * 3: base + x * 3 + 3] = bytes((b, g, r))
+    return bytes(out)
+
+
+def _dib_to_rgb(width: int, height: int, dib: bytes) -> bytes:
+    """Inverse of ``_rgb_to_dib`` (bottom-up BGR padded -> top-down RGB)."""
+    row_size = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for file_row in range(height):
+        y = height - 1 - file_row
+        base = file_row * row_size
+        for x in range(width):
+            b, g, r = dib[base + x * 3: base + x * 3 + 3]
+            off = (y * width + x) * 3
+            out[off], out[off + 1], out[off + 2] = r, g, b
+    return bytes(out)
+
+
+def encode_avi_rgb24(
+    width: int, height: int, fps: int, frames: "list[bytes]"
+) -> bytes:
+    """Encode top-down RGB frames as a standard uncompressed AVI:
+    RIFF 'AVI ' / LIST hdrl (avih + strl[strh 'vids'/'DIB ', strf
+    BITMAPINFOHEADER]) / LIST movi ('00db' DIB frame chunks)."""
+    import struct  # noqa: PLC0415
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    us_per_frame = 1000000 // fps
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(frames), 0, 0, -1
+        ) + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        ((width * 3 + 3) & ~3) * height, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(
+        chunk(b"00db", _rgb_to_dib(width, height, f)) for f in frames
+    ))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_rgb24(payload: bytes) -> tuple[int, int, int, "list[bytes]"]:
+    """Parse an uncompressed AVI to (width, height, us_per_frame,
+    top-down RGB frames) — a real RIFF LIST walk: nested lists are
+    descended by declared size, unknown chunks skipped with odd-size
+    padding, malformed payloads raise (quarantine posture upstream)."""
+    import struct  # noqa: PLC0415
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    dims: "list[int]" = []
+    frames: "list[bytes]" = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", buf, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"avih":
+                us, _, _, _, _, _, _, _, w, h = struct.unpack_from(
+                    "<10I", buf, body_start
+                )
+                dims[:] = [w, h, us]
+            elif cid in (b"00db", b"00dc"):
+                frames.append(buf[body_start: body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if not dims:
+        raise ValueError("AVI missing avih header")
+    w, h, us = dims
+    return w, h, us, [_dib_to_rgb(w, h, f) for f in frames]
+
+
+VIDEO_FRAME_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("motion", LongType(), True),
+    ]
+)
+
+
+def decode_video_stats(media: DataFrame) -> DataFrame:
+    """REAL video decode stage (Arrow mapInPandas, row fan-out: one
+    output row per frame): parse each AVI payload with
+    ``decode_avi_rgb24`` and emit per-frame channel means plus a motion
+    metric — the exact sum of absolute per-byte diffs against the
+    previous frame (0 for frame 0). Motion is the temporal analog of
+    the image checksum: a decoder that misorders frames, rows, or
+    channels cannot reproduce it. Undecodable payloads contribute no
+    rows (quarantine posture for a fan-out stage)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, tss = [], [], []
+            mrs, mgs, mbs, motions = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, us, frames = decode_avi_rgb24(
+                        bytes(payload) if payload is not None else None
+                    )
+                except (ValueError, TypeError):
+                    continue
+                n = w * h
+                prev = None
+                for i, rgb in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * us // 1000)
+                    mrs.append(sum(rgb[0::3]) / n)
+                    mgs.append(sum(rgb[1::3]) / n)
+                    mbs.append(sum(rgb[2::3]) / n)
+                    motions.append(
+                        0 if prev is None
+                        else sum(abs(a - b) for a, b in zip(rgb, prev))
+                    )
+                    prev = rgb
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "mean_r": pd.Series(mrs, dtype="float64"),
+                    "mean_g": pd.Series(mgs, dtype="float64"),
+                    "mean_b": pd.Series(mbs, dtype="float64"),
+                    "motion": pd.Series(motions, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=VIDEO_FRAME_STATS_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -490,10 +667,13 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling stage for video payloads: one output row per
     sampled frame (fan-out inside mapInPandas — batch in, frames out).
 
-    STUB codec: frame count derives from duration_ms / every_ms; each
-    frame payload is a deterministic digest slice. Swap for ffmpeg/pyav
-    in deployment; the row fan-out contract is what downstream stages
-    (per-frame featurization, dedup) depend on.
+    REAL for AVI payloads (``RIFF..AVI `` magic): frames come from the
+    pure-Python container parse (``decode_avi_rgb24``), sampled by a
+    stride of ``every_ms`` over the stream's own frame period, each
+    emitted row carrying the decoded top-down RGB bytes. Other formats
+    keep the digest stub (frame count from duration_ms / every_ms) —
+    swap for ffmpeg/pyav in deployment; the row fan-out contract is
+    what downstream stages (per-frame featurization, dedup) depend on.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -502,9 +682,25 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, kind, payload, dur in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
             ):
-                if kind != "video" or payload is None or dur is None:
+                if kind != "video" or payload is None:
                     continue
-                digest = hashlib.sha256(bytes(payload)).digest()
+                b = bytes(payload)
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    try:
+                        _, _, us, frames = decode_avi_rgb24(b)
+                    except ValueError:
+                        continue
+                    period_ms = max(us // 1000, 1)
+                    stride = max(every_ms // period_ms, 1)
+                    for i in range(0, len(frames), stride):
+                        ids.append(mid)
+                        idxs.append(i)
+                        tss.append(i * period_ms)
+                        payloads.append(frames[i])
+                    continue
+                if dur is None:
+                    continue
+                digest = hashlib.sha256(b).digest()
                 n = max(1, int(dur) // every_ms)
                 for i in range(n):
                     ids.append(mid)

@@ -57,9 +57,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-9 rotation (the round-6
 # block had been left pinned through r7/r8, freezing the sample): the
-# 6 pipeline gates, then ALL 26 queries that have never had a driver
-# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 8
-# new round-9 queries), then 18 continuity picks drawn from the
+# 6 pipeline gates, then ALL 27 queries that have never had a driver
+# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 9
+# new round-9 queries), then 17 continuity picks drawn from the
 # OLDEST driver evidence (the 3 r2-only rows, then an every-family
 # spread over the r4 cohort: SCD2, dedup, text, vector, gold mart).
 # Union of driver rows across rounds covers every registry query;
@@ -101,6 +101,7 @@ _DRIVER_PRIORITY = [
     "q_product_profit",
     "q_shipmode_priority",
     "q_multimodal_audio",
+    "q_multimodal_video",
     # continuity: last sampled r2
     "q_parts_ordered",
     "q_pivot_order_status",
@@ -118,7 +119,6 @@ _DRIVER_PRIORITY = [
     "q_lang_id",
     "q_text_quality",
     "q_token_count",
-    "q_bm25_search",
     # continuity r4 — vector family
     "q_ann_ivf",
     "q_kmeans",

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
     decode_audio_stats,
     decode_image_stats,
+    decode_video_stats,
+    encode_avi_rgb24,
     encode_bmp24,
     encode_wav_pcm16,
     extract_features,
@@ -473,6 +475,95 @@ SELECT media_id,
        CAST(SUM(zc) AS BIGINT) AS zero_crossings,
        CAST(MAX(ABS(v)) AS BIGINT) AS peak
 FROM sc GROUP BY 1
+"""
+
+
+
+
+_AVI_W, _AVI_H, _AVI_FPS = 4, 3, 10
+
+
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, value-pinned cross-engine: synthesize one
+    uncompressed AVI per document (3-6 frames of deterministic formula
+    pixels through the RIFF/LIST writer), parse it back with the
+    pure-Python container walker (operators/multimodal.py:
+    decode_avi_rgb24 inside decode_video_stats — a fan-out stage, one
+    row per frame), and emit per-frame channel means plus the exact
+    frame-to-frame motion sum. The DuckDB oracle computes the same
+    statistics straight from the pixel formula (motion via a self-join
+    on frame t-1), so a decoder that misorders frames, rows, or
+    channels — or mis-sizes a LIST chunk — cannot hash-match.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    w, h = _AVI_W, _AVI_H
+
+    def make_avi(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                frames = []
+                for t in range(3 + m % 4):
+                    rgb = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            rgb += bytes((
+                                (m * 7 + x * 13 + y * 29 + t * 41) % 256,
+                                (m * 11 + x * 3 + y * 17 + t * 23) % 256,
+                                (m * 5 + x * 19 + y * 7 + t * 31) % 256,
+                            ))
+                    frames.append(bytes(rgb))
+                payloads.append(
+                    encode_avi_rgb24(w, h, _AVI_FPS, frames)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(make_avi, "media_id long, payload binary")
+    return decode_video_stats(media).select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "motion",
+    )
+
+
+_ORACLE_MULTIMODAL_VIDEO = f"""
+WITH px AS (
+  SELECT d.doc_id AS media_id, ts.t, xs.x, ys.y,
+    (d.doc_id * 7 + xs.x * 13 + ys.y * 29 + ts.t * 41) % 256 AS r,
+    (d.doc_id * 11 + xs.x * 3 + ys.y * 17 + ts.t * 23) % 256 AS g,
+    (d.doc_id * 5 + xs.x * 19 + ys.y * 7 + ts.t * 31) % 256 AS b
+  FROM documents d, range(0, 7) ts(t),
+       range(0, {_AVI_W}) xs(x), range(0, {_AVI_H}) ys(y)
+  WHERE ts.t < 3 + d.doc_id % 4
+), motion AS (
+  SELECT c.media_id, c.t,
+         SUM(ABS(c.r - p.r) + ABS(c.g - p.g) + ABS(c.b - p.b)) AS mv
+  FROM px c JOIN px p
+    ON c.media_id = p.media_id AND p.t = c.t - 1
+   AND c.x = p.x AND c.y = p.y
+  GROUP BY 1, 2
+)
+SELECT px.media_id,
+       px.t AS frame_idx,
+       px.t * (1000000 // {_AVI_FPS}) // 1000 AS frame_ts_ms,
+       ROUND(AVG(px.r), 6) AS mean_r,
+       ROUND(AVG(px.g), 6) AS mean_g,
+       ROUND(AVG(px.b), 6) AS mean_b,
+       CAST(COALESCE(ANY_VALUE(motion.mv), 0) AS BIGINT) AS motion
+FROM px LEFT JOIN motion
+  ON px.media_id = motion.media_id AND px.t = motion.t
+GROUP BY 1, 2
 """
 
 
@@ -1407,5 +1498,10 @@ QUERIES = [
         "q_multimodal_audio", q_multimodal_audio,
         _ORACLE_MULTIMODAL_AUDIO,
         "ext:multimodal (real RIFF/WAV PCM decode, signal-stat oracle)",
+    ),
+    QuerySpec(
+        "q_multimodal_video", q_multimodal_video,
+        _ORACLE_MULTIMODAL_VIDEO,
+        "ext:multimodal (real AVI container decode, frame fan-out + motion oracle)",
     ),
 ]

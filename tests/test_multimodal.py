@@ -232,3 +232,59 @@ def test_decode_audio_stats_values_and_quarantine(spark):
     assert good.peak == 3000
     bad = rows[2]
     assert bad.sample_rate is None and bad.rms is None
+
+
+def test_avi_codec_roundtrip():
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_avi_rgb24,
+        encode_avi_rgb24,
+    )
+
+    w, h = 5, 4  # width 5 -> 15-byte rows padded to 16 in every frame
+    frames = [
+        bytes(((t * 37 + i * 11) % 256) for i in range(w * h * 3))
+        for t in range(3)
+    ]
+    payload = encode_avi_rgb24(w, h, 25, frames)
+    w2, h2, us, back = decode_avi_rgb24(payload)
+    assert (w2, h2, us) == (w, h, 40000)
+    assert back == frames
+
+
+def test_avi_decoder_rejects_malformed():
+    import pytest
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_avi_rgb24,
+        encode_avi_rgb24,
+    )
+
+    ok = encode_avi_rgb24(2, 2, 10, [bytes(12)])
+    for bad in (None, b"", b"RIFF1234WAVE", ok[:-5]):
+        with pytest.raises((ValueError, TypeError)):
+            decode_avi_rgb24(bad)
+
+
+def test_sample_frames_real_avi_stride(spark):
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        encode_avi_rgb24,
+    )
+
+    w, h, fps = 2, 2, 10  # 100 ms frame period
+    frames = [bytes(((t * 50 + i) % 256) for i in range(12)) for t in range(6)]
+    media = spark.createDataFrame(
+        [(9, "video", "video/avi",
+          bytearray(encode_avi_rgb24(w, h, fps, frames)), w, h, 600)],
+        MEDIA_SCHEMA,
+    )
+    # every_ms=200 over a 100 ms period -> stride 2 -> frames 0, 2, 4
+    rows = sorted(
+        sample_frames(media, every_ms=200).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    assert [r.frame_ts_ms for r in rows] == [0, 200, 400]
+    # payload is the DECODED top-down RGB of that exact frame
+    assert [bytes(r.frame_payload) for r in rows] == [
+        frames[0], frames[2], frames[4]
+    ]
