@@ -370,7 +370,8 @@ QUERIES = [
 # plans/gold.py broadcast-dim mart) SCALES — its input is derived
 # deterministically from the TPC-H tables, so bench measures it at
 # sf0.1 (600k fact rows) as a regular non-exempt entry and the driver
-# oracle-gates it at sf0.01.
+# oracle-gates it at sf0.01. q_scd2_sf (below) covers the OTHER half of
+# the silver layer at scale — the second-batch MERGE path.
 # ---------------------------------------------------------------------------
 
 _SF_TS = "2025-01-01 00:00:00"
