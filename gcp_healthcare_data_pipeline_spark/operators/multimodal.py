@@ -33,6 +33,7 @@ schemas, batch iteration, partitioning — is identical either way.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -92,15 +93,8 @@ def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
         2835, 2835, 0, 0,
     )
-    pad = b"\x00" * (row_size - width * 3)
-    rows = []
-    for y in range(height - 1, -1, -1):  # bottom-up storage order
-        row = bytearray()
-        for x in range(width):
-            off = (y * width + x) * 3
-            row += bytes((rgb[off + 2], rgb[off + 1], rgb[off]))  # BGR
-        rows.append(bytes(row) + pad)
-    return header + info + b"".join(rows)
+    # pixel array layout shared with AVI '00db' frame bodies
+    return header + info + _rgb_to_dib(width, height, rgb)
 
 
 def decode_bmp24(payload: bytes) -> tuple[int, int, bytes]:
@@ -175,7 +169,7 @@ def _decode_one(payload: bytes, dim: int) -> list[float]:
 
         try:
             rate, s = decode_wav_pcm16(payload)
-        except ValueError:
+        except (ValueError, struct.error):
             # RIFF magic but not decodable 16-bit PCM (compressed
             # audio, video container) -> the digest stub, same as JPEG
             pass
@@ -262,7 +256,7 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                     w, h, rgb = decode_bmp24(
                         bytes(payload) if payload is not None else None
                     )
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, struct.error):
                     for col in (ws, hs, mrs, mgs, mbs, cks):
                         col.append(None)
                     continue
@@ -321,9 +315,11 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, "list[int]"]:
 
     A real chunk walk — unknown chunks (LIST/INFO/fact/...) are skipped
     by their declared size with odd-size padding honored, the ``fmt ``
-    chunk is validated as 16-bit mono PCM, and truncated/malformed
-    payloads raise (the caller's quarantine posture turns that into
-    NULL stats, never a task failure)."""
+    chunk is validated as 16-bit mono PCM with a nonzero rate, and
+    truncated/malformed payloads raise ValueError — ONLY ValueError
+    (struct.error is converted at this boundary), so the callers'
+    quarantine handlers turn every corrupt payload into NULL stats,
+    never a task failure."""
     import struct  # noqa: PLC0415
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
@@ -337,6 +333,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, "list[int]"]:
         if len(body) < size:
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"fmt chunk too small ({size} bytes)")
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
@@ -345,7 +343,11 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, "list[int]"]:
                     "only 16-bit mono PCM supported by the pure-Python "
                     "codec (swap for torchaudio/ffmpeg in deployment)"
                 )
+            if rate == 0:
+                raise ValueError("WAV sample rate is 0")
         elif cid == b"data":
+            if size & 1:
+                raise ValueError("odd-length 16-bit PCM data chunk")
             data = body
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
     if rate is None or data is None:
@@ -383,7 +385,7 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
                     rate, s = decode_wav_pcm16(
                         bytes(payload) if payload is not None else None
                     )
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, struct.error):
                     for col in (rates, ns, durs, rmss, zcs, peaks):
                         col.append(None)
                     continue
@@ -423,7 +425,11 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
 
 def _rgb_to_dib(width: int, height: int, rgb: bytes) -> bytes:
     """Top-down RGB -> the DIB pixel array (bottom-up BGR, 4-byte row
-    padding) shared by BMP bodies and AVI '00db' frames."""
+    padding) — the ONE encode-side implementation of the layout, used
+    by both encode_bmp24 bodies and AVI '00db' frames. (decode_bmp24
+    keeps its own unified loop because it also handles the top-down
+    negative-height BMP variant and an arbitrary pixel-array offset;
+    _dib_to_rgb below is the bottom-up-only decode twin for AVI.)"""
     row_size = (width * 3 + 3) & ~3
     out = bytearray(row_size * height)
     for file_row in range(height):
@@ -492,7 +498,10 @@ def decode_avi_rgb24(payload: bytes) -> tuple[int, int, int, "list[bytes]"]:
     """Parse an uncompressed AVI to (width, height, us_per_frame,
     top-down RGB frames) — a real RIFF LIST walk: nested lists are
     descended by declared size, unknown chunks skipped with odd-size
-    padding, malformed payloads raise (quarantine posture upstream)."""
+    padding, malformed payloads raise ValueError — ONLY ValueError
+    (struct.error is converted, declared sizes are honored before any
+    unpack, and zero dimensions/rate are rejected), so the callers'
+    quarantine handlers never see a task-killing exception."""
     import struct  # noqa: PLC0415
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
@@ -510,11 +519,21 @@ def decode_avi_rgb24(payload: bytes) -> tuple[int, int, int, "list[bytes]"]:
             if body_start + size > end:
                 raise ValueError("truncated AVI chunk")
             if cid == b"LIST":
+                if size < 4:
+                    raise ValueError("LIST chunk too small for a type")
                 walk(buf, body_start + 4, body_start + size)
             elif cid == b"avih":
+                # unpack only inside the DECLARED chunk body — a lying
+                # size must raise, not read the next chunk's bytes
+                if size < 40:
+                    raise ValueError(f"avih chunk too small ({size})")
                 us, _, _, _, _, _, _, _, w, h = struct.unpack_from(
                     "<10I", buf, body_start
                 )
+                if w == 0 or h == 0 or us == 0:
+                    raise ValueError(
+                        f"degenerate AVI header: {w}x{h} @ {us}us/frame"
+                    )
                 dims[:] = [w, h, us]
             elif cid in (b"00db", b"00dc"):
                 frames.append(buf[body_start: body_start + size])
@@ -524,6 +543,10 @@ def decode_avi_rgb24(payload: bytes) -> tuple[int, int, int, "list[bytes]"]:
     if not dims:
         raise ValueError("AVI missing avih header")
     w, h, us = dims
+    row_size = (w * 3 + 3) & ~3
+    for f in frames:
+        if len(f) < row_size * h:
+            raise ValueError("truncated AVI frame body")
     return w, h, us, [_dib_to_rgb(w, h, f) for f in frames]
 
 
@@ -559,7 +582,7 @@ def decode_video_stats(media: DataFrame) -> DataFrame:
                     w, h, us, frames = decode_avi_rgb24(
                         bytes(payload) if payload is not None else None
                     )
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, struct.error):
                     continue
                 n = w * h
                 prev = None
@@ -688,7 +711,7 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     try:
                         _, _, us, frames = decode_avi_rgb24(b)
-                    except ValueError:
+                    except (ValueError, struct.error):
                         continue
                     period_ms = max(us // 1000, 1)
                     stride = max(every_ms // period_ms, 1)

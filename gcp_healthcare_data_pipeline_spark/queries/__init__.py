@@ -57,13 +57,13 @@ def all_queries() -> dict[str, QuerySpec]:
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-9 rotation (the round-6
 # block had been left pinned through r7/r8, freezing the sample): the
-# 6 pipeline gates, then ALL 27 queries that have never had a driver
-# row (the 7 round-7 additions, the 11 round-6 stragglers, and the 9
-# new round-9 queries), then 17 continuity picks drawn from the
-# OLDEST driver evidence (the 3 r2-only rows, then an every-family
-# spread over the r4 cohort: SCD2, dedup, text, vector, gold mart).
-# Union of driver rows across rounds covers every registry query;
-# rotated-out entries all hold green r5-r8 rows.
+# 6 pipeline gates, then ALL 36 queries that have never had a driver
+# row (the 7 round-7 additions, the 11 round-6 stragglers, and all 18
+# round-9 additions), then 8 continuity picks drawn from the OLDEST
+# driver evidence (the 3 r2-only rows + one per r4 family: SCD2,
+# dedup, text, vector, gold mart). Union of driver rows across rounds
+# covers every registry query; rotated-out entries all hold green
+# r4-r8 rows.
 _DRIVER_PRIORITY = [
     # reference end-to-end gates (silver.sql + gold.sql full pipeline)
     "q_pipeline_provider_charge_summary",
@@ -92,37 +92,34 @@ _DRIVER_PRIORITY = [
     "q_revenue_gini",
     "q_source_overlap",
     "q_supplier_hhi",
-    # new this round (first driver evidence)
+    # new this round (first driver evidence): sf-scale SCD2 merge,
+    # live-JDBC ingest, the completed TPC-H set, multimodal codecs
     "q_scd2_sf",
     "q_jdbc_ingest",
-    "q_small_quantity_revenue",
-    "q_dominant_suppliers",
+    "q_multimodal_audio",
+    "q_multimodal_video",
     "q_min_cost_supplier",
     "q_product_profit",
     "q_shipmode_priority",
-    "q_multimodal_audio",
-    "q_multimodal_video",
+    "q_small_quantity_revenue",
+    "q_dominant_suppliers",
+    "q_pricing_summary",
+    "q_forecast_revenue",
+    "q_returned_item_loss",
+    "q_promo_revenue_share",
+    "q_part_supplier_counts",
+    "q_customer_order_dist",
+    "q_large_volume_customers",
+    "q_disjunct_revenue",
+    "q_dormant_rich_customers",
     # continuity: last sampled r2
     "q_parts_ordered",
     "q_pivot_order_status",
     "q_rollup_sales",
-    # continuity: last sampled r4 — SCD2 family
+    # continuity: one r4 pick per family
     "q_scd2_customer",
-    "q_scd2_two_runs",
-    "q_scd2_corrected",
-    # continuity r4 — dedup family
     "q_dedup_exact",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_clusters",
-    # continuity r4 — text family
     "q_lang_id",
-    "q_text_quality",
-    "q_token_count",
-    # continuity r4 — vector family
     "q_ann_ivf",
-    "q_kmeans",
-    "q_semdedup",
-    # continuity r4 — reference gold-mart analog (flagship)
     "q_charge_summary",
 ]

@@ -139,6 +139,9 @@ FROM orders GROUP BY 1
 """
 
 
+_DERBY_DB: str | None = None
+
+
 def q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 under the oracle gate: the customer table round-trips through
     a LIVE JDBC endpoint (embedded Apache Derby — bundled with Spark's
@@ -159,10 +162,18 @@ def q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         jdbc_subquery_reader,
     )
 
-    root = tempfile.mkdtemp(prefix="q_jdbc_")
-    atexit.register(shutil.rmtree, root, True)  # Derby dirs are not tiny
-    db = os.path.join(root, "derbydb")
-    url = f"jdbc:derby:{db};create=true"
+    # ONE database per process, reused across invocations (bench and
+    # the scaling audit run this query repeatedly): embedded Derby
+    # keeps every created database booted in the JVM until shutdown,
+    # so a fresh dir per call would accumulate page caches and file
+    # handles for the whole session. The write below is mode=overwrite,
+    # so reuse is state-free.
+    global _DERBY_DB  # noqa: PLW0603
+    if _DERBY_DB is None:
+        root = tempfile.mkdtemp(prefix="q_jdbc_")
+        atexit.register(shutil.rmtree, root, True)
+        _DERBY_DB = os.path.join(root, "derbydb")
+    url = f"jdbc:derby:{_DERBY_DB};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     cust = load_tables(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("int").alias("CUSTKEY"),

@@ -288,3 +288,62 @@ def test_sample_frames_real_avi_stride(spark):
     assert [bytes(r.frame_payload) for r in rows] == [
         frames[0], frames[2], frames[4]
     ]
+
+
+def test_malformed_payloads_quarantine_not_crash(spark):
+    """The code-review crash matrix: payloads that used to escape the
+    quarantine handlers (struct.error from undersized fmt/avih chunks,
+    ZeroDivisionError from rate=0 / zero-dimension headers, lying
+    declared sizes) must yield NULL stats or no rows — never a task
+    failure."""
+    import struct
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_video_stats,
+        encode_avi_rgb24,
+        encode_wav_pcm16,
+    )
+
+    # WAV: fmt chunk declaring size 4 (struct.error before the fix),
+    # rate=0 (ZeroDivisionError), odd data size (struct.error)
+    tiny_fmt = (b"RIFF" + struct.pack("<I", 16) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+    rate0 = encode_wav_pcm16(1, [1, 2])
+    rate0 = rate0.replace(struct.pack("<I", 1), struct.pack("<I", 0))
+    odd_data = (b"RIFF" + struct.pack("<I", 37) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16)
+                + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", 3) + b"abc")
+    media = spark.createDataFrame(
+        [(1, bytearray(tiny_fmt)), (2, bytearray(rate0)),
+         (3, bytearray(odd_data)),
+         (4, bytearray(encode_wav_pcm16(8000, [5, -5])))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in decode_audio_stats(media).collect()}
+    assert rows[1].rms is None and rows[2].rms is None
+    assert rows[3].rms is None
+    assert rows[4].n_samples == 2  # the good row still decodes
+
+    # AVI: avih declaring size 8 with following bytes available (used
+    # to silently read the next chunk as dimensions), zero-dim header,
+    # truncated frame body
+    good = encode_avi_rgb24(2, 2, 10, [bytes(12)])
+    lying = good.replace(
+        b"avih" + struct.pack("<I", 56), b"avih" + struct.pack("<I", 8), 1
+    )
+    zero_dim = good.replace(
+        struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, 2, 2, 0, 0, 0, 0),
+        struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0),
+    )
+    short_frame = good.replace(
+        b"00db" + struct.pack("<I", 16), b"00db" + struct.pack("<I", 8), 1
+    )[:-8]
+    vmedia = spark.createDataFrame(
+        [(1, bytearray(lying)), (2, bytearray(zero_dim)),
+         (3, bytearray(short_frame)), (4, bytearray(good))],
+        "media_id long, payload binary",
+    )
+    out = decode_video_stats(vmedia).collect()
+    assert {r.media_id for r in out} == {4}  # only the good clip emits

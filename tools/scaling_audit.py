@@ -60,6 +60,15 @@ def main() -> int:
         and (not n.startswith("q_pipeline_") or n == "q_pipeline_sf")
     }
     if args.names:
+        unknown = [n for n in args.names if n not in specs]
+        if unknown:
+            print(
+                f"unknown or excluded query names: {unknown} "
+                "(streaming and fixture-pinned q_pipeline_* queries are "
+                "excluded from the scaling audit)",
+                file=sys.stderr,
+            )
+            return 2
         specs = {n: specs[n] for n in args.names}
 
     rows = []
