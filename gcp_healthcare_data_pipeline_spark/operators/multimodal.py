@@ -137,6 +137,11 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# Cap on Python/numpy-side samples per payload in the FEATURE path
+# (sketch features, not exact stats): bounds per-payload work at scale.
+_FEATURE_MAX_SAMPLES = 4096
+
+
 def _decode_one(payload: bytes, dim: int) -> list[float]:
     """Decode a media payload to a fixed-dim feature vector.
 
@@ -167,22 +172,35 @@ def _decode_one(payload: bytes, dim: int) -> list[float]:
     if payload[:4] == b"RIFF":
         import math  # noqa: PLC0415
 
+        import numpy as np  # noqa: PLC0415
+
         try:
-            rate, s = decode_wav_pcm16(payload)
+            rate, data_off, n_total = probe_wav_pcm16(payload)
         except (ValueError, struct.error):
             # RIFF magic but not decodable 16-bit PCM (compressed
             # audio, video container) -> the digest stub, same as JPEG
             pass
         else:
+            # Feature extraction must NOT decode the full sample list
+            # (a 1h clip is ~160M samples): probe the header, then
+            # compute signal features over a deterministic strided
+            # subsample of <= _FEATURE_MAX_SAMPLES, vectorized. Exact
+            # stats live in decode_audio_stats; features are sketches.
+            stride = max(1, -(-n_total // _FEATURE_MAX_SAMPLES))
+            s = np.frombuffer(
+                payload, dtype="<i2", count=n_total, offset=data_off
+            )[::stride].astype(np.int64)
             n = max(len(s), 1)
+            nonneg = s >= 0
             feats = [
-                math.sqrt(sum(v * v for v in s) / n) / 32768.0,  # rms
-                sum((s[i] >= 0) != (s[i - 1] >= 0)
-                    for i in range(1, len(s))) / n,              # zcr
-                (max(abs(v) for v in s) if s else 0) / 32768.0,  # peak
-                len(s) / rate,                                   # dur s
+                math.sqrt(float(np.dot(s, s)) / n) / 32768.0,    # rms
+                float(np.count_nonzero(nonneg[1:] != nonneg[:-1])) / n,
+                (float(np.abs(s).max()) if len(s) else 0.0) / 32768.0,
+                n_total / rate,                                  # dur s
             ]
-            feats += [abs(v) / 32768.0 for v in s[: max(dim - 4, 0)]]
+            feats += [
+                abs(float(v)) / 32768.0 for v in s[: max(dim - 4, 0)]
+            ]
             feats += [0.0] * (dim - len(feats))
             return feats[:dim]
     h = hashlib.sha256(payload).digest()
@@ -310,33 +328,34 @@ def encode_wav_pcm16(sample_rate: int, samples: "list[int]") -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav_pcm16(payload: bytes) -> tuple[int, "list[int]"]:
-    """Parse a RIFF/WAVE payload to (sample_rate, samples).
+def probe_wav_pcm16(payload: bytes) -> tuple[int, int, int]:
+    """Header-only WAV probe: chunk-walk a RIFF/WAVE payload and return
+    (sample_rate, data_offset, n_samples) WITHOUT materializing the
+    sample array. Feature extraction at 100 TB must not pay O(n_samples)
+    Python work per payload — callers slice/stride the data chunk
+    directly (numpy ``frombuffer``) using these offsets.
 
-    A real chunk walk — unknown chunks (LIST/INFO/fact/...) are skipped
-    by their declared size with odd-size padding honored, the ``fmt ``
-    chunk is validated as 16-bit mono PCM with a nonzero rate, and
-    truncated/malformed payloads raise ValueError — ONLY ValueError
-    (struct.error is converted at this boundary), so the callers'
-    quarantine handlers turn every corrupt payload into NULL stats,
-    never a task failure."""
+    Same validation contract as ``decode_wav_pcm16``: unknown chunks
+    (LIST/INFO/fact/...) skipped by declared size with odd-size padding
+    honored, ``fmt `` validated as 16-bit mono PCM with nonzero rate,
+    malformed payloads raise ValueError — ONLY ValueError, so quarantine
+    handlers never see a task-killing exception."""
     import struct  # noqa: PLC0415
 
     if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, data = 12, None, None
+    pos, rate, data_off, data_size = 12, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8: pos + 8 + size]
-        if len(body) < size:
+        if pos + 8 + size > len(payload):
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError(f"fmt chunk too small ({size} bytes)")
             fmt_tag, channels, rate, _, _, bits = struct.unpack_from(
-                "<HHIIHH", body
+                "<HHIIHH", payload, pos + 8
             )
             if fmt_tag != 1 or channels != 1 or bits != 16:
                 raise ValueError(
@@ -348,11 +367,22 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, "list[int]"]:
         elif cid == b"data":
             if size & 1:
                 raise ValueError("odd-length 16-bit PCM data chunk")
-            data = body
+            data_off, data_size = pos + 8, size
         pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
-    if rate is None or data is None:
+    if rate is None or data_off is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return rate, list(struct.unpack(f"<{len(data) // 2}h", data))
+    return rate, data_off, data_size // 2
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, "list[int]"]:
+    """Parse a RIFF/WAVE payload to (sample_rate, samples).
+
+    Full decode — see ``probe_wav_pcm16`` for the header-only walk
+    (shared validation; this adds the one-shot sample unpack)."""
+    import struct  # noqa: PLC0415
+
+    rate, data_off, n = probe_wav_pcm16(payload)
+    return rate, list(struct.unpack_from(f"<{n}h", payload, data_off))
 
 
 AUDIO_STATS_SCHEMA = StructType(
@@ -377,33 +407,37 @@ def decode_audio_stats(media: DataFrame) -> DataFrame:
     Undecodable payloads yield NULL stats (quarantine posture)."""
     import math  # noqa: PLC0415
 
+    import numpy as np  # noqa: PLC0415
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rates, ns, durs, rmss, zcs, peaks = [], [], [], [], [], []
             for payload in pdf["payload"]:
                 try:
-                    rate, s = decode_wav_pcm16(
+                    rate, data_off, n = probe_wav_pcm16(
                         bytes(payload) if payload is not None else None
                     )
                 except (ValueError, TypeError, struct.error):
                     for col in (rates, ns, durs, rmss, zcs, peaks):
                         col.append(None)
                     continue
-                n = len(s)
+                # Vectorized EXACT stats: int64 sum-of-squares is exact
+                # (n * 2^30 << 2^63), then the same one-division-one-sqrt
+                # as the oracle — bit-identical to the scalar loop it
+                # replaces, ~100x less Python interpreter work per clip.
+                s = np.frombuffer(
+                    bytes(payload), dtype="<i2", count=n, offset=data_off
+                ).astype(np.int64)
                 rates.append(rate)
                 ns.append(n)
                 durs.append(n * 1000 // rate)
                 rmss.append(
-                    math.sqrt(sum(v * v for v in s) / n) / 32768.0
+                    math.sqrt(int(np.dot(s, s)) / n) / 32768.0
                     if n else 0.0
                 )
-                zcs.append(
-                    sum(
-                        (s[i] >= 0) != (s[i - 1] >= 0)
-                        for i in range(1, n)
-                    )
-                )
-                peaks.append(max(abs(v) for v in s) if n else 0)
+                nonneg = s >= 0
+                zcs.append(int(np.count_nonzero(nonneg[1:] != nonneg[:-1])))
+                peaks.append(int(np.abs(s).max()) if n else 0)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -472,6 +506,12 @@ def encode_avi_rgb24(
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
+    if not 1 <= fps <= 1_000_000:
+        raise ValueError(
+            f"fps must be in [1, 1000000], got {fps}: fps=0 divides by "
+            "zero and fps>1e6 yields us_per_frame=0, which the decoder "
+            "rejects as a degenerate header"
+        )
     us_per_frame = 1000000 // fps
     avih = struct.pack(
         "<14I", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0,
@@ -512,32 +552,45 @@ def decode_avi_rgb24(payload: bytes) -> tuple[int, int, int, "list[bytes]"]:
     frames: "list[bytes]" = []
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        while pos + 8 <= end:
-            cid = buf[pos:pos + 4]
-            (size,) = struct.unpack_from("<I", buf, pos + 4)
-            body_start = pos + 8
-            if body_start + size > end:
-                raise ValueError("truncated AVI chunk")
-            if cid == b"LIST":
-                if size < 4:
-                    raise ValueError("LIST chunk too small for a type")
-                walk(buf, body_start + 4, body_start + size)
-            elif cid == b"avih":
-                # unpack only inside the DECLARED chunk body — a lying
-                # size must raise, not read the next chunk's bytes
-                if size < 40:
-                    raise ValueError(f"avih chunk too small ({size})")
-                us, _, _, _, _, _, _, _, w, h = struct.unpack_from(
-                    "<10I", buf, body_start
-                )
-                if w == 0 or h == 0 or us == 0:
-                    raise ValueError(
-                        f"degenerate AVI header: {w}x{h} @ {us}us/frame"
+        # Iterative LIST descent (explicit stack): a hostile payload of
+        # thousands of nested LIST chunks must raise/skip cleanly, never
+        # RecursionError (which would bypass the ValueError quarantine
+        # contract and kill the Spark task).
+        stack: "list[tuple[int, int]]" = [(pos, end)]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                cid = buf[pos:pos + 4]
+                (size,) = struct.unpack_from("<I", buf, pos + 4)
+                body_start = pos + 8
+                if body_start + size > end:
+                    raise ValueError("truncated AVI chunk")
+                if cid == b"LIST":
+                    if size < 4:
+                        raise ValueError("LIST chunk too small for a type")
+                    if len(stack) >= 64:
+                        raise ValueError("AVI LIST nesting too deep")
+                    # resume the current level after the nested list
+                    stack.append((body_start + size + (size & 1), end))
+                    pos, end = body_start + 4, body_start + size
+                    continue
+                if cid == b"avih":
+                    # unpack only inside the DECLARED chunk body — a
+                    # lying size must raise, not read the next chunk's
+                    # bytes
+                    if size < 40:
+                        raise ValueError(f"avih chunk too small ({size})")
+                    us, _, _, _, _, _, _, _, w, h = struct.unpack_from(
+                        "<10I", buf, body_start
                     )
-                dims[:] = [w, h, us]
-            elif cid in (b"00db", b"00dc"):
-                frames.append(buf[body_start: body_start + size])
-            pos = body_start + size + (size & 1)
+                    if w == 0 or h == 0 or us == 0:
+                        raise ValueError(
+                            f"degenerate AVI header: {w}x{h} @ {us}us/frame"
+                        )
+                    dims[:] = [w, h, us]
+                elif cid in (b"00db", b"00dc"):
+                    frames.append(buf[body_start: body_start + size])
+                pos = body_start + size + (size & 1)
 
     walk(payload, 12, len(payload))
     if not dims:
