@@ -89,9 +89,27 @@ def scd2_merge(
     current = target.filter(F.col("is_current"))
     history = target.filter(~F.col("is_current"))
 
-    # presence markers classify join sides without relying on key nullity:
-    # NULL business keys never match in the join (BigQuery MERGE ON
-    # semantics) but their rows must still be kept/inserted correctly.
+    # NULL-key bypass: under MERGE-ON semantics a row with ANY NULL key
+    # column can never match (the AND of equalities is never TRUE), yet
+    # hash partitioning sends every NULL key to the SAME shuffle
+    # partition — and AQE's skew-join splitting cannot split a FULL
+    # OUTER join (splitting a side would duplicate its unmatched rows),
+    # so a corpus with 10% NULL keys becomes one unsplittable hot
+    # partition at scale. NULL-key rows are therefore routed AROUND the
+    # join: a NULL-key current row is always kept unchanged (it can
+    # never be matched-and-expired), a NULL-key source row is always an
+    # insert. Bit-identical results, no hot partition in the join.
+    any_key_null: Column | None = None
+    for k in key_cols:
+        term = F.col(k).isNull()
+        any_key_null = term if any_key_null is None else (any_key_null | term)
+    current_nullkey = current.filter(any_key_null)
+    current = current.filter(~any_key_null)
+    source_nullkey = source.filter(any_key_null)
+    source = source.filter(~any_key_null)
+
+    # presence markers classify join sides without relying on key nullity
+    # for the remaining (non-NULL-key) rows.
     t = current.select(
         *[F.col(c).alias(f"t_{c}") for c in data_cols],
         "inserted_date",
@@ -137,6 +155,21 @@ def scd2_merge(
         F.lit(True).alias("is_current"),
     )
 
-    return history.select(*data_cols, *SCD2_COLS).unionByName(
-        from_target
-    ).unionByName(inserts)
+    # the bypassed NULL-key rows re-enter here: current rows unchanged,
+    # source rows as fresh inserts — exactly what the full-outer join
+    # would have produced for them as unmatched rows.
+    kept_nullkey = current_nullkey.select(*data_cols, *SCD2_COLS)
+    inserted_nullkey = source_nullkey.select(
+        *data_cols,
+        ts.alias("inserted_date"),
+        ts.alias("modified_date"),
+        F.lit(True).alias("is_current"),
+    )
+
+    return (
+        history.select(*data_cols, *SCD2_COLS)
+        .unionByName(from_target)
+        .unionByName(inserts)
+        .unionByName(kept_nullkey)
+        .unionByName(inserted_nullkey)
+    )
