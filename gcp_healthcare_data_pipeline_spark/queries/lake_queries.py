@@ -11,6 +11,7 @@ can assert on mtimes and directory inventories the oracle can't see).
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -166,14 +167,21 @@ def q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scaling audit run this query repeatedly): embedded Derby
     # keeps every created database booted in the JVM until shutdown,
     # so a fresh dir per call would accumulate page caches and file
-    # handles for the whole session. The write below is mode=overwrite,
-    # so reuse is state-free.
+    # handles for the whole session. The TABLE is keyed by sf_dir:
+    # the returned DataFrame is lazy, and an un-keyed shared table
+    # would let a later call for another sf_dir silently overwrite the
+    # data under a not-yet-evaluated result. One table per corpus makes
+    # the lazy DF stable (same-sf rewrites are deterministic no-ops).
     global _DERBY_DB  # noqa: PLW0603
     if _DERBY_DB is None:
         root = tempfile.mkdtemp(prefix="q_jdbc_")
         atexit.register(shutil.rmtree, root, True)
         _DERBY_DB = os.path.join(root, "derbydb")
     url = f"jdbc:derby:{_DERBY_DB};create=true"
+    sf_tag = hashlib.sha256(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:10]
+    table = f"customers_{sf_tag}"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     cust = load_tables(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("int").alias("CUSTKEY"),
@@ -186,7 +194,7 @@ def q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         cust.write.format("jdbc")
         .option("url", url)
-        .option("dbtable", "customers")
+        .option("dbtable", table)
         .option("driver", driver)
         # Derby maps StringType to CLOB, which it refuses to compare
         # with literals — force VARCHAR like a MySQL source would be
@@ -201,7 +209,7 @@ def q_jdbc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = jdbc_subquery_reader(
         spark,
         url,
-        "customers",
+        table,
         watermark_col="MODIFIED",
         last_watermark="2024-03-15",
         properties={"driver": driver},
