@@ -20,6 +20,21 @@ Streaming queries are excluded (fixed drain machinery, see
 STREAM_OVERHEAD.md); fixture-pinned q_pipeline_* gates are excluded
 (constant work by design) except the sf-scaling q_pipeline_sf.
 
+Two deeper probes for the highest-ratio families (candidate-pair
+generators can LOOK linear in runtime while their pair space bends up):
+
+- ``--pairs``: counts the actual CANDIDATE-PAIR space of every blocked
+  dedup/linkage family at both scale factors and flags any family whose
+  pairs-per-input-row ratio grows superlinearly (normalized growth
+  > --pairs-threshold). This is the direct measurement of the one curve
+  that could go superlinear on skewed real corpora.
+- ``--second-step``: re-times the dedup/ANN families on a synthetic 10x
+  blow-up of sf0.1 (documents' tokens are re-written per copy so dup
+  DENSITY is preserved — copies are unrelated documents, not 10-way
+  near-dup clusters; embeddings get a per-copy centroid shift). A
+  sf0.01->sf0.1 audit alone can mask late-onset superlinearity; this
+  records the second decade.
+
 Usage: python tools/scaling_audit.py [--threshold 18] [query ...]
 Writes SCALING_r.md next to the repo root when --out is passed.
 """
@@ -37,6 +52,288 @@ SMALL_SF = "/root/testdata/sf0.01"
 BIG_SF = "/root/testdata/sf0.1"
 
 
+def _candidate_probes():
+    """family name -> (pair_counter(spark, sf_dir) -> int,
+    denominator(spark, sf_dir) -> int, queries covered)."""
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+        band_keys,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        pair_intersections,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+        _DF_CAP,
+        _shared_shingles,
+    )
+    from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+    def n_docs(spark, sf_dir):
+        return load_tables(spark, sf_dir, "documents").count()
+
+    def n_sup(spark, sf_dir):
+        return load_tables(spark, sf_dir, "supplier").count()
+
+    def lsh_pairs(spark, sf_dir):
+        sig = minhash_signatures(
+            _shared_shingles(spark, sf_dir), "doc_id", "shingles", k=12
+        )
+        return lsh_candidate_pairs(
+            sig, "doc_id", "sig", bands=6, rows_per_band=2
+        ).count()
+
+    def posting_pairs(spark, sf_dir):
+        return pair_intersections(
+            _shared_shingles(spark, sf_dir), min_df=2, max_df=_DF_CAP
+        ).count()
+
+    def incremental_pairs(spark, sf_dir):
+        sig = minhash_signatures(
+            _shared_shingles(spark, sf_dir), "doc_id", "shingles", k=12
+        )
+        is_batch = F.col("doc_id") % 10 == 0
+        kb = band_keys(sig.filter(is_batch), "doc_id", "sig", 6, 2)
+        kc = band_keys(sig.filter(~is_batch), "doc_id", "sig", 6, 2).select(
+            F.col("doc_id").alias("corpus_id"), "band_key"
+        )
+        return (
+            kb.join(kc, "band_key")
+            .select("doc_id", "corpus_id")
+            .distinct()
+            .count()
+        )
+
+    def fastss_pairs(spark, sf_dir):
+        sup = load_tables(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name"
+        )
+        variants = sup.select(
+            "s_suppkey",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(s_name), 1), i -> "
+                    "concat(substring(s_name, 1, i), "
+                    "substring(s_name, i + 2)))"
+                )
+            ).alias("vkey"),
+        )
+        a = variants.select(F.col("s_suppkey").alias("id_a"), "vkey")
+        b = variants.select(F.col("s_suppkey").alias("id_b"), "vkey")
+        return (
+            a.join(b, "vkey")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+            .count()
+        )
+
+    def pmi_pairs(spark, sf_dir):
+        from gcp_healthcare_data_pipeline_spark.functions.text import tokens
+        from gcp_healthcare_data_pipeline_spark.queries.text_queries import (
+            _PMI_MIN_DF,
+        )
+
+        docs = load_tables(spark, sf_dir, "documents")
+        vocab = (
+            docs.select(F.explode(tokens("text")).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= _PMI_MIN_DF)
+            .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
+        )
+        arrs = docs.crossJoin(F.broadcast(vocab)).select(
+            "doc_id",
+            F.array_distinct(
+                F.filter(
+                    tokens("text"),
+                    lambda t: F.array_contains(F.col("vocab"), t),
+                )
+            ).alias("arr"),
+        )
+        return (
+            arrs.select(
+                (F.size("arr") * (F.size("arr") - 1) / 2).alias("n")
+            )
+            .agg(F.sum("n"))
+            .collect()[0][0]
+            or 0
+        )
+
+    return {
+        "lsh_band_join": (
+            lsh_pairs, n_docs, "q_dedup_minhash_lsh q_corpus_curation "
+            "q_dedup_clusters",
+        ),
+        "posting_list": (
+            posting_pairs, n_docs,
+            "q_dedup_containment q_dedup_ngram_jaccard",
+        ),
+        "asymmetric_band_join": (
+            incremental_pairs, n_docs, "q_dedup_incremental",
+        ),
+        "fastss_blocking": (
+            fastss_pairs, n_sup, "q_golden_record q_fuzzy_name_match",
+        ),
+        "pmi_doc_pair_fanout": (
+            pmi_pairs, n_docs, "q_pmi_collocations",
+        ),
+    }
+
+
+def run_pairs_audit(spark, threshold: float):
+    """Count candidate pairs per family at SMALL_SF and BIG_SF; flag
+    families whose pairs-per-row ratio grows faster than ``threshold``
+    across the 10x step (pairs growing ~linearly with the corpus is the
+    scale-safe shape; quadratic growth means the blocking broke)."""
+    rows, flagged = [], []
+    for fam, (counter, denom, covers) in _candidate_probes().items():
+        p_small, d_small = counter(spark, SMALL_SF), denom(spark, SMALL_SF)
+        p_big, d_big = counter(spark, BIG_SF), denom(spark, BIG_SF)
+        per_small = p_small / max(d_small, 1)
+        per_big = p_big / max(d_big, 1)
+        norm = (per_big / per_small) if per_small > 0 else 0.0
+        flag = norm > threshold
+        rows.append(
+            (fam, covers, p_small, d_small, p_big, d_big,
+             per_small, per_big, norm, flag)
+        )
+        mark = "  <-- PAIR BLOWUP" if flag else ""
+        print(
+            f"{fam:22s} pairs {p_small:>9,} -> {p_big:>10,}  "
+            f"pairs/row {per_small:7.2f} -> {per_big:7.2f}  "
+            f"norm x{norm:5.2f}{mark}"
+        )
+        if flag:
+            flagged.append(fam)
+    return rows, flagged
+
+
+_SECOND_STEP_QUERIES = [
+    # the highest-ratio candidate-pair / ANN families from SCALING_r09
+    "q_dedup_minhash_lsh",
+    "q_dedup_containment",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_incremental",
+    "q_pmi_collocations",
+    "q_golden_record",
+    "q_semdedup",
+    "q_ann_ivf",
+    "q_embedding_neardup",
+]
+
+
+def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
+    """Materialize a ``copies``x blow-up of src_sf into a temp dir for
+    the second scaling step. Dup DENSITY is preserved — each copy is
+    rewritten so it shares no shingles/neighborhoods/regions with the
+    others (a naive 10x duplication would create 10-way near-dup
+    clusters and measure a data-property explosion, not plan scaling):
+
+    - documents: every inter-token gap gets a copy-specific marker
+      token, so every 3-gram shingle contains a marker and cross-copy
+      collisions are impossible; within-copy dup structure is intact
+      (the same rewrite is applied to both members of a dup pair).
+    - supplier: names get a two-character copy suffix (edit distance 2
+      between copies — outside the levenshtein<=1 linkage radius).
+    - embeddings: a per-copy constant shift on every component moves
+      each copy to a disjoint region (cluster structure preserved).
+
+    Other tables are symlinked from src_sf unchanged.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="sf_blowup_")
+    docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
+    doc_span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    doc_parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
+            F.regexp_replace("text", " ", f" k{i}v ").alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(copies)
+    ]
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    d.write.parquet(os.path.join(out, "documents.parquet"))
+
+    sup = spark.read.parquet(os.path.join(src_sf, "supplier.parquet"))
+    sup_span = sup.agg(F.max("s_suppkey")).collect()[0][0] + 1
+    sup_parts = [
+        sup.select(
+            (F.col("s_suppkey") + F.lit(i * sup_span)).alias("s_suppkey"),
+            F.concat("s_name", F.lit(f"#{i}{i}")).alias("s_name"),
+            "s_nationkey", "s_acctbal",
+        )
+        for i in range(copies)
+    ]
+    s = sup_parts[0]
+    for p in sup_parts[1:]:
+        s = s.unionByName(p)
+    s.write.parquet(os.path.join(out, "supplier.parquet"))
+
+    emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
+    vec_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    emb_parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * vec_span)).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x + F.lit(float(i) * 8.0)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(copies)
+    ]
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    e.write.parquet(os.path.join(out, "embeddings.parquet"))
+
+    for f in os.listdir(src_sf):
+        dst = os.path.join(out, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(src_sf, f), dst)
+    return out
+
+
+def run_second_step(spark, threshold: float, copies: int = 10):
+    """Time the high-ratio families on sf0.1 and on its ``copies``x
+    blow-up; flag ratios above threshold (10x data + margin)."""
+    from gcp_healthcare_data_pipeline_spark.queries import all_queries
+
+    specs = all_queries()
+    print(f"building {copies}x blow-up of sf0.1 ...")
+    blow = build_blowup(spark, BIG_SF, copies)
+    rows, flagged = [], []
+    for name in _SECOND_STEP_QUERIES:
+        spec = specs[name]
+        try:
+            spec.fn(spark, SMALL_SF).count()  # codegen warmup
+            t0 = time.perf_counter()
+            spec.fn(spark, BIG_SF).count()
+            t_big = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            spec.fn(spark, blow).count()
+            t_blow = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name:28s} ERROR {type(exc).__name__}: {exc}"[:120])
+            continue
+        ratio = t_blow / max(t_big, 1e-9)
+        flag = ratio > threshold and t_big >= 0.15
+        rows.append((name, t_big, t_blow, ratio, flag))
+        mark = "  <-- SUPERLINEAR (2nd step)" if flag else ""
+        print(f"{name:28s} {t_big:7.3f}s -> {t_blow:8.3f}s  "
+              f"x{ratio:6.2f}{mark}")
+        if flag:
+            flagged.append(name)
+    return rows, flagged
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -46,6 +343,16 @@ def main() -> int:
                          "meaningful; such queries report ratio but "
                          "never flag")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--pairs", action="store_true",
+                    help="audit candidate-pair counts for the blocked "
+                         "dedup/linkage families instead of timings")
+    ap.add_argument("--pairs-threshold", type=float, default=1.5,
+                    help="flag a family when its pairs-per-row grows "
+                         "more than this factor across the 10x step")
+    ap.add_argument("--second-step", action="store_true",
+                    help="re-time the dedup/ANN families on a 10x "
+                         "blow-up of sf0.1 (the second decade)")
+    ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
     from gcp_healthcare_data_pipeline_spark.queries import all_queries
@@ -53,6 +360,47 @@ def main() -> int:
 
     spark = get_spark("scaling-audit")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.pairs:
+        rows, flagged = run_pairs_audit(spark, args.pairs_threshold)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(
+                    "# Candidate-pair audit (sf0.01 -> sf0.1, 10x data)"
+                    f"\n\n{len(flagged)} of {len(rows)} families flagged"
+                    f" (pairs-per-row growth > "
+                    f"{args.pairs_threshold:.2f}x).\n\n"
+                    "| family | queries | pairs sf0.01 | rows sf0.01 | "
+                    "pairs sf0.1 | rows sf0.1 | pairs/row sf0.01 | "
+                    "pairs/row sf0.1 | normalized growth | flag |\n"
+                    "|---|---|---|---|---|---|---|---|---|---|\n"
+                )
+                for (fam, cov, ps, ds, pb, db, rs, rb, nm, fl) in rows:
+                    fh.write(
+                        f"| {fam} | {cov} | {ps} | {ds} | {pb} | {db} | "
+                        f"{rs:.2f} | {rb:.2f} | {nm:.2f} | "
+                        f"{'PAIR BLOWUP' if fl else ''} |\n"
+                    )
+        return 1 if flagged else 0
+
+    if args.second_step:
+        rows, flagged = run_second_step(spark, args.threshold, args.copies)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(
+                    f"# Second scaling step (sf0.1 -> {args.copies}x "
+                    "blow-up, dup density preserved)\n\n"
+                    f"{len(flagged)} of {len(rows)} families flagged "
+                    f"superlinear (ratio > {args.threshold:.0f}).\n\n"
+                    "| query | sf0.1 (s) | blow-up (s) | ratio | flag |\n"
+                    "|---|---|---|---|---|\n"
+                )
+                for name, tb, tw, r, fl in rows:
+                    fh.write(
+                        f"| {name} | {tb:.3f} | {tw:.3f} | {r:.2f} | "
+                        f"{'SUPERLINEAR' if fl else ''} |\n"
+                    )
+        return 1 if flagged else 0
 
     specs = {
         n: s for n, s in all_queries().items()
