@@ -61,6 +61,44 @@ def with_shingles(
 MINHASH_P = 2147483647  # 2^31 - 1
 
 
+def lsh_params(
+    n_docs: int,
+    jaccard_threshold: float = 0.6,
+    target_recall: float = 0.9,
+) -> "tuple[int, int, int]":
+    """Corpus-adaptive LSH shape ``(rows_per_band, bands, k)``.
+
+    With FIXED band width r, random (non-near-dup) band collisions grow
+    ~ n^2 * p_sig^r — measured directly by ``tools/scaling_audit.py
+    --pairs``, which showed pairs-per-doc growing 6.7x on a 10x corpus
+    step at the old fixed (r=2, b=6). Standard LSH theory fixes this by
+    growing the band width logarithmically with the corpus:
+
+    - ``r = max(2, ceil(log10(n)) - 1)`` — each 10x of corpus adds one
+      row per band, multiplying the random-collision probability per
+      band by p_sig (<< 1), which holds candidate pairs-per-doc bounded.
+    - ``b = ceil(ln(1 - recall) / ln(1 - J^r))`` — the band count that
+      keeps P(candidate | jaccard >= J) >= target_recall for the chosen
+      r (the S-curve guarantee), so tightening r never silently drops
+      the detection rate below target.
+    - ``k = r * b`` signature length; minhash cost stays linear in
+      corpus size (k MIN-aggregates in one codegen'd groupBy).
+
+    For n <= 1000 this yields exactly the historical (2, 6, 12). The
+    formulas are mirrored VERBATIM in the DuckDB oracles (same IEEE
+    double ops: LOG10/LN/POWER/CEIL), so candidate sets stay
+    bit-identical across engines at every corpus size.
+    """
+    import math  # noqa: PLC0415
+
+    r = max(2, math.ceil(math.log10(max(n_docs, 1))) - 1)
+    b = math.ceil(
+        math.log(1.0 - target_recall)
+        / math.log(1.0 - jaccard_threshold**r)
+    )
+    return r, b, r * b
+
+
 def minhash_signatures(
     sh: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingles",
     k: int = 12,

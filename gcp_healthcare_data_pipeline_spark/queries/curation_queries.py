@@ -33,6 +33,10 @@ from gcp_healthcare_data_pipeline_spark.operators.dedup import (
     minhash_signatures,
     with_shingles,
 )
+from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+    _corpus_lsh_params,
+    _lsh_sql_cte,
+)
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
 
@@ -73,10 +77,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir, "documents").select("doc_id", "text"),
         "text", n=3,
     ).localCheckpoint(eager=False)
-    sig = minhash_signatures(sh, "doc_id", "shingles", k=12).localCheckpoint(
+    r, nb, k = _corpus_lsh_params(spark, sf_dir)
+    sig = minhash_signatures(sh, "doc_id", "shingles", k=k).localCheckpoint(
         eager=False
     )
-    cand = lsh_candidate_pairs(sig, "doc_id", "sig", bands=6, rows_per_band=2)
+    cand = lsh_candidate_pairs(sig, "doc_id", "sig", bands=nb, rows_per_band=r)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     losers = (
@@ -122,23 +127,7 @@ WITH d AS (
     list_distinct(list_transform(range(1, len(toks) - 1),
       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
   FROM d WHERE len(toks) >= 3
-), based AS (
-  SELECT doc_id, shingles,
-    list_transform(shingles,
-      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS bases
-  FROM sh
-), sig AS (
-  SELECT doc_id, shingles,
-    list_transform(range(0, 12),
-      j -> list_min(list_transform(bases,
-             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
-  FROM based
-), bands AS (
-  SELECT doc_id,
-    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
-      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-  FROM sig, UNNEST(range(0, 6)) AS t(b)
-), cand AS (
+), {_lsh_sql_cte("sh")}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id

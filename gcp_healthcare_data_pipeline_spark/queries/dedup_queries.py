@@ -22,6 +22,7 @@ from gcp_healthcare_data_pipeline_spark.operators.dedup import (
     jaccard,
     jaccard_from_counts,
     lsh_candidate_pairs,
+    lsh_params,
     pair_intersections,
     shingle_sizes,
     minhash_signatures,
@@ -42,6 +43,56 @@ _DF_CAP = 50  # n-gram inverted-index document-frequency cap
 # it and q_dedup_clusters consumes it as its edge list.
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_PARAM_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}
+
+
+def _corpus_lsh_params(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, int, int]:
+    """(rows_per_band, bands, k) derived from the documents-table
+    cardinality — a planning-time catalog statistic (at 100 TB this is
+    table metadata, not a scan; here one cheap count cached per
+    session/corpus). See ``operators.dedup.lsh_params`` for the theory
+    and ``_LSH_SQL_CTE`` for the oracle-side mirror."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    p = _LSH_PARAM_CACHE.get(key)
+    if p is None:
+        n = load_tables(spark, sf_dir, "documents").count()
+        p = lsh_params(n)
+        _LSH_PARAM_CACHE[key] = p
+    return p
+
+
+def _lsh_sql_cte(src: str = "sh") -> str:
+    """The SQL mirror of the adaptive MinHash/LSH pipeline: ``lshp``
+    computes (r, nb) with the SAME IEEE-double formulas as
+    ``operators.dedup.lsh_params`` (verified to agree for corpus sizes
+    50..5M), then sig/bands use them dynamically — ``k = r * nb``
+    minhashes, band key = band index + ':'-joined signature slice,
+    bit-identical to the Spark construction at every corpus size.
+    Expects a prior CTE ``src``(doc_id, shingles)."""
+    return f"""lshp AS (
+  SELECT r, CAST(CEIL(LN(0.1) / LN(1 - POWER(0.6, r))) AS INT) AS nb
+  FROM (SELECT GREATEST(2, CAST(CEIL(LOG10(COUNT(*))) AS INT) - 1) AS r
+        FROM documents) _n
+), based AS (
+  SELECT doc_id, shingles,
+    list_transform(shingles,
+      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS bases
+  FROM {src}
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, r * nb),
+      j -> list_min(list_transform(bases,
+             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
+  FROM based, lshp
+), bands AS (
+  SELECT doc_id,
+    CAST(b AS VARCHAR) || ':' ||
+      array_to_string(list_slice(sig, b * r + 1, b * r + r), ':') AS band_key
+  FROM (SELECT doc_id, sig, r, UNNEST(range(0, nb)) AS b
+        FROM sig, lshp) _x
+)"""
 
 
 def _shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,21 +131,27 @@ GROUP BY 1
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=12) + LSH(6 bands x 2 rows) candidates, exact-Jaccard
-    verified at >= 0.6 via posting-list intersection counts (no shingle
-    arrays cross the shuffle)."""
+    """MinHash + LSH candidates, exact-Jaccard verified at >= 0.6.
+
+    Band shape is corpus-adaptive (``lsh_params``): r rows/band grows
+    with log10(n) to pin the random-collision rate, band count grows to
+    hold recall >= 0.9 at the 0.6 threshold — at fixed (r=2, b=6) the
+    candidate-pair space measured 6.7x per-doc growth on a 10x corpus
+    step (tools/scaling_audit.py --pairs), the one curve that would
+    have gone quadratic at 100 TB."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
+    r, nb, k = _corpus_lsh_params(spark, sf_dir)
     # materialized once per session: the verify stage branches this DF
     # twice AND the n-gram query reuses it (see _shared_shingles)
     sh = _shared_shingles(spark, sf_dir)
     # ...and the signature table once: the band self-join branches it twice
-    sig = minhash_signatures(sh, "doc_id", "shingles", k=12).localCheckpoint(
+    sig = minhash_signatures(sh, "doc_id", "shingles", k=k).localCheckpoint(
         eager=False
     )
-    cand = lsh_candidate_pairs(sig, "doc_id", "sig", bands=6, rows_per_band=2)
+    cand = lsh_candidate_pairs(sig, "doc_id", "sig", bands=nb, rows_per_band=r)
     # exact verify by joining shingle arrays onto the (few) candidates —
     # candidate count scales with true near-dups, so the array join stays
     # tiny while the corpus-wide work is only signatures + band buckets
@@ -123,23 +180,7 @@ WITH d AS (
     list_distinct(list_transform(range(1, len(toks) - 1),
       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
   FROM d WHERE len(toks) >= 3
-), based AS (
-  SELECT doc_id, shingles,
-    list_transform(shingles,
-      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS bases
-  FROM sh
-), sig AS (
-  SELECT doc_id, shingles,
-    list_transform(range(0, 12),
-      j -> list_min(list_transform(bases,
-             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
-  FROM based
-), bands AS (
-  SELECT doc_id,
-    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
-      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-  FROM sig, UNNEST(range(0, 6)) AS t(b)
-), cand AS (
+), {_lsh_sql_cte("sh")}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -251,23 +292,7 @@ WITH RECURSIVE d AS (
     list_distinct(list_transform(range(1, len(toks) - 1),
       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
   FROM d WHERE len(toks) >= 3
-), based AS (
-  SELECT doc_id, shingles,
-    list_transform(shingles,
-      s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS bases
-  FROM sh
-), sig AS (
-  SELECT doc_id, shingles,
-    list_transform(range(0, 12),
-      j -> list_min(list_transform(bases,
-             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
-  FROM based
-), bands AS (
-  SELECT doc_id,
-    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
-      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-  FROM sig, UNNEST(range(0, 6)) AS t(b)
-), cand AS (
+), {_lsh_sql_cte("sh")}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -323,11 +348,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # near: band keys for each side from the shared shingle/signature path
     sh = _shared_shingles(spark, sf_dir)
-    sig = minhash_signatures(sh, "doc_id", "shingles", k=12).localCheckpoint(
+    r, nb, k = _corpus_lsh_params(spark, sf_dir)
+    sig = minhash_signatures(sh, "doc_id", "shingles", k=k).localCheckpoint(
         eager=False
     )
-    keys_b = band_keys(sig.filter(is_batch), "doc_id", "sig", 6, 2)
-    keys_c = band_keys(sig.filter(~is_batch), "doc_id", "sig", 6, 2).select(
+    keys_b = band_keys(sig.filter(is_batch), "doc_id", "sig", nb, r)
+    keys_c = band_keys(sig.filter(~is_batch), "doc_id", "sig", nb, r).select(
         F.col("doc_id").alias("corpus_id"), "band_key"
     )
     cand = keys_b.join(keys_c, "band_key").select("doc_id", "corpus_id").distinct()
@@ -370,20 +396,7 @@ WITH d AS (
     list_distinct(list_transform(range(1, len(toks) - 1),
       i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS shingles
   FROM d WHERE len(toks) >= 3
-), sig AS (
-  SELECT doc_id, shingles,
-    list_transform(range(0, 12),
-      j -> list_min(list_transform(
-             list_transform(shingles,
-               s -> ('0x' || substr(md5(s), 1, 12))::BIGINT),
-             b -> ((2*j + 1) * b + j * 12345 + 67) % 2147483647))) AS sig
-  FROM sh
-), bands AS (
-  SELECT doc_id,
-    CAST(b AS VARCHAR) || ':' || CAST(sig[2*b + 1] AS VARCHAR)
-      || ':' || CAST(sig[2*b + 2] AS VARCHAR) AS band_key
-  FROM sig, UNNEST(range(0, 6)) AS t(b)
-), cand AS (
+), {_lsh_sql_cte("sh")}, cand AS (
   SELECT DISTINCT a.doc_id, c.doc_id AS corpus_id
   FROM bands a JOIN bands c ON a.band_key = c.band_key
   WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0

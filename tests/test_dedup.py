@@ -134,3 +134,43 @@ def test_connected_components_matches_union_find(spark):
             r.id: r.component for r in connected_components(edges).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_lsh_params_adaptive_shape():
+    """r grows one row per corpus decade, b holds recall >= 0.9 at
+    J=0.6, and the historical (2, 6, 12) is reproduced for n <= 1000 so
+    small-corpus results are unchanged by the adaptive switch."""
+    from gcp_healthcare_data_pipeline_spark.operators.dedup import lsh_params
+
+    assert lsh_params(50) == (2, 6, 12)
+    assert lsh_params(1000) == (2, 6, 12)
+    assert lsh_params(5000) == (3, 10, 30)
+    assert lsh_params(50000) == (4, 17, 68)
+    prev_r = 0
+    for n in (10, 100, 1000, 10**4, 10**5, 10**6, 10**7):
+        r, b, k = lsh_params(n)
+        assert r >= prev_r  # band width monotone in corpus size
+        prev_r = r
+        assert k == r * b
+        # the S-curve recall guarantee the b formula encodes
+        assert 1 - (1 - 0.6**r) ** b >= 0.9
+
+
+def test_lsh_params_match_duckdb_oracle_formula():
+    """The oracle-side param CTE (_lsh_sql_cte) must compute the SAME
+    (r, nb) as the Python lsh_params for every corpus size the oracles
+    can see — IEEE-double parity of LOG10/LN/POWER/CEIL across engines
+    is what keeps candidate sets bit-identical."""
+    import duckdb
+
+    from gcp_healthcare_data_pipeline_spark.operators.dedup import lsh_params
+
+    con = duckdb.connect()
+    for n in (1, 50, 500, 999, 1000, 1001, 5000, 15000, 50000, 10**6):
+        got = con.sql(
+            "SELECT r, CAST(CEIL(LN(0.1) / LN(1 - POWER(0.6, r))) AS INT)"
+            " FROM (SELECT GREATEST(2, CAST(CEIL(LOG10("
+            f"GREATEST({n}, 1))) AS INT) - 1) AS r) _n"
+        ).fetchone()
+        r, b, _k = lsh_params(n)
+        assert got == (r, b), f"n={n}: sql={got} python={(r, b)}"

@@ -65,6 +65,7 @@ def _candidate_probes():
     )
     from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
         _DF_CAP,
+        _corpus_lsh_params,
         _shared_shingles,
     )
     from gcp_healthcare_data_pipeline_spark.session import load_tables
@@ -76,11 +77,12 @@ def _candidate_probes():
         return load_tables(spark, sf_dir, "supplier").count()
 
     def lsh_pairs(spark, sf_dir):
+        r, nb, k = _corpus_lsh_params(spark, sf_dir)
         sig = minhash_signatures(
-            _shared_shingles(spark, sf_dir), "doc_id", "shingles", k=12
+            _shared_shingles(spark, sf_dir), "doc_id", "shingles", k=k
         )
         return lsh_candidate_pairs(
-            sig, "doc_id", "sig", bands=6, rows_per_band=2
+            sig, "doc_id", "sig", bands=nb, rows_per_band=r
         ).count()
 
     def posting_pairs(spark, sf_dir):
@@ -89,12 +91,13 @@ def _candidate_probes():
         ).count()
 
     def incremental_pairs(spark, sf_dir):
+        r, nb, k = _corpus_lsh_params(spark, sf_dir)
         sig = minhash_signatures(
-            _shared_shingles(spark, sf_dir), "doc_id", "shingles", k=12
+            _shared_shingles(spark, sf_dir), "doc_id", "shingles", k=k
         )
         is_batch = F.col("doc_id") % 10 == 0
-        kb = band_keys(sig.filter(is_batch), "doc_id", "sig", 6, 2)
-        kc = band_keys(sig.filter(~is_batch), "doc_id", "sig", 6, 2).select(
+        kb = band_keys(sig.filter(is_batch), "doc_id", "sig", nb, r)
+        kc = band_keys(sig.filter(~is_batch), "doc_id", "sig", nb, r).select(
             F.col("doc_id").alias("corpus_id"), "band_key"
         )
         return (
