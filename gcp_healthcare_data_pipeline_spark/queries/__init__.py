@@ -72,54 +72,54 @@ _DRIVER_PRIORITY = [
     "q_pipeline_department_performance",
     "q_pipeline_financial_metrics",
     "q_pipeline_payor_performance",
-    # never-driver-sampled: round-7 additions
-    "q_pipeline_sf",
-    "q_stream_scd2",
-    "q_multimodal_decode",
-    "q_top_supplier",
-    "q_waiting_suppliers",
-    "q_important_parts",
-    "q_priority_late_exists",
-    # never-driver-sampled: round-6 stragglers
-    "q_basket_affinity",
-    "q_catalog_coverage",
-    "q_fanout_profile",
-    "q_group_regression",
-    "q_lang_confusion",
-    "q_mom_growth",
-    "q_psi_drift",
-    "q_rate_spikes",
-    "q_revenue_gini",
-    "q_source_overlap",
-    "q_supplier_hhi",
-    # new this round (first driver evidence): sf-scale SCD2 merge,
-    # live-JDBC ingest, the completed TPC-H set, multimodal codecs
+    # changed THIS round (r10): SCD2 NULL-key bypass, Derby table
+    # keying, WAV probe/vectorized stats, adaptive-LSH corpus curation
     "q_scd2_sf",
+    "q_scd2_customer",
     "q_jdbc_ingest",
     "q_multimodal_audio",
     "q_multimodal_video",
-    "q_min_cost_supplier",
-    "q_product_profit",
-    "q_shipmode_priority",
-    "q_small_quantity_revenue",
-    "q_dominant_suppliers",
-    "q_pricing_summary",
-    "q_forecast_revenue",
-    "q_returned_item_loss",
-    "q_promo_revenue_share",
-    "q_part_supplier_counts",
-    "q_customer_order_dist",
-    "q_large_volume_customers",
-    "q_disjunct_revenue",
-    "q_dormant_rich_customers",
-    # continuity: last sampled r2
-    "q_parts_ordered",
-    "q_pivot_order_status",
-    "q_rollup_sales",
-    # continuity: one r4 pick per family
-    "q_scd2_customer",
-    "q_dedup_exact",
-    "q_lang_id",
-    "q_ann_ivf",
-    "q_charge_summary",
+    "q_multimodal_features",
+    "q_corpus_curation",
+    # oldest driver evidence (last sampled r4) - freshness rotation;
+    # includes the four adaptive-LSH dedup queries changed this round
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_dedup_containment",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_scd2_two_runs",
+    "q_scd2_corrected",
+    "q_sql_revenue_by_segment",
+    "q_patient_history",
+    "q_provider_performance",
+    "q_department_performance",
+    "q_conform_union",
+    "q_quarantine_documents",
+    "q_incremental_watermark",
+    "q_token_count",
+    "q_token_count_bpe",
+    "q_rolling_fingerprint",
+    "q_text_quality",
+    "q_fingerprint",
+    "q_ann_topk",
+    "q_embedding_neardup",
+    "q_topk_orders",
+    "q_ntile_quartiles",
+    "q_order_items_agg",
+    "q_customer_running_total",
+    "q_events_json_props",
+    "q_bpe_merges",
+    "q_repetition_ratio",
+    "q_quality_gate",
+    "q_doc_chunking",
+    "q_rarity_score",
+    "q_heavy_hitters",
+    "q_bm25_search",
+    "q_embedding_outliers",
+    "q_kmeans",
+    "q_semdedup",
+    # r4-era q_salted_agg/q_salted_join rotate next round (both are
+    # synthetic demos with dedicated runtime tests in tests/test_skew.py)
 ]
