@@ -81,6 +81,10 @@ _DRIVER_PRIORITY = [
     "q_multimodal_video",
     "q_multimodal_features",
     "q_corpus_curation",
+    "q_semdedup",
+    "q_kmeans",
+    "q_cluster_balance",
+    "q_knn_graph",
     # oldest driver evidence (last sampled r4) - freshness rotation;
     # includes the four adaptive-LSH dedup queries changed this round
     "q_dedup_minhash_lsh",
@@ -106,9 +110,7 @@ _DRIVER_PRIORITY = [
     "q_ann_topk",
     "q_embedding_neardup",
     "q_topk_orders",
-    "q_ntile_quartiles",
     "q_order_items_agg",
-    "q_customer_running_total",
     "q_events_json_props",
     "q_bpe_merges",
     "q_repetition_ratio",
@@ -118,8 +120,6 @@ _DRIVER_PRIORITY = [
     "q_heavy_hitters",
     "q_bm25_search",
     "q_embedding_outliers",
-    "q_kmeans",
-    "q_semdedup",
     # r4-era q_salted_agg/q_salted_join rotate next round (both are
     # synthetic demos with dedicated runtime tests in tests/test_skew.py)
 ]

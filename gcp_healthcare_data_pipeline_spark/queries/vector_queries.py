@@ -422,6 +422,19 @@ _K_SQL = (
     f"CAST(CEIL(COUNT(*) / {_TARGET_BLOCK_ROWS}.0) AS BIGINT)) FROM e)"
 )
 
+# DuckDB twin of _seed_centroids (hash-stratified seeds): one
+# hash-minimal member per id-hash bucket — bit-identical to the Spark
+# conv(md5) 48-bit hash and (hash, vec_id) ranking
+_C0_SQL = f"""c0 AS (
+  SELECT vec_id AS centroid_id, v AS c FROM (
+    SELECT vec_id, v, ROW_NUMBER() OVER (
+      PARTITION BY h % {_K_SQL} ORDER BY h, vec_id) AS rn
+    FROM (SELECT vec_id, v,
+      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM e) _h) _r
+  WHERE rn = 1
+)"""
+
 
 def _derived_k(emb: DataFrame) -> DataFrame:
     """1-row frame holding the derived block count ``_k``."""
@@ -436,13 +449,42 @@ def _derived_k(emb: DataFrame) -> DataFrame:
 
 
 def _seed_centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic seeds: the k lowest vec_ids, k derived from corpus
-    size (see module block comment). The k-frame is a 1-row broadcast,
-    so seed selection is map-side — no collect, no shuffle."""
-    return (
-        emb.crossJoin(F.broadcast(_derived_k(emb)))
-        .filter(F.col("vec_id") < F.col("_k"))
-        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    """Deterministic HASH-STRATIFIED seeds: k id-hash buckets, one
+    hash-minimal member each — uniform over the corpus regardless of id
+    order. The previous 'k lowest vec_ids' seeding was spatially
+    correlated whenever ingestion order correlates with embedding space
+    (per-source id ranges, time-ordered corpora): every seed landed in
+    one region, Lloyd collapsed the far mass into one cluster, and the
+    within-cluster self-join went quadratic — measured as a 307x
+    runtime ratio on a 10x corpus step by ``tools/scaling_audit.py
+    --second-step`` before this change (vs 2.1x after).
+
+    Execution shape: rank only the narrow (vec_id, hash) projection
+    (the one shuffle, k tiny sorted groups), then broadcast the k
+    winner ids back onto the corpus — the vectors themselves never
+    shuffle. Mirrored verbatim in the oracle ``_C0_SQL``."""
+    from pyspark.sql import Window
+
+    kf = _derived_k(emb)
+    h = F.expr(
+        "cast(conv(substr(md5(cast(vec_id as string)), 1, 12), 16, 10)"
+        " as bigint)"
+    )
+    hashed = (
+        emb.select("vec_id")
+        .withColumn("_h", h)
+        .crossJoin(F.broadcast(kf))
+    )
+    w = Window.partitionBy(
+        F.pmod(F.col("_h"), F.col("_k"))
+    ).orderBy("_h", "vec_id")
+    winners = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id")
+    )
+    return emb.join(F.broadcast(winners), "vec_id").select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
     )
 
 
@@ -498,7 +540,7 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressed entirely as DataFrame ops (no MLlib, no driver-side data).
 
     Iterative distributed ML on the DataFrame surface: deterministic init
-    (the k lowest vec_ids), broadcast-centroid assignment, explode/avg
+    (hash-stratified seeds), broadcast-centroid assignment, explode/avg
     recompute. The unrolled 2-iteration plan is fully oracle-checkable;
     at scale each extra iteration is one more broadcast-assign +
     k x dims aggregation, with the corpus never shuffled by key.
@@ -528,9 +570,7 @@ ROUND(SQRT(list_sum(list_transform(range(1, len(v) + 1),
 _ORACLE_KMEANS = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
-), s1 AS (
+), {_C0_SQL}, s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0
 ), a1 AS (
@@ -602,9 +642,7 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CLUSTER_BALANCE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
-), s1 AS (
+), {_C0_SQL}, s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0
 ), a1 AS (
@@ -643,7 +681,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster first, then search near-dup
     cosine pairs ONLY within a cluster (Abbas et al. 2023 shape).
 
-    The cluster assignment (deterministic k-means — k lowest vec_ids as
+    The cluster assignment (deterministic k-means — hash-stratified
     seeds, one full Lloyd refinement round of assign + per-dimension
     mean recompute, then the final assignment) acts as dedup
     *blocking*: the self-join key is
@@ -714,9 +752,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SEMDEDUP = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
-), s1 AS (
+), {_C0_SQL}, s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0
 ), a1 AS (
@@ -822,7 +858,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure SemDeDup-style pruning, diversity sampling, and
     label-propagation all consume.
 
-    Same blocking discipline as q_semdedup (seeds = k lowest vec_ids,
+    Same blocking discipline as q_semdedup (hash-stratified seeds,
     one Lloyd refinement, final assignment): the pair space is
     per-cluster, so the corpus never self-joins globally — at 100 TB the
     all-pairs O(n²) becomes k bounded bucket joins, and per-point top-k
@@ -902,9 +938,7 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_KNN_GRAPH = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), c0 AS (
-  SELECT vec_id AS centroid_id, v AS c FROM e WHERE vec_id < {_K_SQL}
-), s1 AS (
+), {_C0_SQL}, s1 AS (
   SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
   FROM e CROSS JOIN c0
 ), a1 AS (
