@@ -73,7 +73,8 @@ def _lsh_sql_cte(src: str = "sh") -> str:
     Expects a prior CTE ``src``(doc_id, shingles)."""
     return f"""lshp AS (
   SELECT r, CAST(CEIL(LN(0.1) / LN(1 - POWER(0.6, r))) AS INT) AS nb
-  FROM (SELECT GREATEST(2, CAST(CEIL(LOG10(COUNT(*))) AS INT) - 1) AS r
+  FROM (SELECT GREATEST(2, CAST(CEIL(LOG10(GREATEST(COUNT(*), 1)))
+                             AS INT) - 1) AS r
         FROM documents) _n
 ), based AS (
   SELECT doc_id, shingles,

@@ -457,7 +457,8 @@ def _seed_centroids(emb: DataFrame) -> DataFrame:
     one region, Lloyd collapsed the far mass into one cluster, and the
     within-cluster self-join went quadratic — measured as a 307x
     runtime ratio on a 10x corpus step by ``tools/scaling_audit.py
-    --second-step`` before this change (vs 2.1x after).
+    --second-step`` before this change (vs 3.4x after — the committed
+    SCALING_r10.md run).
 
     Execution shape: rank only the narrow (vec_id, hash) projection
     (the one shuffle, k tiny sorted groups), then broadcast the k

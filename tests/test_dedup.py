@@ -160,17 +160,27 @@ def test_lsh_params_match_duckdb_oracle_formula():
     """The oracle-side param CTE (_lsh_sql_cte) must compute the SAME
     (r, nb) as the Python lsh_params for every corpus size the oracles
     can see — IEEE-double parity of LOG10/LN/POWER/CEIL across engines
-    is what keeps candidate sets bit-identical."""
+    is what keeps candidate sets bit-identical. Runs the PRODUCTION CTE
+    string verbatim against a synthetic ``documents`` view of each size
+    (a hand-copied formula here once masked a missing zero guard in the
+    real CTE), including n=0: both engines must fall back to the n=1
+    shape on an empty corpus instead of erroring on LOG10(0)."""
     import duckdb
 
     from gcp_healthcare_data_pipeline_spark.operators.dedup import lsh_params
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+        _lsh_sql_cte,
+    )
 
     con = duckdb.connect()
-    for n in (1, 50, 500, 999, 1000, 1001, 5000, 15000, 50000, 10**6):
+    for n in (0, 1, 50, 500, 999, 1000, 1001, 5000, 15000, 50000, 10**6):
+        con.sql(
+            "CREATE OR REPLACE VIEW documents AS "
+            f"SELECT range AS doc_id FROM range({n})"
+        )
         got = con.sql(
-            "SELECT r, CAST(CEIL(LN(0.1) / LN(1 - POWER(0.6, r))) AS INT)"
-            " FROM (SELECT GREATEST(2, CAST(CEIL(LOG10("
-            f"GREATEST({n}, 1))) AS INT) - 1) AS r) _n"
+            "WITH sh AS (SELECT 0 AS doc_id, ['a'] AS shingles), "
+            f"{_lsh_sql_cte('sh')} SELECT r, nb FROM lshp"
         ).fetchone()
         r, b, _k = lsh_params(n)
         assert got == (r, b), f"n={n}: sql={got} python={(r, b)}"

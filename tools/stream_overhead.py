@@ -19,29 +19,53 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-# Recorded envelope: per-stream MAX drain seconds, element-wise max
+# Recorded envelope: per-stream MEDIAN drain seconds, element-wise max
 # over the two controlled idle measurements (round 9 2026-08-14 and
 # round 10 2026-08-15 — see STREAM_OVERHEAD.md for the full
-# min/median/max tables and measurement conditions). --check fails if
-# a fresh run's MEDIAN exceeds envelope_max * 1.5 — median-vs-max with
-# margin, because single readings legitimately spike on
-# first-stream-of-iteration spin-up (Python worker, checkpoint dir,
-# commit log) without any code change.
-ENVELOPE_MAX_S = {
-    "q_stream_backfill": 2.64,
-    "q_stream_dedup": 4.04,
-    "q_stream_left_join": 7.84,
-    "q_stream_scd2": 10.03,
-    "q_stream_session": 2.38,
-    "q_stream_sliding": 1.79,
-    "q_stream_stateful_profiles": 5.83,
-    "q_stream_static_join": 1.74,
-    "q_stream_stream_join": 7.07,
-    "q_stream_timeout_flush": 4.00,
-    "q_stream_tumbling": 3.00,
-    "q_stream_upsert": 1.06,
+# min/median/max tables and measurement conditions). --check compares
+# a fresh run's MEDIAN against median * ENVELOPE_MARGIN +
+# ENVELOPE_SLACK_S: median-vs-median because recorded MAXes are
+# spin-up outliers (q_stream_scd2's max is 10 s against a 1.8 s stable
+# median — a max-based bound could not catch an 8x median
+# regression), with an absolute slack so the sub-2 s streams don't
+# breach on ordinary first-stream-of-iteration spikes (Python worker,
+# checkpoint dir, commit log) when --n is small.
+ENVELOPE_MED_S = {
+    "q_stream_backfill": 1.75,
+    "q_stream_dedup": 3.33,
+    "q_stream_left_join": 7.13,
+    "q_stream_scd2": 1.76,
+    "q_stream_session": 1.82,
+    "q_stream_sliding": 1.62,
+    "q_stream_stateful_profiles": 1.70,
+    "q_stream_static_join": 1.60,
+    "q_stream_stream_join": 6.47,
+    "q_stream_timeout_flush": 3.57,
+    "q_stream_tumbling": 2.57,
+    "q_stream_upsert": 0.95,
 }
 ENVELOPE_MARGIN = 1.5
+ENVELOPE_SLACK_S = 1.0
+
+
+def envelope_breaches(medians: "dict[str, float]") -> "list[str]":
+    """Pure gate logic (unit-tested in tests/test_tools.py): one line
+    per breach, empty list = green."""
+    breaches = []
+    for name, med in sorted(medians.items()):
+        rec = ENVELOPE_MED_S.get(name)
+        if rec is None:
+            breaches.append(f"{name}: no recorded envelope — "
+                            "add it to ENVELOPE_MED_S")
+            continue
+        bound = rec * ENVELOPE_MARGIN + ENVELOPE_SLACK_S
+        if med > bound:
+            breaches.append(
+                f"{name}: median {med:.2f}s > bound {bound:.2f}s "
+                f"(recorded median {rec:.2f}s x {ENVELOPE_MARGIN} "
+                f"+ {ENVELOPE_SLACK_S}s)"
+            )
+    return breaches
 
 
 def main() -> int:
@@ -51,8 +75,8 @@ def main() -> int:
     ap.add_argument(
         "--check", action="store_true",
         help="exit 1 if any stream's fresh median exceeds its recorded "
-             f"envelope max by more than {ENVELOPE_MARGIN}x (the round "
-             "artifact gate from VERDICT r9 #5)",
+             f"envelope median x {ENVELOPE_MARGIN} + {ENVELOPE_SLACK_S}s "
+             "(the round artifact gate from VERDICT r9 #5)",
     )
     args = ap.parse_args()
 
@@ -81,24 +105,18 @@ def main() -> int:
             f"{statistics.median(xs):.2f} | {max(xs):.2f} |"
         )
     if args.check:
-        breaches = []
-        for name, xs in sorted(results.items()):
-            med = statistics.median(xs)
-            bound = ENVELOPE_MAX_S.get(name)
-            if bound is None:
-                breaches.append(f"{name}: no recorded envelope — "
-                                "add it to ENVELOPE_MAX_S")
-            elif med > bound * ENVELOPE_MARGIN:
-                breaches.append(
-                    f"{name}: median {med:.2f}s > envelope max "
-                    f"{bound:.2f}s x {ENVELOPE_MARGIN}"
-                )
+        # breaches go to STDOUT: the documented workflow filters stderr
+        # (Spark noise), and a silent exit 1 would hide which stream
+        # fired the gate
+        breaches = envelope_breaches(
+            {n: statistics.median(xs) for n, xs in results.items()}
+        )
         for b in breaches:
-            print(f"ENVELOPE BREACH {b}", file=sys.stderr)
+            print(f"ENVELOPE BREACH {b}")
         if breaches:
             return 1
         print(f"# envelope check OK: all {len(results)} stream medians "
-              f"within {ENVELOPE_MARGIN}x of recorded max", file=sys.stderr)
+              f"within median x {ENVELOPE_MARGIN} + {ENVELOPE_SLACK_S}s")
     return 0
 
 
