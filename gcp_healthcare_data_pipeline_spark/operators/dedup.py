@@ -74,24 +74,38 @@ def lsh_params(
     step at the old fixed (r=2, b=6). Standard LSH theory fixes this by
     growing the band width logarithmically with the corpus:
 
-    - ``r = max(2, ceil(log10(n)) - 1)`` — each 10x of corpus adds one
-      row per band, multiplying the random-collision probability per
-      band by p_sig (<< 1), which holds candidate pairs-per-doc bounded.
+    - ``r = clamp(ceil(log10(n)) - 1, 2, 4)`` — each 10x of corpus adds
+      one row per band, multiplying the random-collision probability
+      per band by p_sig (<< 1), which holds candidate pairs-per-doc
+      bounded through the clamped range.
     - ``b = ceil(ln(1 - recall) / ln(1 - J^r))`` — the band count that
       keeps P(candidate | jaccard >= J) >= target_recall for the chosen
       r (the S-curve guarantee), so tightening r never silently drops
       the detection rate below target.
-    - ``k = r * b`` signature length; minhash cost stays linear in
-      corpus size (k MIN-aggregates in one codegen'd groupBy).
+    - ``k = r * b`` signature length, capped by the r-clamp at
+      k = 4 * 17 = 68.
+
+    The r-clamp at 4 is deliberate: b grows ~exponentially in r
+    (r=5 -> k=145, r=8 -> k=1088), and past
+    ``spark.sql.codegen.maxFields`` (default 100) the k-MIN groupBy
+    falls out of whole-stage codegen — an order-of-magnitude cliff at
+    exactly the >=10^6-doc corpora the adaptive shape targets. Capping
+    k at 68 keeps the signature aggregation codegen'd and minhash cost
+    linear at every corpus size; beyond ~10^6 docs the random
+    band-collision rate resumes growing slowly (p_sig^4 per band), the
+    documented trade — at that scale shard the dedup by corpus
+    partition (each shard re-derives its own shape) rather than widen
+    bands past the codegen limit.
 
     For n <= 1000 this yields exactly the historical (2, 6, 12). The
     formulas are mirrored VERBATIM in the DuckDB oracles (same IEEE
-    double ops: LOG10/LN/POWER/CEIL), so candidate sets stay
-    bit-identical across engines at every corpus size.
+    double ops: LOG10/LN/POWER/CEIL + the same integer clamp), so
+    candidate sets stay bit-identical across engines at every corpus
+    size.
     """
     import math  # noqa: PLC0415
 
-    r = max(2, math.ceil(math.log10(max(n_docs, 1))) - 1)
+    r = max(2, min(4, math.ceil(math.log10(max(n_docs, 1))) - 1))
     b = math.ceil(
         math.log(1.0 - target_recall)
         / math.log(1.0 - jaccard_threshold**r)
@@ -107,8 +121,10 @@ def minhash_signatures(
 
     base(s) = first 48 bits of md5(s) as int; hash_j = (2j+1)*base +
     j*12345 + 67 mod (2^31-1) — a universal-hash family over one md5
-    digest (int64-safe: 48-bit base * 23 < 2^53), bit-identical in the
-    DuckDB oracle.
+    digest, bit-identical in the DuckDB oracle. Int64-safe at every
+    reachable k: ``lsh_params`` caps k at 68, so the largest multiplier
+    is 2k-1 = 135 and 135 * 2^48 < 2^56 — exact in both engines' BIGINT
+    arithmetic with 7 bits of headroom.
 
     Execution shape: explode shingles -> k MIN aggregates in one groupBy.
     Everything stays in whole-stage codegen — an order of magnitude
@@ -193,6 +209,49 @@ def lsh_candidate_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def fastss_candidate_pairs(
+    df: DataFrame, id_col: str = "s_suppkey", name_col: str = "s_name"
+) -> DataFrame:
+    """(id_a, name_a, id_b, name_b): distinct pairs whose deletion-1
+    neighborhoods intersect — a LOSSLESS candidate generator for
+    levenshtein <= 1 linkage (substitution: both delete the differing
+    position; insert/delete: the longer one's deletion equals the
+    shorter string). Each neighborhood includes the string itself
+    (i = length deletes nothing).
+
+    This is THE candidate space for q_fuzzy_name_match, q_golden_record
+    AND the ``tools/scaling_audit.py --pairs`` gate — one definition, so
+    the audited pair space can never drift from the production one.
+
+    Scale shape: O(n * len) variant rows with near-unique keys (no hot
+    key, unlike length-blocking on fixed-width names); the expensive
+    edit-distance runs on candidates only.
+    """
+    variants = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(name_col).alias("_name"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length({name_col})), i -> "
+                f"concat(substring({name_col}, 1, i), "
+                f"substring({name_col}, i + 2)))"
+            )
+        ).alias("vkey"),
+    )
+    a = variants.select(
+        F.col("_id").alias("id_a"), F.col("_name").alias("name_a"), "vkey"
+    )
+    b = variants.select(
+        F.col("_id").alias("id_b"), F.col("_name").alias("name_b"), "vkey"
+    )
+    return (
+        a.join(b, "vkey")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "name_a", "id_b", "name_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

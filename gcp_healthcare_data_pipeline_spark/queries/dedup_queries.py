@@ -65,16 +65,17 @@ def _corpus_lsh_params(
 
 def _lsh_sql_cte(src: str = "sh") -> str:
     """The SQL mirror of the adaptive MinHash/LSH pipeline: ``lshp``
-    computes (r, nb) with the SAME IEEE-double formulas as
-    ``operators.dedup.lsh_params`` (verified to agree for corpus sizes
-    50..5M), then sig/bands use them dynamically — ``k = r * nb``
+    computes (r, nb) with the SAME IEEE-double formulas and the same
+    r-clamp [2, 4] as ``operators.dedup.lsh_params`` (verified to agree
+    for corpus sizes 50..5M), then sig/bands use them dynamically — ``k = r * nb``
     minhashes, band key = band index + ':'-joined signature slice,
     bit-identical to the Spark construction at every corpus size.
     Expects a prior CTE ``src``(doc_id, shingles)."""
     return f"""lshp AS (
   SELECT r, CAST(CEIL(LN(0.1) / LN(1 - POWER(0.6, r))) AS INT) AS nb
-  FROM (SELECT GREATEST(2, CAST(CEIL(LOG10(GREATEST(COUNT(*), 1)))
-                             AS INT) - 1) AS r
+  FROM (SELECT LEAST(4, GREATEST(2,
+                 CAST(CEIL(LOG10(GREATEST(COUNT(*), 1))) AS INT) - 1))
+                 AS r
         FROM documents) _n
 ), based AS (
   SELECT doc_id, shingles,
@@ -323,6 +324,29 @@ FROM comp JOIN sizes USING (component)
 """
 
 
+def _incremental_band_candidates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, corpus_id): distinct asymmetric batch-vs-corpus LSH
+    band-join candidates (batch = ``doc_id % 10 == 0``) — THE candidate
+    space for q_dedup_incremental AND the ``tools/scaling_audit.py
+    --pairs`` gate; one definition, so the audited pair space can never
+    drift from the production one."""
+    is_batch = F.col("doc_id") % 10 == 0
+    sh = _shared_shingles(spark, sf_dir)
+    r, nb, k = _corpus_lsh_params(spark, sf_dir)
+    sig = minhash_signatures(sh, "doc_id", "shingles", k=k).localCheckpoint(
+        eager=False
+    )
+    keys_b = band_keys(sig.filter(is_batch), "doc_id", "sig", nb, r)
+    keys_c = band_keys(sig.filter(~is_batch), "doc_id", "sig", nb, r).select(
+        F.col("doc_id").alias("corpus_id"), "band_key"
+    )
+    return (
+        keys_b.join(keys_c, "band_key").select("doc_id", "corpus_id").distinct()
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta dedup: screen an incoming BATCH (doc_id % 10 = 0) against
     the existing CORPUS (the rest) without re-deduping the corpus.
@@ -347,17 +371,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ch, "h", "left")
         .select("doc_id", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
     )
-    # near: band keys for each side from the shared shingle/signature path
+    # near: the shared asymmetric band-join candidate space
     sh = _shared_shingles(spark, sf_dir)
-    r, nb, k = _corpus_lsh_params(spark, sf_dir)
-    sig = minhash_signatures(sh, "doc_id", "shingles", k=k).localCheckpoint(
-        eager=False
-    )
-    keys_b = band_keys(sig.filter(is_batch), "doc_id", "sig", nb, r)
-    keys_c = band_keys(sig.filter(~is_batch), "doc_id", "sig", nb, r).select(
-        F.col("doc_id").alias("corpus_id"), "band_key"
-    )
-    cand = keys_b.join(keys_c, "band_key").select("doc_id", "corpus_id").distinct()
+    cand = _incremental_band_candidates(spark, sf_dir)
     a = sh.select(F.col("doc_id"), F.col("shingles").alias("sh_a"))
     b = sh.select(
         F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")

@@ -77,43 +77,19 @@ GROUP BY 1
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage: supplier-name pairs within edit distance 1.
 
-    FastSS blocking: each name emits its deletion neighborhood — the name
-    itself plus every delete-one-char variant.  Two strings with
-    levenshtein <= 1 ALWAYS share a variant key (substitution: both
-    delete the differing position; insert/delete: the longer one's
-    deletion equals the shorter string itself), so joining on the variant
-    key is a lossless candidate generator.  Levenshtein runs only on the
-    candidate pairs.  Shuffle volume is O(n * len) variant rows with
-    near-unique keys — no single hot key, unlike length-blocking on
-    fixed-width names.
+    FastSS blocking via the shared ``operators.dedup.
+    fastss_candidate_pairs`` (one definition with q_golden_record and
+    the scaling-audit pairs gate): each name emits its deletion
+    neighborhood, and joining on the variant key is a lossless
+    candidate generator for levenshtein <= 1 — the expensive edit
+    distance runs only on candidates.
     """
+    from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+        fastss_candidate_pairs,
+    )
+
     sup = load_tables(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    variants = sup.select(
-        "s_suppkey",
-        "s_name",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(s_name)), i -> "
-                "concat(substring(s_name, 1, i), substring(s_name, i + 2)))"
-            )
-        ).alias("vkey"),
-    )
-    a = variants.select(
-        F.col("s_suppkey").alias("id_a"),
-        F.col("s_name").alias("name_a"),
-        "vkey",
-    )
-    b = variants.select(
-        F.col("s_suppkey").alias("id_b"),
-        F.col("s_name").alias("name_b"),
-        "vkey",
-    )
-    candidates = (
-        a.join(b, "vkey")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "name_a", "id_b", "name_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    candidates = fastss_candidate_pairs(sup, "s_suppkey", "s_name")
     return (
         candidates.select(
             "id_a",
@@ -540,33 +516,14 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from gcp_healthcare_data_pipeline_spark.operators.dedup import (
         connected_components,
+        fastss_candidate_pairs,
     )
 
     sup = load_tables(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
-    variants = sup.select(
-        "s_suppkey",
-        "s_name",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, length(s_name), 1), i -> "
-                "concat(substring(s_name, 1, i), substring(s_name, i + 2)))"
-            )
-        ).alias("vkey"),
-    )
-    a = variants.select(
-        F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"),
-        "vkey",
-    )
-    b = variants.select(
-        F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"),
-        "vkey",
-    )
     pairs = (
-        a.join(b, "vkey")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        fastss_candidate_pairs(sup, "s_suppkey", "s_name")
         .filter(F.levenshtein("name_a", "name_b") <= 1)
         .select("id_a", "id_b")
     )

@@ -857,6 +857,39 @@ _PMI_MIN_DF = 50  # corpus occurrences for vocabulary membership
 _PMI_MIN_PAIR = 5  # doc-cooccurrence floor to report a pair
 
 
+def _pmi_doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, arr): each document's sorted distinct IN-VOCAB token set
+    (vocab = min-df-capped, broadcast as ONE array row). The downstream
+    a<b fan-out is C(|arr|, 2) per doc — THE pair space counted by
+    ``tools/scaling_audit.py --pairs``; q_pmi_collocations and the audit
+    share this definition so the gate can never drift from production.
+    Checkpointed so the presence and pair branches both reuse one
+    tokenization instead of re-scanning the corpus."""
+    docs = load_tables(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= _PMI_MIN_DF)
+        .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
+    )
+    return (
+        docs.crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        tokens("text"),
+                        lambda t: F.array_contains(F.col("vocab"), t),
+                    )
+                )
+            ).alias("arr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise-mutual-information collocation mining: for every pair of
     vocabulary tokens, how much more often they co-occur in the same
@@ -874,31 +907,8 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic on three broadcastable aggregates.
     """
     docs = load_tables(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(tokens("text")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") >= _PMI_MIN_DF)
-        .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
-    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    arrs = (
-        docs.crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.array_sort(
-                F.array_distinct(
-                    F.filter(
-                        tokens("text"),
-                        lambda t: F.array_contains(F.col("vocab"), t),
-                    )
-                )
-            ).alias("arr"),
-        )
-        # tokenized once; the presence and pair branches both reuse it
-        # instead of re-scanning + re-tokenizing the corpus
-        .localCheckpoint(eager=False)
-    )
+    arrs = _pmi_doc_arrays(spark, sf_dir)
     presence = (
         arrs.select(F.explode("arr").alias("tok"))
         .groupBy("tok")

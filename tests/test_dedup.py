@@ -146,12 +146,18 @@ def test_lsh_params_adaptive_shape():
     assert lsh_params(1000) == (2, 6, 12)
     assert lsh_params(5000) == (3, 10, 30)
     assert lsh_params(50000) == (4, 17, 68)
+    # the r-clamp: uncapped r would be 5 at 10^6 (k=145) and 9 at 10^10
+    # (k>2000) — past spark.sql.codegen.maxFields=100 the k-MIN groupBy
+    # drops out of whole-stage codegen, so the shape pins at (4, 17, 68)
+    assert lsh_params(10**6) == (4, 17, 68)
+    assert lsh_params(10**10) == (4, 17, 68)
     prev_r = 0
     for n in (10, 100, 1000, 10**4, 10**5, 10**6, 10**7):
         r, b, k = lsh_params(n)
         assert r >= prev_r  # band width monotone in corpus size
         prev_r = r
         assert k == r * b
+        assert k <= 68 < 100  # signature agg stays inside codegen
         # the S-curve recall guarantee the b formula encodes
         assert 1 - (1 - 0.6**r) ** b >= 0.9
 
@@ -173,7 +179,10 @@ def test_lsh_params_match_duckdb_oracle_formula():
     )
 
     con = duckdb.connect()
-    for n in (0, 1, 50, 500, 999, 1000, 1001, 5000, 15000, 50000, 10**6):
+    for n in (
+        0, 1, 50, 500, 999, 1000, 1001, 5000, 15000, 50000,
+        10**6, 10**7, 10**9,  # clamp territory: both engines pin r=4
+    ):
         con.sql(
             "CREATE OR REPLACE VIEW documents AS "
             f"SELECT range AS doc_id FROM range({n})"

@@ -347,3 +347,75 @@ def test_malformed_payloads_quarantine_not_crash(spark):
     )
     out = decode_video_stats(vmedia).collect()
     assert {r.media_id for r in out} == {4}  # only the good clip emits
+
+
+def test_feature_extraction_strided_subsample_long_wav():
+    """The O(1)-per-payload feature path: a WAV longer than
+    _FEATURE_MAX_SAMPLES must be sketched from a strided subsample, and
+    the frombuffer count/offset/stride arithmetic must match a pure-
+    Python reference over the SAME subsample (guards off-by-ones in
+    data_off/stride — this branch is never reached by the registry
+    queries, whose clips are < 100 samples)."""
+    import math
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        _FEATURE_MAX_SAMPLES,
+        _decode_one,
+        encode_wav_pcm16,
+        probe_wav_pcm16,
+    )
+
+    n_total, rate, dim = 10_000, 8000, 8
+    samples = [((i * 37 + 11) % 65536) - 32768 for i in range(n_total)]
+    payload = encode_wav_pcm16(rate, samples)
+    assert n_total > _FEATURE_MAX_SAMPLES
+    _, _, probed_n = probe_wav_pcm16(payload)
+    assert probed_n == n_total
+
+    stride = max(1, -(-n_total // _FEATURE_MAX_SAMPLES))
+    assert stride == 3  # the strided branch, not the trivial stride=1
+    sub = samples[::stride]
+    n = len(sub)
+    nonneg = [x >= 0 for x in sub]
+    expect = [
+        math.sqrt(sum(x * x for x in sub) / n) / 32768.0,
+        sum(a != b for a, b in zip(nonneg[1:], nonneg[:-1])) / n,
+        max(abs(x) for x in sub) / 32768.0,
+        n_total / rate,
+    ]
+    expect += [abs(float(v)) / 32768.0 for v in sub[: dim - 4]]
+
+    got = _decode_one(payload, dim)
+    assert len(got) == dim
+    for g, e in zip(got, expect):
+        assert abs(g - e) < 1e-12, (got, expect)
+
+
+def test_avi_deep_list_nesting_raises_valueerror():
+    """Hostile nesting: thousands of nested LIST chunks must raise
+    ValueError ('nesting too deep'), NEVER RecursionError — ValueError
+    is what the decode_video_stats/sample_frames quarantine handlers
+    catch, so anything else kills the whole Spark task. Nesting under
+    the 64 cap must walk cleanly to the normal 'missing avih' error."""
+    import struct
+
+    import pytest
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        decode_avi_rgb24,
+    )
+
+    def nested_lists(depth: int) -> bytes:
+        body = b""
+        for _ in range(depth):
+            body = b"LIST" + struct.pack("<I", 4 + len(body)) + b"mvix" + body
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+    with pytest.raises(ValueError, match="nesting too deep"):
+        decode_avi_rgb24(nested_lists(5000))
+
+    # below the cap: the iterative walk completes and fails for the
+    # ordinary reason (no avih header), proving the cap doesn't
+    # false-positive on legitimately nested files
+    with pytest.raises(ValueError, match="missing avih"):
+        decode_avi_rgb24(nested_lists(50))

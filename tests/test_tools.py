@@ -51,3 +51,14 @@ def test_envelope_unknown_stream_is_a_breach():
     m = dict(ENVELOPE_MED_S)
     m["q_stream_new_thing"] = 0.1
     assert any("q_stream_new_thing" in b for b in envelope_breaches(m))
+
+
+def test_envelope_missing_stream_is_a_breach():
+    """The reverse direction: a recorded stream absent from the fresh
+    run (registry typo, rotation edit) breaches — measuring 11 of 12
+    streams must not exit green."""
+    m = dict(ENVELOPE_MED_S)
+    dropped = "q_stream_scd2"
+    del m[dropped]
+    breaches = envelope_breaches(m)
+    assert any(dropped in b and "absent" in b for b in breaches)

@@ -58,7 +58,7 @@ def _candidate_probes():
     from pyspark.sql import functions as F
 
     from gcp_healthcare_data_pipeline_spark.operators.dedup import (
-        band_keys,
+        fastss_candidate_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
         pair_intersections,
@@ -66,7 +66,11 @@ def _candidate_probes():
     from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
         _DF_CAP,
         _corpus_lsh_params,
+        _incremental_band_candidates,
         _shared_shingles,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.text_queries import (
+        _pmi_doc_arrays,
     )
     from gcp_healthcare_data_pipeline_spark.session import load_tables
 
@@ -90,70 +94,21 @@ def _candidate_probes():
             _shared_shingles(spark, sf_dir), min_df=2, max_df=_DF_CAP
         ).count()
 
+    # incremental/fastss/pmi probes COUNT the exact production candidate
+    # spaces by calling the same helpers the queries build their plans
+    # from — a probe that re-implemented the blocking inline could keep
+    # measuring a stale pair space after a query's blocking changed
     def incremental_pairs(spark, sf_dir):
-        r, nb, k = _corpus_lsh_params(spark, sf_dir)
-        sig = minhash_signatures(
-            _shared_shingles(spark, sf_dir), "doc_id", "shingles", k=k
-        )
-        is_batch = F.col("doc_id") % 10 == 0
-        kb = band_keys(sig.filter(is_batch), "doc_id", "sig", nb, r)
-        kc = band_keys(sig.filter(~is_batch), "doc_id", "sig", nb, r).select(
-            F.col("doc_id").alias("corpus_id"), "band_key"
-        )
-        return (
-            kb.join(kc, "band_key")
-            .select("doc_id", "corpus_id")
-            .distinct()
-            .count()
-        )
+        return _incremental_band_candidates(spark, sf_dir).count()
 
     def fastss_pairs(spark, sf_dir):
         sup = load_tables(spark, sf_dir, "supplier").select(
             "s_suppkey", "s_name"
         )
-        variants = sup.select(
-            "s_suppkey",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, length(s_name), 1), i -> "
-                    "concat(substring(s_name, 1, i), "
-                    "substring(s_name, i + 2)))"
-                )
-            ).alias("vkey"),
-        )
-        a = variants.select(F.col("s_suppkey").alias("id_a"), "vkey")
-        b = variants.select(F.col("s_suppkey").alias("id_b"), "vkey")
-        return (
-            a.join(b, "vkey")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
-            .count()
-        )
+        return fastss_candidate_pairs(sup, "s_suppkey", "s_name").count()
 
     def pmi_pairs(spark, sf_dir):
-        from gcp_healthcare_data_pipeline_spark.functions.text import tokens
-        from gcp_healthcare_data_pipeline_spark.queries.text_queries import (
-            _PMI_MIN_DF,
-        )
-
-        docs = load_tables(spark, sf_dir, "documents")
-        vocab = (
-            docs.select(F.explode(tokens("text")).alias("tok"))
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .filter(F.col("cnt") >= _PMI_MIN_DF)
-            .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
-        )
-        arrs = docs.crossJoin(F.broadcast(vocab)).select(
-            "doc_id",
-            F.array_distinct(
-                F.filter(
-                    tokens("text"),
-                    lambda t: F.array_contains(F.col("vocab"), t),
-                )
-            ).alias("arr"),
-        )
+        arrs = _pmi_doc_arrays(spark, sf_dir)
         return (
             arrs.select(
                 (F.size("arr") * (F.size("arr") - 1) / 2).alias("n")
@@ -254,10 +209,14 @@ def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
     others (a naive 10x duplication would create 10-way near-dup
     clusters and measure a data-property explosion, not plan scaling):
 
-    - documents: every inter-token gap gets a copy-specific marker
-      token, so every 3-gram shingle contains a marker and cross-copy
-      collisions are impossible; within-copy dup structure is intact
-      (the same rewrite is applied to both members of a dup pair).
+    - documents: every token gets a copy-specific 2-char PREFIX (a
+      bijective per-copy vocabulary rename), so every token — hence
+      every shingle — differs across copies and cross-copy collisions
+      are impossible; within-copy dup structure is intact (the same
+      rewrite is applied to both members of a dup pair). Token and
+      shingle COUNTS are exactly preserved (an earlier marker-INSERTION
+      rewrite doubled tokens per doc, making the '10x' step carry ~20x
+      shingle volume and miscalibrating the superlinear threshold).
     - supplier: names get a two-character copy suffix (edit distance 2
       between copies — outside the levenshtein<=1 linkage radius).
     - embeddings: a per-copy constant shift on every component moves
@@ -272,6 +231,9 @@ def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
 
     from pyspark.sql import functions as F
 
+    # single-digit copy ids keep the k{i} prefixes prefix-free; at
+    # copies > 10, "k1" + "1abc" would collide with "k11" + "abc"
+    assert copies <= 10, "prefix scheme is only unambiguous for <= 10 copies"
     out = tempfile.mkdtemp(prefix="sf_blowup_")
     atexit.register(shutil.rmtree, out, True)
     docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
@@ -281,7 +243,9 @@ def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
     doc_parts = [
         docs.select(
             (F.col("doc_id") + F.lit(i * doc_span)).alias("doc_id"),
-            F.regexp_replace("text", " ", f" k{i}v ").alias("text"),
+            F.regexp_replace("text", "(^|(?<= ))(?=[^ ])", f"k{i}").alias(
+                "text"
+            ),
             "lang", "source",
         ).withColumn("n_chars", F.length("text"))
         for i in range(copies)

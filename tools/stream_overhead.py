@@ -65,6 +65,13 @@ def envelope_breaches(medians: "dict[str, float]") -> "list[str]":
                 f"(recorded median {rec:.2f}s x {ENVELOPE_MARGIN} "
                 f"+ {ENVELOPE_SLACK_S}s)"
             )
+    # reverse direction: a recorded stream that vanished from the run
+    # (registry typo, rotation edit) must fail loudly, not pass silently
+    for name in sorted(ENVELOPE_MED_S.keys() - medians.keys()):
+        breaches.append(
+            f"{name}: recorded in ENVELOPE_MED_S but absent from this "
+            "run — stream dropped from the registry?"
+        )
     return breaches
 
 
