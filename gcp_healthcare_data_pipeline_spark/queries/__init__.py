@@ -55,15 +55,12 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
-# driver-vs-oracle evidence each round. Round-9 rotation (the round-6
-# block had been left pinned through r7/r8, freezing the sample): the
-# 6 pipeline gates, then ALL 36 queries that have never had a driver
-# row (the 7 round-7 additions, the 11 round-6 stragglers, and all 18
-# round-9 additions), then 8 continuity picks drawn from the OLDEST
-# driver evidence (the 3 r2-only rows + one per r4 family: SCD2,
-# dedup, text, vector, gold mart). Union of driver rows across rounds
-# covers every registry query; rotated-out entries all hold green
-# r4-r8 rows.
+# driver-vs-oracle evidence each round. Round-11 rotation (per the
+# r10 verdict's evidence-freshness finding): the 6 pipeline gates,
+# then ALL 44 queries whose latest driver rows date to r04/r05-era
+# trees (the 4 r04 window/salt queries plus the 40 r05 rows). That is
+# exactly 50 slots. Every rotated-out entry holds a green r08-r10 row;
+# union of driver rows across rounds covers the whole registry.
 _DRIVER_PRIORITY = [
     # reference end-to-end gates (silver.sql + gold.sql full pipeline)
     "q_pipeline_provider_charge_summary",
@@ -72,54 +69,50 @@ _DRIVER_PRIORITY = [
     "q_pipeline_department_performance",
     "q_pipeline_financial_metrics",
     "q_pipeline_payor_performance",
-    # changed THIS round (r10): SCD2 NULL-key bypass, Derby table
-    # keying, WAV probe/vectorized stats, adaptive-LSH corpus curation
-    "q_scd2_sf",
-    "q_scd2_customer",
-    "q_jdbc_ingest",
-    "q_multimodal_audio",
-    "q_multimodal_video",
-    "q_multimodal_features",
-    "q_corpus_curation",
-    "q_semdedup",
-    "q_kmeans",
-    "q_cluster_balance",
-    "q_knn_graph",
-    # oldest driver evidence (last sampled r4) - freshness rotation;
-    # includes the four adaptive-LSH dedup queries changed this round
-    "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_dedup_containment",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_scd2_two_runs",
-    "q_scd2_corrected",
-    "q_sql_revenue_by_segment",
-    "q_patient_history",
-    "q_provider_performance",
-    "q_department_performance",
-    "q_conform_union",
-    "q_quarantine_documents",
-    "q_incremental_watermark",
-    "q_token_count",
-    "q_token_count_bpe",
-    "q_rolling_fingerprint",
-    "q_text_quality",
-    "q_fingerprint",
-    "q_ann_topk",
-    "q_embedding_neardup",
-    "q_topk_orders",
-    "q_order_items_agg",
-    "q_events_json_props",
-    "q_bpe_merges",
-    "q_repetition_ratio",
-    "q_quality_gate",
-    "q_doc_chunking",
-    "q_rarity_score",
-    "q_heavy_hitters",
-    "q_bm25_search",
-    "q_embedding_outliers",
-    # r4-era q_salted_agg/q_salted_join rotate next round (both are
-    # synthetic demos with dedicated runtime tests in tests/test_skew.py)
+    # last driver-sampled r04 (oldest evidence in the registry)
+    "q_customer_running_total",
+    "q_ntile_quartiles",
+    "q_salted_agg",
+    "q_salted_join",
+    # last driver-sampled r05 (all 40)
+    "q_boilerplate",
+    "q_contamination",
+    "q_cube_sales",
+    "q_customers_no_orders",
+    "q_dedup_passages",
+    "q_domain_mix",
+    "q_events_asof_error",
+    "q_events_error_rate",
+    "q_events_funnel",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_events_tumbling",
+    "q_fuzzy_name_match",
+    "q_gap_fill",
+    "q_grouping_sets",
+    "q_incremental_agg",
+    "q_length_histogram",
+    "q_percentiles",
+    "q_pii_redaction",
+    "q_profile_table",
+    "q_range_join_shipping",
+    "q_retention_cohorts",
+    "q_rolling_revenue",
+    "q_sequence_packing",
+    "q_set_ops",
+    "q_shuffle_export",
+    "q_snapshot_diff",
+    "q_stats_by_flag",
+    "q_stratified_sample",
+    "q_stream_dedup",
+    "q_stream_stateful_profiles",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_stream_tumbling",
+    "q_stream_upsert",
+    "q_tfidf_topterms",
+    "q_token_budget",
+    "q_train_split",
+    "q_unpivot_balances",
+    "q_user_zscore",
 ]
