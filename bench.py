@@ -21,10 +21,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gcp_healthcare_data_pipeline_spark.queries import all_queries  # noqa: E402
 from gcp_healthcare_data_pipeline_spark.session import get_spark  # noqa: E402
 
+# Machine-speed anchor reference, pinned on this container during an idle
+# round-11 session (best-of-5 of the calibration kernel below). Every bench
+# run re-times the same kernel; baseline_comparable_normalized rescales the
+# wall-clock total by (ANCHOR_REF_SEC / anchor_now) so cross-session CPU
+# contention (the r8->r9->r10 "regression" that took manual forensics each
+# round) becomes arithmetic: normalized numbers from two sessions are
+# directly comparable regardless of how loaded the machine was.
+ANCHOR_REF_SEC = 0.391  # idle best-of-5 minimum, pinned 2026-08-15 (round 11)
+
+
+def _anchor_kernel_once() -> float:
+    """One pass of the pinned CPU-bound calibration kernel (no I/O, no
+    Spark): seeded synthetic data -> sort -> hash-reduce. numpy keeps it
+    deterministic in size and instruction mix across runs."""
+    import numpy as np  # noqa: PLC0415
+
+    rng = np.random.default_rng(20260815)
+    a = rng.integers(0, 2**62, size=16_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    s = np.sort(a)
+    # cheap mixing pass so the kernel isn't purely sort-bound
+    mix = np.int64(np.uint64(0x9E3779B97F4A7C15).astype(np.int64))
+    with np.errstate(over="ignore"):
+        h = (s * mix) ^ (s >> np.int64(17))
+    sink = int(h.sum() & 0xFFFFFFFF)
+    dt = time.perf_counter() - t0
+    assert sink >= 0
+    return dt
+
+
+def measure_anchor(repeats: int = 5) -> float:
+    """Best-of-N anchor timing. min() is the contention-robust estimator:
+    background load can only make a run slower, never faster."""
+    return round(min(_anchor_kernel_once() for _ in range(repeats)), 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    # machine-speed anchor BEFORE Spark spins up, so the kernel sees the
+    # same background load the queries will but no JVM warm-up artifacts
+    anchor_sec = measure_anchor()
+    anchor_ratio = round(ANCHOR_REF_SEC / anchor_sec, 4)
+    print(f"# anchor: {anchor_sec:.4f}s (ref {ANCHOR_REF_SEC}s, ratio {anchor_ratio})", file=sys.stderr)
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -91,30 +133,54 @@ def main() -> None:
     except (OSError, KeyError, ValueError):
         pass
 
+    if baseline_comparable is not None:
+        baseline_comparable["total_normalized"] = round(
+            baseline_comparable["total"] * anchor_ratio, 3
+        )
+
     # headline fields (value, baseline_comparable) go LAST: the driver's
     # artifact keeps only the tail of this line, and round 5's artifact
     # lost the head — ordering the dict so the continuity numbers print
     # after the bulky per-query map keeps them in the truncated tail
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "errors": errors,
-                "exempt_fixed_overhead": {
-                    "queries": exempt,
-                    "total": round(sum(exempt.values()), 3),
-                    "reason": "Structured-Streaming availableNow drain "
-                    "machinery is fixed per-stream cost, not sf-scaling "
-                    "query work (see BASELINE.md)",
-                },
-                "sf": sf,
-                "metric": "total_query_wall_clock",
-                "unit": "sec",
-                "value": total,
-                "baseline_comparable": baseline_comparable,
-            }
-        )
+    result = {
+        "queries": timings,
+        "errors": errors,
+        "exempt_fixed_overhead": {
+            "queries": exempt,
+            "total": round(sum(exempt.values()), 3),
+            "reason": "Structured-Streaming availableNow drain "
+            "machinery is fixed per-stream cost, not sf-scaling "
+            "query work (see BASELINE.md)",
+        },
+        "sf": sf,
+        "metric": "total_query_wall_clock",
+        "unit": "sec",
+        "anchor": {
+            "sec": anchor_sec,
+            "ref_sec": ANCHOR_REF_SEC,
+            "ratio": anchor_ratio,
+            "note": "pinned CPU calibration kernel (best-of-5 min); "
+            "*_normalized = wall_clock * ratio, comparable across "
+            "sessions regardless of machine contention",
+        },
+        "value": total,
+        "value_normalized": round(total * anchor_ratio, 3),
+        "baseline_comparable": baseline_comparable,
+    }
+    # full artifact to disk: the driver keeps only a stdout tail, which
+    # cost round 10 per-query cross-round comparability — persist the
+    # whole per-query map so each round can commit BENCH_LOCAL_r{N}.json
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# bench: could not write {out_path}: {exc}", file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
