@@ -154,10 +154,11 @@ def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
       grew superlinearly, i.e. total pairs grew ~quadratically — the
       gate exits 1.
 
-    A family with zero pairs at SMALL_SF has no growth baseline; its
-    norm is computed against a half-pair floor and it can only FAIL if
-    its big-side density is material (>= 1 pair/row) — 0 -> 0.05
-    pairs/row is sparse-corpus noise, 0 -> 200 pairs/row is a blowup.
+    A family with a sparse SMALL_SF baseline (< 10 pairs — zero
+    included, via a half-pair floor) has no statistically meaningful
+    growth denominator; it can only FAIL if its big-side density is
+    material (>= 1 pair/row). 3 -> 40 pairs on a 60k-doc corpus is
+    sparse-corpus noise; anything -> 200 pairs/row is a blowup.
     """
     rows, flagged = [], []
     for fam, (counter, denom, covers) in _candidate_probes().items():
@@ -167,7 +168,7 @@ def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
         per_big = p_big / max(d_big, 1)
         floor = 0.5 / max(d_small, 1)
         norm = per_big / max(per_small, floor)
-        no_baseline = p_small == 0
+        no_baseline = p_small < 10
         fail = norm > fail_threshold and (not no_baseline or per_big >= 1.0)
         watch = not fail and norm > watch_threshold
         rows.append(
@@ -176,7 +177,7 @@ def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
         )
         mark = ("  <-- PAIR BLOWUP" if fail
                 else "  (watch)" if watch else "")
-        note = "  [no small-sf baseline: norm vs half-pair floor]" \
+        note = "  [sparse small-sf baseline (<10 pairs): fail gated on big-side density]" \
             if no_baseline else ""
         print(
             f"{fam:22s} pairs {p_small:>9,} -> {p_big:>10,}  "
@@ -199,6 +200,14 @@ _SECOND_STEP_QUERIES = [
     "q_semdedup",
     "q_ann_ivf",
     "q_embedding_neardup",
+    # round-11 additions (r10 verdict): the slowest batch query (7.24x
+    # first decade, explode + window-count — blow-up preserves its
+    # per-source shingle-frequency density by construction) and the
+    # basket pair-generation shape (2.65x first decade — blow-up gives
+    # each copy disjoint order/part key spaces so pair supports hold
+    # sf0.1 density instead of 10x-ing past the MIN_PAIR filter)
+    "q_boilerplate",
+    "q_basket_affinity",
 ]
 
 
@@ -270,6 +279,25 @@ def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
         s = s.unionByName(p)
     s.write.parquet(os.path.join(out, "supplier.parquet"))
 
+    # lineitem: per-copy offsets on BOTH basket key and item key, so each
+    # copy is a disjoint market — baskets keep their sf0.1 size and every
+    # part pair keeps its sf0.1 support (shared partkeys would 10x every
+    # pair's support, pushing formerly sub-threshold pairs past the
+    # _BASKET_MIN_PAIR filter and measuring threshold semantics, not
+    # plan scaling)
+    li = spark.read.parquet(os.path.join(src_sf, "lineitem.parquet"))
+    ok_span = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    pk_span = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    li_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * ok_span))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(i * pk_span))
+        for i in range(copies)
+    ]
+    lo = li_parts[0]
+    for p in li_parts[1:]:
+        lo = lo.unionByName(p)
+    lo.write.parquet(os.path.join(out, "lineitem.parquet"))
+
     emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
     vec_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     emb_parts = [
@@ -303,6 +331,7 @@ def run_second_step(spark, threshold: float, copies: int = 10):
     print(f"building {copies}x blow-up of sf0.1 ...")
     blow = build_blowup(spark, BIG_SF, copies)
     rows, flagged = [], []
+    errors = 0
     for name in _SECOND_STEP_QUERIES:
         spec = specs[name]
         try:
@@ -314,6 +343,9 @@ def run_second_step(spark, threshold: float, copies: int = 10):
             spec.fn(spark, blow).count()
             t_blow = time.perf_counter() - t0
         except Exception as exc:  # noqa: BLE001
+            # an errored query is a FAILED audit, not a skipped row — a
+            # dead JVM must not read as "0 families flagged, exit 0"
+            errors += 1
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}"[:120])
             continue
         ratio = t_blow / max(t_big, 1e-9)
@@ -324,7 +356,7 @@ def run_second_step(spark, threshold: float, copies: int = 10):
               f"x{ratio:6.2f}{mark}")
         if flag:
             flagged.append(name)
-    return rows, flagged
+    return rows, flagged, errors
 
 
 def main() -> int:
@@ -357,7 +389,13 @@ def main() -> int:
     from gcp_healthcare_data_pipeline_spark.queries import all_queries
     from gcp_healthcare_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("scaling-audit")
+    # the blow-up probes run 500k-doc posting-list joins in ONE local JVM;
+    # PySpark's 1g driver default OOMs there (observed at the r11 blow-up
+    # set). Honored only if this is the first session in the process —
+    # which it is for this CLI tool.
+    spark = get_spark(
+        "scaling-audit", extra_conf={"spark.driver.memory": "16g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.pairs:
@@ -389,7 +427,9 @@ def main() -> int:
         return 1 if flagged else 0
 
     if args.second_step:
-        rows, flagged = run_second_step(spark, args.threshold, args.copies)
+        rows, flagged, errors = run_second_step(
+            spark, args.threshold, args.copies
+        )
         if args.out:
             with open(args.out, "w") as fh:
                 fh.write(
@@ -405,7 +445,9 @@ def main() -> int:
                         f"| {name} | {tb:.3f} | {tw:.3f} | {r:.2f} | "
                         f"{'SUPERLINEAR' if fl else ''} |\n"
                     )
-        return 1 if flagged else 0
+                if errors:
+                    fh.write(f"\n{errors} queries ERRORED (audit failed).\n")
+        return 1 if (flagged or errors) else 0
 
     specs = {
         n: s for n, s in all_queries().items()
