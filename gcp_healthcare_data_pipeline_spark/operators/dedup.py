@@ -101,14 +101,36 @@ def lsh_params(
     formulas are mirrored VERBATIM in the DuckDB oracles (same IEEE
     double ops: LOG10/LN/POWER/CEIL + the same integer clamp), so
     candidate sets stay bit-identical across engines at every corpus
-    size.
+    size. Every CEIL carries a 1e-9 epsilon guard (``ceil(x - 1e-9)``)
+    on BOTH sides: cross-engine agreement otherwise hinges on two libms
+    returning the same last bit at integer crossings (e.g. a log10(10^6)
+    of 6.000000000000001 on one engine flips its r while the other
+    holds), and the guard absorbs that whole class. At exact IEEE
+    integers the guard is inert — correctly-rounded log10 of a power of
+    ten IS exact, so 1e-9 below it still ceils back up.
+
+    EPOCH POLICY for growing corpora (production, not the fixed test
+    corpora): the shape is a function of n, so a corpus that crosses a
+    decade boundary between ingests would silently re-derive a longer
+    signature, invalidating every PERSISTED signature/band table built
+    under the old shape. Pin (r, b, k) per corpus EPOCH — derive once
+    when the corpus (or shard) is created, store it next to the
+    signature table, and reuse it for every incremental batch screened
+    against that corpus regardless of current n. Correctness does not
+    depend on n: any pinned shape yields engine-identical candidates
+    and the exact-Jaccard verify stage is shape-independent (recall at
+    the stale shape degrades only gradually — the S-curve guarantee
+    held at the derivation point). Re-derive + re-sign as a planned
+    maintenance op when the corpus outgrows the epoch by a decade; see
+    tests/test_dedup.py::test_pinned_epoch_shape_on_grown_corpus.
     """
     import math  # noqa: PLC0415
 
-    r = max(2, min(4, math.ceil(math.log10(max(n_docs, 1))) - 1))
+    r = max(2, min(4, math.ceil(math.log10(max(n_docs, 1)) - 1e-9) - 1))
     b = math.ceil(
         math.log(1.0 - target_recall)
         / math.log(1.0 - jaccard_threshold**r)
+        - 1e-9
     )
     return r, b, r * b
 

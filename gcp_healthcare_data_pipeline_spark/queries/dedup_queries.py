@@ -50,33 +50,65 @@ def _corpus_lsh_params(
     spark: SparkSession, sf_dir: str
 ) -> tuple[int, int, int]:
     """(rows_per_band, bands, k) derived from the documents-table
-    cardinality — a planning-time catalog statistic (at 100 TB this is
-    table metadata, not a scan; here one cheap count cached per
-    session/corpus). See ``operators.dedup.lsh_params`` for the theory
-    and ``_LSH_SQL_CTE`` for the oracle-side mirror."""
+    cardinality — a planning-time catalog statistic. Read from the
+    parquet FOOTER metadata (no Spark job — query builders calling this
+    stay fully lazy; at 100 TB this is table metadata from the catalog,
+    never a scan), with a Spark ``count()`` fallback for exotic layouts;
+    either way cached per (session, corpus). Footer count == scan count
+    here because ``load_tables`` never filters rows. See
+    ``operators.dedup.lsh_params`` for the theory (including the EPOCH
+    POLICY for growing corpora) and ``_lsh_sql_cte`` for the oracle-side
+    mirror."""
+    import os  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.session import (  # noqa: PLC0415
+        parquet_num_rows,
+    )
+
     key = (spark.sparkContext.applicationId, sf_dir)
     p = _LSH_PARAM_CACHE.get(key)
     if p is None:
-        n = load_tables(spark, sf_dir, "documents").count()
+        n = parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
+        if n is None:
+            n = load_tables(spark, sf_dir, "documents").count()
         p = lsh_params(n)
         _LSH_PARAM_CACHE[key] = p
     return p
 
 
-def _lsh_sql_cte(src: str = "sh") -> str:
+def _lsh_sql_cte(
+    src: str = "sh",
+    count_src: str = "documents",
+    pinned: "tuple[int, int] | None" = None,
+) -> str:
     """The SQL mirror of the adaptive MinHash/LSH pipeline: ``lshp``
-    computes (r, nb) with the SAME IEEE-double formulas and the same
-    r-clamp [2, 4] as ``operators.dedup.lsh_params`` (verified to agree
-    for corpus sizes 50..5M), then sig/bands use them dynamically — ``k = r * nb``
+    computes (r, nb) with the SAME IEEE-double formulas, the same
+    r-clamp [2, 4], and the same 1e-9 epsilon guard inside every CEIL
+    as ``operators.dedup.lsh_params`` (verified to agree for corpus
+    sizes 0..10^9), then sig/bands use them dynamically — ``k = r * nb``
     minhashes, band key = band index + ':'-joined signature slice,
     bit-identical to the Spark construction at every corpus size.
-    Expects a prior CTE ``src``(doc_id, shingles)."""
-    return f"""lshp AS (
-  SELECT r, CAST(CEIL(LN(0.1) / LN(1 - POWER(0.6, r))) AS INT) AS nb
+    Expects a prior CTE ``src``(doc_id, shingles). ``count_src`` is the
+    relation whose COUNT(*) drives the band shape — it must name the
+    same corpus the Spark side derived its shape from (default: the
+    ``documents`` base table, matching ``_corpus_lsh_params``); an
+    oracle over a derived/subset corpus must pass its own count source
+    or the band shapes silently diverge across engines. ``pinned``
+    bypasses the derivation entirely with an explicit (r, nb) — the
+    oracle form of the EPOCH POLICY (``operators.dedup.lsh_params``):
+    a persisted corpus keeps its epoch shape even after n outgrows the
+    derivation point."""
+    lshp = (
+        f"SELECT {pinned[0]} AS r, {pinned[1]} AS nb"
+        if pinned is not None
+        else f"""SELECT r, CAST(CEIL(LN(0.1) / LN(1 - POWER(0.6, r)) - 1e-9) AS INT) AS nb
   FROM (SELECT LEAST(4, GREATEST(2,
-                 CAST(CEIL(LOG10(GREATEST(COUNT(*), 1))) AS INT) - 1))
+                 CAST(CEIL(LOG10(GREATEST(COUNT(*), 1)) - 1e-9) AS INT) - 1))
                  AS r
-        FROM documents) _n
+        FROM {count_src}) _n"""
+    )
+    return f"""lshp AS (
+  {lshp}
 ), based AS (
   SELECT doc_id, shingles,
     list_transform(shingles,

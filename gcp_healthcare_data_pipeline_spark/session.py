@@ -152,3 +152,25 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     if len(names) == 1:
         return dfs[names[0]]
     return dfs
+
+
+def parquet_num_rows(path: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata only — the local-FS
+    analog of a catalog statistic (``spark.read`` + ``COUNT(*)`` would
+    run a real job; planning-time parameter derivation must not).
+    Handles both single-file tables and Spark-written directories.
+    Returns None when the footer isn't readable so callers can fall
+    back to a Spark count."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    try:
+        if os.path.isdir(path):
+            total, found = 0, False
+            for f in sorted(os.listdir(path)):
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(path, f)).num_rows
+                    found = True
+            return total if found else None
+        return pq.read_metadata(path).num_rows
+    except (OSError, ValueError, KeyError):
+        return None

@@ -1,0 +1,64 @@
+"""Hostile-session parity: the driver hands queries ITS OWN session —
+ANSI mode on, a non-UTC timezone — not the engine's pinned one
+(session.py). Every registry query must stay oracle-green under those
+confs, because query-local expressions (try_cast, unix_micros under
+explicit UTC handling, the epsilon-guarded LOG10/LN/POWER band-shape
+formulas) carry their own semantics instead of leaning on session
+defaults.
+
+This file pins that property for the round-10/11-touched adaptive
+families the r10 verdict named explicitly (q_dedup_minhash_lsh,
+q_semdedup, q_ann_ivf — their oracles depend on IEEE double
+LOG10/LN/POWER parity) plus the incremental screen and the curation
+composite that share the banding code path.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check import duck_con, normalize  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+HOSTILE_CONFS = {
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.session.timeZone": "America/New_York",
+}
+
+QUERIES = [
+    "q_dedup_minhash_lsh",
+    "q_semdedup",
+    "q_ann_ivf",
+    "q_dedup_incremental",
+    "q_corpus_curation",
+]
+
+
+@pytest.fixture()
+def hostile(spark):
+    saved = {k: spark.conf.get(k) for k in HOSTILE_CONFS}
+    for k, v in HOSTILE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_adaptive_families_under_hostile_session(hostile, name):
+    from gcp_healthcare_data_pipeline_spark.queries import all_queries
+
+    spec = all_queries()[name]
+    got = normalize(spec.fn(hostile, SF_DIR).toPandas())
+    con = duck_con(SF_DIR)  # hold the ref: the relation evaluates lazily
+    want = normalize(con.sql(spec.oracle).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)}"
+    assert got.equals(want), f"{name}: values differ under hostile session"
