@@ -118,6 +118,31 @@ def _candidate_probes():
             or 0
         )
 
+    def basket_pairs(spark, sf_dir):
+        # the PRE-filter basket self-join space (sum over baskets of
+        # C(items, 2)) — q_basket_affinity's one curve that could bend
+        # up if basket sizes grew with the corpus
+        li = (
+            load_tables(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        per = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        return int(
+            per.agg(
+                F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            ).collect()[0][0]
+            or 0
+        )
+
+    def n_orders(spark, sf_dir):
+        return (
+            load_tables(spark, sf_dir, "lineitem")
+            .select("l_orderkey")
+            .distinct()
+            .count()
+        )
+
     return {
         "lsh_band_join": (
             lsh_pairs, n_docs, "q_dedup_minhash_lsh q_corpus_curation "
@@ -135,6 +160,9 @@ def _candidate_probes():
         ),
         "pmi_doc_pair_fanout": (
             pmi_pairs, n_docs, "q_pmi_collocations",
+        ),
+        "basket_pair_fanout": (
+            basket_pairs, n_orders, "q_basket_affinity",
         ),
     }
 
