@@ -57,9 +57,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-11 rotation (per the
 # r10 verdict's evidence-freshness finding): the 6 pipeline gates,
-# then ALL 44 queries whose latest driver rows date to r04/r05-era
-# trees (the 4 r04 window/salt queries plus the 40 r05 rows). That is
-# exactly 50 slots. Every rotated-out entry holds a green r08-r10 row;
+# the 2 never-sampled round-11 additions, then 42 of the 44 queries
+# whose latest driver rows date to r04/r05-era trees (all 4 r04
+# window/salt queries plus 38 of the 40 r05 rows; q_cube_sales and
+# q_set_ops — simple deterministic SQL shapes with green r05 rows and
+# pytest coverage — wait one round). That is exactly 50 slots. Every rotated-out entry holds a green r08-r10 row;
 # union of driver rows across rounds covers the whole registry.
 _DRIVER_PRIORITY = [
     # reference end-to-end gates (silver.sql + gold.sql full pipeline)
@@ -69,15 +71,17 @@ _DRIVER_PRIORITY = [
     "q_pipeline_department_performance",
     "q_pipeline_financial_metrics",
     "q_pipeline_payor_performance",
+    # NEW this round (never driver-sampled)
+    "q_dedup_substring",
+    "q_coreset_select",
     # last driver-sampled r04 (oldest evidence in the registry)
     "q_customer_running_total",
     "q_ntile_quartiles",
     "q_salted_agg",
     "q_salted_join",
-    # last driver-sampled r05 (all 40)
+    # last driver-sampled r05 (38 of 40)
     "q_boilerplate",
     "q_contamination",
-    "q_cube_sales",
     "q_customers_no_orders",
     "q_dedup_passages",
     "q_domain_mix",
@@ -99,7 +103,6 @@ _DRIVER_PRIORITY = [
     "q_retention_cohorts",
     "q_rolling_revenue",
     "q_sequence_packing",
-    "q_set_ops",
     "q_shuffle_export",
     "q_snapshot_diff",
     "q_stats_by_flag",

@@ -649,6 +649,87 @@ FROM d
 """
 
 
+_SUBSTR_W = 20  # window width (tokens) — Lee et al. use 50 BPE tokens;
+_SUBSTR_S = 10  # stride; overlapping windows catch any >=W+S-1-token span
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (the "Deduplicating Training
+    Data Makes Language Models Better" suffix-array criterion, adapted
+    to distributed hashing): hash every ``_SUBSTR_W``-token window at
+    stride ``_SUBSTR_S``; a window whose hash occurs in >= 2 DISTINCT
+    documents marks a verbatim cross-document span. Emits each doc's
+    distinct-window count, duplicated-window count, and the fraction —
+    the signal a curation pipeline thresholds on (or uses to cut spans).
+
+    Unlike shingle Jaccard (q_dedup_minhash_lsh, whole-doc similarity)
+    this catches a long verbatim quote inside otherwise-unrelated
+    documents; unlike q_dedup_passages (disjoint fixed chunks) the
+    overlapping stride detects spans at ANY alignment >= W+S-1 tokens.
+
+    Plan shape: the same single-explode + window-count discipline as
+    q_boilerplate — windows are built per-row with HOFs (array slice +
+    md5, no self-join), the one exchange partitions the exploded
+    (hash) space, and per-hash document counts come from a COUNT window
+    in place. Explode volume is O(total_tokens / stride) — linear in
+    corpus bytes; no candidate pairs are ever materialized.
+    """
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    from gcp_healthcare_data_pipeline_spark.functions.text import (  # noqa: PLC0415
+        tokens,
+    )
+
+    d = docs.withColumn("_toks", tokens("text")).filter(
+        F.size("_toks") >= _SUBSTR_W
+    )
+    wins = F.expr(
+        f"array_distinct(transform("
+        f"sequence(0, cast(floor((size(_toks) - {_SUBSTR_W}) / {_SUBSTR_S})"
+        f" as int)),"
+        f" i -> md5(array_join(slice(_toks, i * {_SUBSTR_S} + 1,"
+        f" {_SUBSTR_W}), ' '))))"
+    )
+    ex = d.select("doc_id", F.explode(wins).alias("h"))
+    w = Window.partitionBy("h")
+    counted = ex.withColumn("docs_with", F.count(F.lit(1)).over(w))
+    is_dup = (F.col("docs_with") >= 2).cast("int")
+    return counted.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(is_dup).alias("n_dup_windows"),
+        F.round(
+            F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_fraction"),
+    )
+
+
+_ORACLE_DEDUP_SUBSTRING = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(0, CAST(FLOOR((len(toks) - {_SUBSTR_W}) / {_SUBSTR_S}.0)
+               AS BIGINT) + 1),
+      i -> md5(array_to_string(
+             toks[i * {_SUBSTR_S} + 1 : i * {_SUBSTR_S} + {_SUBSTR_W}],
+             ' ')))) AS hs
+  FROM d WHERE len(toks) >= {_SUBSTR_W}
+), ex AS (
+  SELECT doc_id, UNNEST(hs) AS h FROM w
+), dfc AS (
+  SELECT h, COUNT(*) AS docs_with FROM ex GROUP BY 1
+)
+SELECT ex.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(CASE WHEN dfc.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_windows,
+  ROUND(CAST(SUM(CASE WHEN dfc.docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS dup_fraction
+FROM ex JOIN dfc USING (h)
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_dedup_exact", q_dedup_exact, _ORACLE_DEDUP_EXACT, "ext:dedup A7"),
     QuerySpec(
@@ -677,5 +758,9 @@ QUERIES = [
     QuerySpec(
         "q_dedup_passages", q_dedup_passages, _ORACLE_DEDUP_PASSAGES,
         "ext:dedup (corpus-wide passage-level first-occurrence dedup)",
+    ),
+    QuerySpec(
+        "q_dedup_substring", q_dedup_substring, _ORACLE_DEDUP_SUBSTRING,
+        "ext:dedup (exact-substring window hashing, suffix-array analog)",
     ),
 ]

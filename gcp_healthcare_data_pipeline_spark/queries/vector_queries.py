@@ -976,6 +976,60 @@ WHERE rank <= {_KNN_K}
 """
 
 
+_CORESET_M = 5  # representatives kept per cluster
+
+
+def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset / data-pruning selection: keep the ``_CORESET_M`` most
+    central members of each embedding cluster (hash-stratified seeds ->
+    one broadcast nearest-centroid assignment -> per-cluster top-m by
+    distance). The "prototype selection" primitive of embedding-based
+    data pruning (SemDeDup prunes REDUNDANT points; this keeps the
+    REPRESENTATIVE ones for a distilled training subset).
+
+    Scale shape: the corpus never shuffles by key — centroids broadcast
+    onto it map-side (same discipline as q_kmeans), and the only
+    exchanges are the per-vector argmin window on vec_id and the
+    per-cluster top-m window on centroid_id (k groups of corpus/k rows;
+    seeds are hash-stratified so no cluster degenerates to the whole
+    corpus — the r10 semdedup lesson).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    assigned = _kmeans_assign(emb, _seed_centroids(emb))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CORESET_M)
+        .select("centroid_id", "rank", "vec_id", "dist")
+    )
+
+
+_ORACLE_CORESET_SELECT = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {_C0_SQL}, s1 AS (
+  SELECT e.vec_id, c0.centroid_id, {_KM_DIST_SQL} AS dist
+  FROM e CROSS JOIN c0
+), a1 AS (
+  SELECT vec_id, centroid_id, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
+)
+SELECT centroid_id, rank, vec_id, dist FROM (
+  SELECT centroid_id, vec_id, dist,
+    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
+  FROM a1) _r
+WHERE rank <= {_CORESET_M}
+"""
+
+
 QUERIES = [
     QuerySpec("q_ann_topk", q_ann_topk, _ORACLE_ANN_TOPK, "ext:similarity"),
     QuerySpec(
@@ -1012,5 +1066,9 @@ QUERIES = [
     QuerySpec(
         "q_cluster_balance", q_cluster_balance, _ORACLE_CLUSTER_BALANCE,
         "ext:similarity (cluster-capped diversity sampling)",
+    ),
+    QuerySpec(
+        "q_coreset_select", q_coreset_select, _ORACLE_CORESET_SELECT,
+        "ext:similarity (per-cluster prototype/coreset selection)",
     ),
 ]

@@ -36,6 +36,9 @@ QUERIES = [
     "q_ann_ivf",
     "q_dedup_incremental",
     "q_corpus_curation",
+    # round-11 additions
+    "q_dedup_substring",
+    "q_coreset_select",
 ]
 
 

@@ -236,6 +236,11 @@ _SECOND_STEP_QUERIES = [
     # sf0.1 density instead of 10x-ing past the MIN_PAIR filter)
     "q_boilerplate",
     "q_basket_affinity",
+    # round-11 addition: same explode + window-count shape as
+    # boilerplate over stride-10 window hashes (blow-up's per-copy
+    # token prefixes keep window hashes disjoint across copies,
+    # preserving per-hash document-frequency density)
+    "q_dedup_substring",
 ]
 
 
