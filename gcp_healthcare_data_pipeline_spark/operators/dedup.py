@@ -122,7 +122,7 @@ def lsh_params(
     the stale shape degrades only gradually — the S-curve guarantee
     held at the derivation point). Re-derive + re-sign as a planned
     maintenance op when the corpus outgrows the epoch by a decade; see
-    tests/test_dedup.py::test_pinned_epoch_shape_on_grown_corpus.
+    tests/test_epoch_pinning.py::test_pinned_epoch_shape_on_grown_corpus.
     """
     import math  # noqa: PLC0415
 

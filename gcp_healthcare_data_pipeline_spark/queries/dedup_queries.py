@@ -649,30 +649,42 @@ FROM d
 """
 
 
-_SUBSTR_W = 20  # window width (tokens) — Lee et al. use 50 BPE tokens;
-_SUBSTR_S = 10  # stride; overlapping windows catch any >=W+S-1-token span
+_SUBSTR_W = 20  # fingerprinted span width (tokens)
+_SUBSTR_K = 10  # winnowing window: min-hash of K consecutive W-grams
 
 
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication signal (the "Deduplicating Training
     Data Makes Language Models Better" suffix-array criterion, adapted
-    to distributed hashing): hash every ``_SUBSTR_W``-token window at
-    stride ``_SUBSTR_S``; a window whose hash occurs in >= 2 DISTINCT
-    documents marks a verbatim cross-document span. Emits each doc's
-    distinct-window count, duplicated-window count, and the fraction —
-    the signal a curation pipeline thresholds on (or uses to cut spans).
+    to distributed hashing) via WINNOWING fingerprints (Schleimer,
+    Wilkerson & Aiken 2003): hash every ``_SUBSTR_W``-token gram at
+    stride 1, then keep only the lexicographic MINIMUM hash of each run
+    of ``_SUBSTR_K`` consecutive gram hashes. Because the selection is
+    content-defined (min over hashes), two documents sharing a verbatim
+    span select the SAME fingerprints inside it regardless of where the
+    span sits in either document — the winnowing guarantee: any shared
+    span of >= W + K - 1 tokens shares at least one fingerprint AT ANY
+    ALIGNMENT. (A naive fixed-stride sampler only matches spans whose
+    offsets agree mod the stride and silently misses ~(S-1)/S of
+    randomly-aligned quotes — the bug class this construction exists to
+    avoid.) A fingerprint occurring in >= 2 DISTINCT documents marks a
+    cross-document verbatim span; each doc reports its fingerprint
+    count, duplicated-fingerprint count and the fraction — the signal a
+    curation pipeline thresholds on (or uses to cut spans).
 
     Unlike shingle Jaccard (q_dedup_minhash_lsh, whole-doc similarity)
-    this catches a long verbatim quote inside otherwise-unrelated
-    documents; unlike q_dedup_passages (disjoint fixed chunks) the
-    overlapping stride detects spans at ANY alignment >= W+S-1 tokens.
+    this catches one long verbatim quote inside otherwise-unrelated
+    documents; unlike q_dedup_passages (disjoint fixed chunks) it is
+    alignment-independent.
 
     Plan shape: the same single-explode + window-count discipline as
-    q_boilerplate — windows are built per-row with HOFs (array slice +
-    md5, no self-join), the one exchange partitions the exploded
-    (hash) space, and per-hash document counts come from a COUNT window
-    in place. Explode volume is O(total_tokens / stride) — linear in
-    corpus bytes; no candidate pairs are ever materialized.
+    q_boilerplate — gram hashes and their windowed minima are built
+    per-row with nested HOFs (slice + md5 + array_min, no self-join),
+    the one exchange partitions the exploded fingerprint space, and
+    per-fingerprint document counts come from a COUNT window in place.
+    Fingerprint density is ~2/(K+1) per token position, so explode
+    volume is linear in corpus bytes; no candidate pairs are ever
+    materialized.
     """
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
     from gcp_healthcare_data_pipeline_spark.functions.text import (  # noqa: PLC0415
@@ -680,22 +692,29 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = docs.withColumn("_toks", tokens("text")).filter(
-        F.size("_toks") >= _SUBSTR_W
+        F.size("_toks") >= _SUBSTR_W + _SUBSTR_K - 1
     )
-    wins = F.expr(
-        f"array_distinct(transform("
-        f"sequence(0, cast(floor((size(_toks) - {_SUBSTR_W}) / {_SUBSTR_S})"
-        f" as int)),"
-        f" i -> md5(array_join(slice(_toks, i * {_SUBSTR_S} + 1,"
-        f" {_SUBSTR_W}), ' '))))"
+    # stride-1 W-gram hashes, then winnowed minima (both stay inside the
+    # scan stage); array_min on md5 strings = lexicographic, identical
+    # in DuckDB
+    d = d.withColumn(
+        "_hs",
+        F.expr(
+            f"transform(sequence(0, size(_toks) - {_SUBSTR_W}),"
+            f" i -> md5(array_join(slice(_toks, i + 1, {_SUBSTR_W}), ' ')))"
+        ),
     )
-    ex = d.select("doc_id", F.explode(wins).alias("h"))
-    w = Window.partitionBy("h")
+    fps = F.expr(
+        f"array_distinct(transform(sequence(0, size(_hs) - {_SUBSTR_K}),"
+        f" i -> array_min(slice(_hs, i + 1, {_SUBSTR_K}))))"
+    )
+    ex = d.select("doc_id", F.explode(fps).alias("fp"))
+    w = Window.partitionBy("fp")
     counted = ex.withColumn("docs_with", F.count(F.lit(1)).over(w))
     is_dup = (F.col("docs_with") >= 2).cast("int")
     return counted.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum(is_dup).alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(is_dup).alias("n_dup_fingerprints"),
         F.round(
             F.sum(is_dup).cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_fraction"),
@@ -705,27 +724,28 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DEDUP_SUBSTRING = f"""
 WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+    list_transform(range(1, len(toks) - {_SUBSTR_W} + 2),
+      i -> md5(array_to_string(toks[i : i + {_SUBSTR_W} - 1], ' '))) AS hs
+  FROM d WHERE len(toks) >= {_SUBSTR_W} + {_SUBSTR_K} - 1
 ), w AS (
   SELECT doc_id,
-    list_distinct(list_transform(
-      range(0, CAST(FLOOR((len(toks) - {_SUBSTR_W}) / {_SUBSTR_S}.0)
-               AS BIGINT) + 1),
-      i -> md5(array_to_string(
-             toks[i * {_SUBSTR_S} + 1 : i * {_SUBSTR_S} + {_SUBSTR_W}],
-             ' ')))) AS hs
-  FROM d WHERE len(toks) >= {_SUBSTR_W}
+    list_distinct(list_transform(range(1, len(hs) - {_SUBSTR_K} + 2),
+      i -> list_min(hs[i : i + {_SUBSTR_K} - 1]))) AS fps
+  FROM g
 ), ex AS (
-  SELECT doc_id, UNNEST(hs) AS h FROM w
+  SELECT doc_id, UNNEST(fps) AS fp FROM w
 ), dfc AS (
-  SELECT h, COUNT(*) AS docs_with FROM ex GROUP BY 1
+  SELECT fp, COUNT(*) AS docs_with FROM ex GROUP BY 1
 )
 SELECT ex.doc_id,
-  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
   CAST(SUM(CASE WHEN dfc.docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_dup_windows,
+    AS n_dup_fingerprints,
   ROUND(CAST(SUM(CASE WHEN dfc.docs_with >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*), 6) AS dup_fraction
-FROM ex JOIN dfc USING (h)
+FROM ex JOIN dfc USING (fp)
 GROUP BY 1
 """
 
@@ -761,6 +781,6 @@ QUERIES = [
     ),
     QuerySpec(
         "q_dedup_substring", q_dedup_substring, _ORACLE_DEDUP_SUBSTRING,
-        "ext:dedup (exact-substring window hashing, suffix-array analog)",
+        "ext:dedup (winnowing-fingerprint exact-substring signal)",
     ),
 ]

@@ -7,7 +7,7 @@ covers the engine-parity side.
 from __future__ import annotations
 
 from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
-    _SUBSTR_S,
+    _SUBSTR_K,
     _SUBSTR_W,
     q_dedup_substring,
 )
@@ -32,9 +32,10 @@ def _words(prefix, n):
 
 
 def test_substring_full_dup_and_unique(spark, tmp_path):
-    """A verbatim copy shares every window (fraction 1.0); an unrelated
-    doc shares none (0.0); a doc below W tokens emits no row."""
-    n = _SUBSTR_W + _SUBSTR_S  # exactly 2 windows per doc
+    """A verbatim copy shares every fingerprint (fraction 1.0); an
+    unrelated doc shares none (0.0); a doc below W+K-1 tokens emits no
+    row."""
+    n = _SUBSTR_W + _SUBSTR_K + 5
     sf_dir = _write_docs(
         spark,
         tmp_path,
@@ -42,37 +43,39 @@ def test_substring_full_dup_and_unique(spark, tmp_path):
             (0, _words("a", n)),
             (1, _words("a", n)),          # verbatim copy of doc 0
             (2, _words("z", n)),          # unrelated
-            (3, _words("q", _SUBSTR_W - 1)),  # too short: dropped
+            (3, _words("q", _SUBSTR_W + _SUBSTR_K - 2)),  # too short
         ],
     )
     out = {r.doc_id: r for r in q_dedup_substring(spark, sf_dir).collect()}
     assert set(out) == {0, 1, 2}
     for d in (0, 1):
-        assert out[d].n_windows == 2
-        assert out[d].n_dup_windows == 2
+        assert out[d].n_fingerprints >= 1
+        assert out[d].n_dup_fingerprints == out[d].n_fingerprints
         assert out[d].dup_fraction == 1.0
-    assert out[2].n_windows == 2 and out[2].n_dup_windows == 0
+    assert out[2].n_fingerprints >= 1 and out[2].n_dup_fingerprints == 0
     assert out[2].dup_fraction == 0.0
 
 
-def test_substring_catches_embedded_quote(spark, tmp_path):
-    """The headline case shingle-Jaccard misses: one long verbatim span
-    inside otherwise-unrelated documents is detected by both sides."""
-    span = _words("s", _SUBSTR_W)  # one window-sized shared span
-    sf_dir = _write_docs(
-        spark,
-        tmp_path,
-        [
-            # span at position 0 in doc 0, after W+S filler tokens in
-            # doc 1 — both aligned to the stride grid so the window
-            # hashes coincide
-            (0, span + " " + _words("x", _SUBSTR_S)),
-            (1, _words("y", _SUBSTR_W + _SUBSTR_S * 2) + " " + span),
-        ],
-    )
+def test_substring_catches_quote_at_every_alignment(spark, tmp_path):
+    """The winnowing guarantee, exhaustively: one shared verbatim span
+    of exactly W+K-1 tokens must be detected at EVERY offset of the
+    containing document — including offsets that do not agree between
+    the two documents. (A fixed-stride sampler fails all offsets whose
+    difference isn't 0 mod the stride; this test is the regression pin
+    for that bug class.)"""
+    span = _words("s", _SUBSTR_W + _SUBSTR_K - 1)
+    rows = [(0, span)]  # span at offset 0, bare
+    # embed the same span after 1..K+2 filler tokens (every residue
+    # class mod K represented, plus past one full window)
+    for off in range(1, _SUBSTR_K + 3):
+        rows.append((off, _words(f"f{off}x", off) + " " + span))
+    sf_dir = _write_docs(spark, tmp_path, rows)
     out = {r.doc_id: r for r in q_dedup_substring(spark, sf_dir).collect()}
-    assert out[0].n_dup_windows >= 1
-    assert out[1].n_dup_windows >= 1
+    for off in range(0, _SUBSTR_K + 3):
+        assert out[off].n_dup_fingerprints >= 1, (
+            f"shared {_SUBSTR_W + _SUBSTR_K - 1}-token span missed at "
+            f"offset {off}"
+        )
 
 
 def test_coreset_rank_and_cap(spark):

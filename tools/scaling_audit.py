@@ -184,9 +184,14 @@ def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
 
     A family with a sparse SMALL_SF baseline (< 10 pairs — zero
     included, via a half-pair floor) has no statistically meaningful
-    growth denominator; it can only FAIL if its big-side density is
-    material (>= 1 pair/row). 3 -> 40 pairs on a 60k-doc corpus is
-    sparse-corpus noise; anything -> 200 pairs/row is a blowup.
+    growth DENOMINATOR, so its norm can explode on noise alone (1 -> 40
+    pairs is a 4x-per-row "growth" built on one pair). Such families
+    are judged on the ABSOLUTE big side instead: fail when p_big
+    exceeds what threshold-times-linear growth from a noise-adjusted
+    baseline of 10 pairs would give (10 * data_step * fail_threshold).
+    That still catches an early-stage quadratic (5 -> 5,000 pairs on a
+    10x step fails at 5,000 > 1,200) while 3 -> 40 on a 10x step — pure
+    sparse-corpus noise — passes.
     """
     rows, flagged = [], []
     for fam, (counter, denom, covers) in _candidate_probes().items():
@@ -197,7 +202,12 @@ def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
         floor = 0.5 / max(d_small, 1)
         norm = per_big / max(per_small, floor)
         no_baseline = p_small < 10
-        fail = norm > fail_threshold and (not no_baseline or per_big >= 1.0)
+        data_step = d_big / max(d_small, 1)
+        growth_floor = 10.0 * data_step * fail_threshold
+        fail = (
+            (norm > fail_threshold) if not no_baseline
+            else (p_big > growth_floor)
+        )
         watch = not fail and norm > watch_threshold
         rows.append(
             (fam, covers, p_small, d_small, p_big, d_big,
@@ -205,7 +215,7 @@ def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
         )
         mark = ("  <-- PAIR BLOWUP" if fail
                 else "  (watch)" if watch else "")
-        note = "  [sparse small-sf baseline (<10 pairs): fail gated on big-side density]" \
+        note = "  [sparse small-sf baseline (<10 pairs): fail gated on absolute big-side growth floor]" \
             if no_baseline else ""
         print(
             f"{fam:22s} pairs {p_small:>9,} -> {p_big:>10,}  "
@@ -237,9 +247,9 @@ _SECOND_STEP_QUERIES = [
     "q_boilerplate",
     "q_basket_affinity",
     # round-11 addition: same explode + window-count shape as
-    # boilerplate over stride-10 window hashes (blow-up's per-copy
-    # token prefixes keep window hashes disjoint across copies,
-    # preserving per-hash document-frequency density)
+    # boilerplate over winnowing fingerprints (blow-up's per-copy
+    # token prefixes keep gram hashes disjoint across copies,
+    # preserving per-fingerprint document-frequency density)
     "q_dedup_substring",
 ]
 
