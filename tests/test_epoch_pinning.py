@@ -34,7 +34,7 @@ from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (  # noqa: 
 )
 from gcp_healthcare_data_pipeline_spark.session import load_tables  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"  # 5000 docs
+SF_DIR = "/root/testdata/sf0.1"  # 5000 docs
 EPOCH_N = 500  # the corpus size the shape was pinned at, a decade ago
 
 _SH_CTE = """d AS (
@@ -48,11 +48,13 @@ _SH_CTE = """d AS (
 
 
 def test_corpus_outgrew_epoch_shape():
-    """Precondition: sf0.01's adaptive shape differs from the pinned
-    epoch shape — otherwise the parity test below proves nothing."""
+    """Precondition: the test corpus's own adaptive shape (5000 docs ->
+    (3, 10, 30)) differs from BOTH pinned epoch shapes below —
+    otherwise the parity test proves nothing."""
     assert lsh_params(EPOCH_N) == (2, 6, 12)
     assert lsh_params(5000) == (3, 10, 30)
-    assert lsh_params(EPOCH_N) != lsh_params(5000)
+    assert lsh_params(50000) == (4, 17, 68)
+    assert lsh_params(EPOCH_N) != lsh_params(5000) != lsh_params(50000)
 
 
 @pytest.mark.parametrize("epoch_n", [EPOCH_N, 50000])
@@ -119,3 +121,22 @@ def test_pinned_cte_matches_explicit_shape():
         f"{_lsh_sql_cte('sh', pinned=(4, 17))} SELECT r, nb FROM lshp"
     ).fetchone()
     assert got == (4, 17)
+
+
+def test_parquet_num_rows_matches_scan(spark, tmp_path):
+    """Footer-metadata row counts (the lazy catalog-statistic path the
+    LSH shape derivation uses) agree with a real scan for both
+    single-file and Spark-written directory layouts, and unreadable
+    paths return None instead of raising."""
+    from gcp_healthcare_data_pipeline_spark.session import parquet_num_rows
+
+    single = "/root/testdata/sf0.01/documents.parquet"
+    got = parquet_num_rows(single)
+    want = spark.read.parquet(single).count()
+    assert got == want == 500
+
+    d = str(tmp_path / "dirtable.parquet")
+    spark.range(0, 1234).repartition(4).write.parquet(d)
+    assert parquet_num_rows(d) == 1234
+
+    assert parquet_num_rows(str(tmp_path / "missing.parquet")) is None

@@ -167,6 +167,26 @@ def _candidate_probes():
     }
 
 
+def classify_pair_growth(
+    p_small: int, d_small: int, p_big: int, d_big: int,
+    watch_threshold: float, fail_threshold: float,
+) -> "tuple[float, float, float, bool, bool, bool]":
+    """Pure gate arithmetic for one family (unit-tested in
+    tests/test_tools.py): returns (per_small, per_big, norm, fail,
+    watch, sparse_baseline). See ``run_pairs_audit`` for the tier
+    semantics."""
+    per_small = p_small / max(d_small, 1)
+    per_big = p_big / max(d_big, 1)
+    floor = 0.5 / max(d_small, 1)
+    norm = per_big / max(per_small, floor)
+    sparse = p_small < 10
+    data_step = d_big / max(d_small, 1)
+    growth_floor = 10.0 * data_step * fail_threshold
+    fail = (norm > fail_threshold) if not sparse else (p_big > growth_floor)
+    watch = not fail and norm > watch_threshold
+    return per_small, per_big, norm, fail, watch, sparse
+
+
 def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
     """Count candidate pairs per family at SMALL_SF and BIG_SF.
 
@@ -197,18 +217,12 @@ def run_pairs_audit(spark, watch_threshold: float, fail_threshold: float):
     for fam, (counter, denom, covers) in _candidate_probes().items():
         p_small, d_small = counter(spark, SMALL_SF), denom(spark, SMALL_SF)
         p_big, d_big = counter(spark, BIG_SF), denom(spark, BIG_SF)
-        per_small = p_small / max(d_small, 1)
-        per_big = p_big / max(d_big, 1)
-        floor = 0.5 / max(d_small, 1)
-        norm = per_big / max(per_small, floor)
-        no_baseline = p_small < 10
-        data_step = d_big / max(d_small, 1)
-        growth_floor = 10.0 * data_step * fail_threshold
-        fail = (
-            (norm > fail_threshold) if not no_baseline
-            else (p_big > growth_floor)
+        per_small, per_big, norm, fail, watch, no_baseline = (
+            classify_pair_growth(
+                p_small, d_small, p_big, d_big,
+                watch_threshold, fail_threshold,
+            )
         )
-        watch = not fail and norm > watch_threshold
         rows.append(
             (fam, covers, p_small, d_small, p_big, d_big,
              per_small, per_big, norm, fail, watch)
