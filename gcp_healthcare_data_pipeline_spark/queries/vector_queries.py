@@ -414,6 +414,23 @@ SELECT label, vec_id, centroid_dist, rank FROM ranked WHERE rank <= 5
 # ---------------------------------------------------------------------------
 _KMEANS_K_MIN = 8
 _TARGET_BLOCK_ROWS = 256
+# SCALE NOTE (measured, SCALING_r11.md §4): k = ceil(n / 256) keeps the
+# within-cluster self-joins bounded (~256-row blocks) but makes the
+# broadcast nearest-centroid assignment n x k ~ n^2/256 — quadratic,
+# invisible at 2k-20k vectors, measured directly by the 100x blow-up
+# probe (tools/scaling_audit.py --third-step: q_semdedup ~47x on the
+# 10x->100x step, 200k vectors x 782 centroids x 3 assignment passes).
+# The 100 TB execution model is therefore SHARDED, same policy as the
+# LSH family: split the corpus at ~1M vectors/shard (k caps at
+# ~4096/shard), run this exact machinery per shard (it is already
+# parameterized by sf_dir = one shard), and cross-shard dedup only the
+# shard-boundary survivors. Per-shard cost is then fixed (1M x 4096
+# distance folds) and total cost is linear in shard count. A
+# statically-unrolled distance kernel was measured as the alternative
+# constant-factor fix and REJECTED: 3x faster in a bare select
+# microbenchmark but 3-4x SLOWER inside the real broadcast-join stages
+# (the ~400-node expression tree pushes the stage out of efficient
+# codegen) — negative result recorded in SCALING_r11.md §4.
 
 # DuckDB twin of the k derivation; valid wherever CTE ``e`` (the
 # embedding corpus) is in scope

@@ -357,11 +357,26 @@ def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
 
     emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
     vec_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    # per-copy shift must clear the WHOLE source extent, derived from
+    # the data rather than a constant, so blow-ups COMPOSE: with a fixed
+    # shift, level-1 copy i + level-2 copy j lands at (i+j)*shift and
+    # copies with equal i+j stack in the same region — up to 10x the
+    # source density, a data-property change that measured as a fake
+    # quadratic in the first 100x probe. An extent-derived shift makes
+    # level-2 displacements larger than the entire level-1 spread.
+    ext = emb.agg(
+        F.max(F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        ))
+    ).collect()[0][0]
+    shift = 2.0 * float(ext) + 16.0
     emb_parts = [
         emb.select(
             (F.col("vec_id") + F.lit(i * vec_span)).alias("vec_id"),
             F.transform(
-                "embedding", lambda x: (x + F.lit(float(i) * 8.0)).cast("float")
+                "embedding", lambda x: (x + F.lit(float(i) * shift)).cast("float")
             ).alias("embedding"),
             "label",
         )
@@ -416,6 +431,59 @@ def run_second_step(spark, threshold: float, copies: int = 10):
     return rows, flagged, errors
 
 
+_THIRD_STEP_QUERIES = [
+    # the adaptive-banding, winnowing and clustered-embedding families —
+    # the plans whose 100 TB behavior the whole design argues for
+    "q_dedup_minhash_lsh",
+    "q_dedup_substring",
+    "q_semdedup",
+    "q_ann_ivf",
+]
+
+
+def run_third_step(spark, threshold: float):
+    """Time the headline families across THREE decades: sf0.1 -> 10x ->
+    100x (5M docs / 200k embeddings), the 100x built as a blow-up OF the
+    blow-up — the per-copy token-prefix rewrite composes (level-2 tokens
+    are k{j}k{i}token, still bijective and cross-copy disjoint), so dup
+    density is preserved at both levels. Flags any family whose second
+    10x step (10x -> 100x) exceeds ``threshold``."""
+    from gcp_healthcare_data_pipeline_spark.queries import all_queries
+
+    specs = all_queries()
+    print("building 10x and 100x blow-ups of sf0.1 ...")
+    blow1 = build_blowup(spark, BIG_SF, 10)
+    blow2 = build_blowup(spark, blow1, 10)
+    rows, flagged, errors = [], [], 0
+    for name in _THIRD_STEP_QUERIES:
+        spec = specs[name]
+        try:
+            spec.fn(spark, SMALL_SF).count()  # codegen warmup
+            t0 = time.perf_counter()
+            spec.fn(spark, BIG_SF).count()
+            t_base = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            spec.fn(spark, blow1).count()
+            t_b1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            spec.fn(spark, blow2).count()
+            t_b2 = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001
+            errors += 1
+            print(f"{name:28s} ERROR {type(exc).__name__}: {exc}"[:160])
+            continue
+        r1 = t_b1 / max(t_base, 1e-9)
+        r2 = t_b2 / max(t_b1, 1e-9)
+        flag = r2 > threshold and t_b1 >= 0.15
+        rows.append((name, t_base, t_b1, t_b2, r1, r2, flag))
+        mark = "  <-- SUPERLINEAR (3rd decade)" if flag else ""
+        print(f"{name:28s} {t_base:7.3f}s -> {t_b1:8.3f}s -> {t_b2:9.3f}s"
+              f"  x{r1:5.2f} x{r2:5.2f}{mark}")
+        if flag:
+            flagged.append(name)
+    return rows, flagged, errors
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -440,6 +508,9 @@ def main() -> int:
     ap.add_argument("--second-step", action="store_true",
                     help="re-time the dedup/ANN families on a 10x "
                          "blow-up of sf0.1 (the second decade)")
+    ap.add_argument("--third-step", action="store_true",
+                    help="time the headline families at sf0.1 -> 10x "
+                         "-> 100x (5M docs; blow-up of the blow-up)")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
@@ -449,11 +520,39 @@ def main() -> int:
     # the blow-up probes run 500k-doc posting-list joins in ONE local JVM;
     # PySpark's 1g driver default OOMs there (observed at the r11 blow-up
     # set). Honored only if this is the first session in the process —
-    # which it is for this CLI tool.
+    # which it is for this CLI tool. The third-step 5M-doc corpus
+    # shuffles ~600M exploded gram hashes in one JVM — give it more.
     spark = get_spark(
-        "scaling-audit", extra_conf={"spark.driver.memory": "16g"}
+        "scaling-audit",
+        extra_conf={
+            "spark.driver.memory": "32g" if args.third_step else "16g"
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.third_step:
+        rows, flagged, errors = run_third_step(spark, args.threshold)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(
+                    "# Third scaling step (sf0.1 -> 10x -> 100x, dup "
+                    "density preserved at both levels)\n\n"
+                    f"{len(flagged)} of {len(rows)} families flagged "
+                    f"superlinear on the 10x->100x step (ratio > "
+                    f"{args.threshold:.0f}).\n\n"
+                    "| query | sf0.1 (s) | 10x (s) | 100x (s) | "
+                    "ratio 1->10x | ratio 10->100x | flag |\n"
+                    "|---|---|---|---|---|---|---|\n"
+                )
+                for name, tb, t1, t2, r1, r2, fl in rows:
+                    fh.write(
+                        f"| {name} | {tb:.3f} | {t1:.3f} | {t2:.3f} | "
+                        f"{r1:.2f} | {r2:.2f} | "
+                        f"{'SUPERLINEAR' if fl else ''} |\n"
+                    )
+                if errors:
+                    fh.write(f"\n{errors} queries ERRORED (audit failed).\n")
+        return 1 if (flagged or errors) else 0
 
     if args.pairs:
         rows, flagged = run_pairs_audit(
