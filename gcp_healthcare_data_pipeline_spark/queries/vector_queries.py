@@ -405,28 +405,35 @@ SELECT label, vec_id, centroid_dist, rank FROM ranked WHERE rank <= 5
 # engines replicate: Spark computes k as a 1-row broadcast aggregate
 # (no driver collect), the DuckDB oracle as a scalar subquery.
 #
-# Cost shape at extreme n: nearest-centroid assignment is n*k vectorized
-# codegen ops (k = n/B keeps blocks bounded for the heavy pair-cosine
-# stage, which is the dominant term); when assignment itself becomes the
-# bottleneck (n >> B^2), raise TARGET_BLOCK_ROWS toward sqrt(n) or go
-# hierarchical (coarse-assign to sqrt(k) super-clusters first) — same
-# plan shape, documented trade.
+# Cost shape at extreme n: assignment is HIERARCHICAL (two-level) —
+# every vector first picks its nearest of m = ceil(sqrt(k))
+# super-centroids (n x m folds), then competes only that super-cluster's
+# child centroids (n x k/m folds on average): n*2*sqrt(k) total instead
+# of the flat n*k, which the round-11 third-decade probe measured as
+# n^2/256 quadratic (40.6x on a 10x step at 200k vectors,
+# SCALING_r11.md §4). The two-level assignment is an APPROXIMATION of
+# the flat argmin (a vector whose true nearest centroid lives under a
+# different super-centroid gets the best child of its own super — the
+# standard coarse-quantizer trade every IVF/hierarchical-k-means system
+# makes); the DuckDB oracles rebuild the identical two-level plan, so
+# results stay bit-identical across engines.
 # ---------------------------------------------------------------------------
 _KMEANS_K_MIN = 8
 _TARGET_BLOCK_ROWS = 256
-# SCALE NOTE (measured, SCALING_r11.md §4): k = ceil(n / 256) keeps the
-# within-cluster self-joins bounded (~256-row blocks) but makes the
-# broadcast nearest-centroid assignment n x k ~ n^2/256 — quadratic,
-# invisible at 2k-20k vectors, measured directly by the 100x blow-up
-# probe (tools/scaling_audit.py --third-step: q_semdedup ~47x on the
-# 10x->100x step, 200k vectors x 782 centroids x 3 assignment passes).
-# The 100 TB execution model is therefore SHARDED, same policy as the
-# LSH family: split the corpus at ~1M vectors/shard (k caps at
-# ~4096/shard), run this exact machinery per shard (it is already
-# parameterized by sf_dir = one shard), and cross-shard dedup only the
-# shard-boundary survivors. Per-shard cost is then fixed (1M x 4096
-# distance folds) and total cost is linear in shard count. A
-# statically-unrolled distance kernel was measured as the alternative
+# SCALE NOTE (r11 measured, r12 fixed IN-ENGINE): k = ceil(n / 256)
+# keeps the within-cluster self-joins bounded (~256-row blocks) but a
+# FLAT broadcast nearest-centroid assignment is n x k ~ n^2/256 —
+# quadratic, invisible at 2k-20k vectors, measured directly by the 100x
+# blow-up probe (tools/scaling_audit.py --third-step, round 11:
+# q_semdedup ~40.6x on the 10x->100x step). Round 12 replaced the flat
+# assignment with the two-level hierarchy above (n*2*sqrt(k) =
+# n^1.25/8 folds for k = n/256 — at 200k vectors that is ~11M folds vs
+# the flat 156M, and the linear stages dominate through the probed
+# decades; see SCALING_r12.md). Beyond ~100M vectors/shard the
+# documented LSH-style shard policy still applies (split the corpus,
+# run this machinery per shard, reconcile boundary survivors), but the
+# in-engine curve no longer needs it inside any realistic shard. A
+# statically-unrolled distance kernel was measured as an alternative
 # constant-factor fix and REJECTED: 3x faster in a bare select
 # microbenchmark but 3-4x SLOWER inside the real broadcast-join stages
 # (the ~400-node expression tree pushes the stage out of efficient
@@ -449,6 +456,63 @@ _C0_SQL = f"""c0 AS (
     FROM (SELECT vec_id, v,
       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
       FROM e) _h) _r
+  WHERE rn = 1
+)"""
+
+# DuckDB twin of the super-centroid count m = max(1, ceil(sqrt(k))) —
+# pure arithmetic from the same corpus count n that derives k, so both
+# engines agree without exchanging the centroid table's cardinality
+_M_SQL = (
+    f"(SELECT GREATEST(1, CAST(CEIL(SQRT(GREATEST({_KMEANS_K_MIN}, "
+    f"CAST(CEIL(COUNT(*) / {_TARGET_BLOCK_ROWS}.0) AS BIGINT)))) "
+    f"AS BIGINT)) FROM e)"
+)
+
+
+def _km_dist_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`_dist_between` for arbitrary column refs."""
+    return (
+        f"ROUND(SQRT(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))), 6)"
+    )
+
+
+def _hier_assign_sql(cent: str, out: str, p: str) -> str:
+    """DuckDB twin of the hierarchical :func:`_kmeans_assign`: emits a
+    CTE chain (prefix ``p`` keeps names unique per assignment pass) that
+    seeds m super-centroids hash-stratified over ``cent``'s centroid_id,
+    maps every centroid to its nearest super, routes every vector of
+    ``e`` to its nearest super, and argmins only that super's children.
+    ``out`` exposes (vec_id, v, centroid_id, dist) — identical contract
+    to the Spark side, bit-identical tie-breaks (rounded dist asc, id
+    asc at both levels)."""
+    return f"""{p}sup AS (
+  SELECT centroid_id AS super_id, c AS sc FROM (
+    SELECT centroid_id, c, ROW_NUMBER() OVER (
+      PARTITION BY h % {_M_SQL} ORDER BY h, centroid_id) AS rn
+    FROM (SELECT centroid_id, c,
+      ('0x' || substr(md5(CAST(centroid_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM {cent}) _h) _r
+  WHERE rn = 1
+), {p}cmap AS (
+  SELECT centroid_id, c, super_id FROM (
+    SELECT k.centroid_id, k.c, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY k.centroid_id
+        ORDER BY {_km_dist_sql("k.c", "s.sc")} ASC, s.super_id ASC) AS rn
+    FROM {cent} k CROSS JOIN {p}sup s) _r WHERE rn = 1
+), {p}vsup AS (
+  SELECT vec_id, v, super_id FROM (
+    SELECT e.vec_id, e.v, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql("e.v", "s.sc")} ASC, s.super_id ASC) AS rn
+    FROM e CROSS JOIN {p}sup s) _r WHERE rn = 1
+), {out} AS (
+  SELECT vec_id, v, centroid_id, dist FROM (
+    SELECT w.vec_id, w.v, m.centroid_id,
+      {_km_dist_sql("w.v", "m.c")} AS dist,
+      ROW_NUMBER() OVER (PARTITION BY w.vec_id
+        ORDER BY {_km_dist_sql("w.v", "m.c")} ASC, m.centroid_id ASC) AS rn
+    FROM {p}vsup w JOIN {p}cmap m ON m.super_id = w.super_id) _r
   WHERE rn = 1
 )"""
 
@@ -506,26 +570,115 @@ def _seed_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def _dist_to_centroid() -> "F.Column":
-    """Rounded euclidean distance between ``v`` and ``c`` as a sequential
-    fold. Rounding to 6dp happens BEFORE the argmin so assignment
-    tie-breaks are identical across engines."""
+def _dist_between(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Rounded euclidean distance between two vector columns as a
+    sequential fold. Rounding to 6dp happens BEFORE the argmin so
+    assignment tie-breaks are identical across engines."""
     sq = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return F.round(F.sqrt(sq), 6)
 
 
-def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k x dims centroid table,
-    score all pairs map-side, keep the per-vector argmin (dist asc,
-    centroid_id asc). The cross join never shuffles the corpus — only the
-    per-vector top-1 window does, on vec_id."""
+def _dist_to_centroid() -> "F.Column":
+    """Rounded euclidean distance between ``v`` and ``c``."""
+    return _dist_between(F.col("v"), F.col("c"))
+
+
+def _derived_m(emb: DataFrame) -> DataFrame:
+    """1-row frame holding the super-centroid count
+    ``_m = max(1, ceil(sqrt(k)))`` — derived from the same corpus count
+    that derives k, mirrored in the oracle as ``_M_SQL``."""
+    k = (
+        F.greatest(
+            F.lit(_KMEANS_K_MIN),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(_TARGET_BLOCK_ROWS))),
+        )
+        .cast("bigint")
+    )
+    return emb.agg(
+        F.greatest(F.lit(1), F.ceil(F.sqrt(k))).cast("bigint").alias("_m")
+    )
+
+
+def _super_centroids(centroids: DataFrame, emb: DataFrame) -> DataFrame:
+    """m hash-stratified super-centroids chosen FROM the centroid table
+    (same seeding discipline as :func:`_seed_centroids`, keyed on
+    centroid_id): m id-hash buckets, one hash-minimal member each.
+    Deterministic, uniform over the centroid set, mirrored verbatim in
+    the oracle's ``{p}sup`` CTE."""
     from pyspark.sql import Window
 
-    scored = emb.crossJoin(F.broadcast(centroids)).withColumn(
+    mf = _derived_m(emb)
+    h = F.expr(
+        "cast(conv(substr(md5(cast(centroid_id as string)), 1, 12), 16, 10)"
+        " as bigint)"
+    )
+    hashed = centroids.withColumn("_h", h).crossJoin(F.broadcast(mf))
+    w = Window.partitionBy(
+        F.pmod(F.col("_h"), F.col("_m"))
+    ).orderBy("_h", "centroid_id")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("centroid_id").alias("super_id"), F.col("c").alias("sc")
+        )
+    )
+
+
+def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """HIERARCHICAL two-level nearest-centroid assignment (r12, replaces
+    the flat broadcast argmin whose n x k cost the round-11 third-decade
+    probe measured as n^2/256 — SCALING_r11.md §4):
+
+    1. seed m = ceil(sqrt(k)) super-centroids hash-stratified over the
+       centroid table (:func:`_super_centroids`);
+    2. map every centroid to its nearest super (k x m folds — tiny);
+    3. route every vector to its nearest super (n x m folds);
+    4. argmin only that super-cluster's child centroids (n x k/m folds
+       on average).
+
+    Total distance work n*2*sqrt(k) instead of n*k. The corpus never
+    shuffles by key — supers and the child map broadcast onto it; the
+    per-vector argmins are row_number windows on vec_id (same exchange
+    the flat version already paid, once per level). Tie-breaks at both
+    levels: rounded dist asc, id asc — bit-identical in the oracle's
+    :func:`_hier_assign_sql` CTEs. Output contract unchanged:
+    (vec_id, v, centroid_id, dist)."""
+    from pyspark.sql import Window
+
+    # both the super seeding and the child map traverse the centroid
+    # lineage (which includes a full corpus pass after a Lloyd
+    # recompute) — checkpoint so it is computed once
+    centroids = centroids.localCheckpoint(eager=False)
+    supers = _super_centroids(centroids, emb)
+
+    wc = Window.partitionBy("centroid_id").orderBy(
+        F.col("_sd").asc(), F.col("super_id").asc()
+    )
+    cmap = (
+        centroids.crossJoin(F.broadcast(supers))
+        .withColumn("_sd", _dist_between(F.col("c"), F.col("sc")))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("centroid_id", "c", "super_id")
+    )
+
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("_sd").asc(), F.col("super_id").asc()
+    )
+    vsup = (
+        emb.crossJoin(F.broadcast(supers))
+        .withColumn("_sd", _dist_between(F.col("v"), F.col("sc")))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "super_id")
+    )
+
+    scored = vsup.join(F.broadcast(cmap), "super_id").withColumn(
         "dist", _dist_to_centroid()
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -580,35 +733,16 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KM_DIST_SQL = """
-ROUND(SQRT(list_sum(list_transform(range(1, len(v) + 1),
-  i -> (v[i] - c[i]) * (v[i] - c[i])))), 6)
-"""
-
 _ORACLE_KMEANS = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), {_C0_SQL}, s1 AS (
-  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c0
-), a1 AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
-), d1 AS (
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
   SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
   FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1, 2
 ), c1 AS (
   SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
-), s2 AS (
-  SELECT e.vec_id, c1.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c1
-), a2 AS (
-  SELECT vec_id, centroid_id, dist FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
-)
+), {_hier_assign_sql("c1", "a2", "h2")}
 SELECT centroid_id,
   CAST(COUNT(*) AS BIGINT) AS n_members,
   ROUND(AVG(dist), 6) AS avg_dist,
@@ -660,27 +794,13 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CLUSTER_BALANCE = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), {_C0_SQL}, s1 AS (
-  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c0
-), a1 AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
-), d1 AS (
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
   SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
   FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1, 2
 ), c1 AS (
   SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
-), s2 AS (
-  SELECT e.vec_id, c1.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c1
-), a2 AS (
-  SELECT vec_id, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
-)
+), {_hier_assign_sql("c1", "a2", "h2")}
 SELECT centroid_id, vec_id, CAST(pick_rank AS INT) AS pick_rank
 FROM (
   SELECT centroid_id, vec_id,
@@ -770,27 +890,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SEMDEDUP = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), {_C0_SQL}, s1 AS (
-  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c0
-), a1 AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
-), d1 AS (
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
   SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
   FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1, 2
 ), c1 AS (
   SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
-), s2 AS (
-  SELECT e.vec_id, e.v, c1.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c1
-), a2 AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
-), pairs AS (
+), {_hier_assign_sql("c1", "a2", "h2")}, pairs AS (
   SELECT b.vec_id AS id_drop, a.vec_id AS id_keep, a.centroid_id,
          a.v AS qv, b.v AS cv
   FROM a2 a JOIN a2 b
@@ -956,27 +1062,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_KNN_GRAPH = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), {_C0_SQL}, s1 AS (
-  SELECT e.vec_id, e.v, c0.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c0
-), a1 AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
-), d1 AS (
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
   SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
   FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1, 2
 ), c1 AS (
   SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
-), s2 AS (
-  SELECT e.vec_id, e.v, c1.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c1
-), a2 AS (
-  SELECT vec_id, v, centroid_id FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s2) WHERE rn = 1
-), pairs AS (
+), {_hier_assign_sql("c1", "a2", "h2")}, pairs AS (
   SELECT a.vec_id AS src, b.vec_id AS neighbor_id,
          a.v AS qv, b.v AS cv
   FROM a2 a JOIN a2 b
@@ -1030,14 +1122,7 @@ def q_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_CORESET_SELECT = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), {_C0_SQL}, s1 AS (
-  SELECT e.vec_id, c0.centroid_id, {_KM_DIST_SQL} AS dist
-  FROM e CROSS JOIN c0
-), a1 AS (
-  SELECT vec_id, centroid_id, dist FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      ORDER BY dist ASC, centroid_id ASC) AS rn FROM s1) WHERE rn = 1
-)
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}
 SELECT centroid_id, rank, vec_id, dist FROM (
   SELECT centroid_id, vec_id, dist,
     CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
