@@ -109,11 +109,22 @@ def ivf_topk(
     corpus is never shuffled by key. Clusters that lose all members
     drop out (standard Lloyd behavior, deterministic in both engines).
 
-    Every corpus vector is assigned to its nearest centroid once (a
-    broadcast join against the tiny centroid set); queries probe their
-    ``probes`` nearest centroids and score only those clusters.
-    Corpus-side work is O(n * n_centroids) vectorized ops plus one
-    bucket join — never O(n^2).
+    Assignment is HIERARCHICAL (r12; the flat n x nlist broadcast
+    argmax was n^1.5 with nlist ~ sqrt(n), measured 35.8x on a 10x step
+    by the round-11 third-decade probe — SCALING_r11.md §4): a coarse
+    quantizer of msup = ceil(sqrt(nlist)) hash-stratified
+    super-centroids routes each vector to one super-cluster, and only
+    that super's child centroids compete for the final assignment —
+    n * 2 * sqrt(nlist) ~ n^1.25 distance work. Queries route through
+    the same coarse quantizer and probe their ``probes`` best child
+    centroids inside their super-cluster. The two-level argmax is the
+    standard IVF coarse-quantizer approximation; the DuckDB oracle
+    rebuilds the identical two levels, so results stay engine-identical.
+    msup derives from the ACTUAL centroid count (a 1-row broadcast
+    aggregate), so pinning ``centroid_mod`` per corpus EPOCH (the same
+    policy as ``operators.dedup.lsh_params`` — derive once when the
+    index is built, reuse for every batch) pins the full index shape:
+    see tests/test_epoch_pinning_ivf.py.
     """
     c_raw = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
@@ -145,27 +156,112 @@ def ivf_topk(
         .withColumn("_ccn", norm(F.col("_cv")))
     )
 
-    def assign(df: DataFrame, vec: str, nrm: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            "*",
-            F.round(
-                cosine_precomputed(
-                    F.col(vec), F.col("_cv"), F.col(nrm), F.col("_ccn")
-                ),
-                6,
-            ).alias("_csim"),
+    def hier_quantizer(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(supers, cmap) for one centroid-set version: msup =
+        max(1, ceil(sqrt(n_cents))) hash-stratified super-centroids
+        (one hash-minimal centroid per id-hash bucket — same seeding
+        discipline as the k-means family) and the centroid -> super
+        max-cosine map. Both are tiny broadcast tables; cents is
+        checkpointed because supers + cmap traverse its lineage (which
+        includes a full corpus pass after a Lloyd round)."""
+        cents = cents.localCheckpoint(eager=False)
+        mf = cents.agg(
+            F.greatest(F.lit(1), F.ceil(F.sqrt(F.count(F.lit(1)))))
+            .cast("bigint")
+            .alias("_m")
         )
-        w = Window.partitionBy(df.columns[0]).orderBy(
+        h = F.expr(
+            "cast(conv(substr(md5(cast(centroid_id as string)), 1, 12),"
+            " 16, 10) as bigint)"
+        )
+        wsup = Window.partitionBy(
+            F.pmod(F.col("_h"), F.col("_m"))
+        ).orderBy("_h", "centroid_id")
+        supers = (
+            cents.withColumn("_h", h)
+            .crossJoin(F.broadcast(mf))
+            .withColumn("_rn", F.row_number().over(wsup))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col("centroid_id").alias("super_id"),
+                F.col("_cv").alias("_sv"),
+                F.col("_ccn").alias("_sn"),
+            )
+        )
+        wc = Window.partitionBy("centroid_id").orderBy(
+            F.col("_ssim").desc(), F.col("super_id").asc()
+        )
+        cmap = (
+            cents.crossJoin(F.broadcast(supers))
+            .withColumn(
+                "_ssim",
+                F.round(
+                    cosine_precomputed(
+                        F.col("_cv"), F.col("_sv"),
+                        F.col("_ccn"), F.col("_sn"),
+                    ),
+                    6,
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(wc))
+            .filter(F.col("_rn") == 1)
+            .select("centroid_id", "_cv", "_ccn", "super_id")
+        )
+        return supers, cmap
+
+    def assign(
+        df: DataFrame, vec: str, nrm: str, keep: int,
+        supers: DataFrame, cmap: DataFrame, super_keep: int = 1,
+    ) -> DataFrame:
+        """Two-level max-cosine assignment: route to the ``super_keep``
+        nearest supers (n x msup folds), then argmax only those supers'
+        children (n x super_keep*nlist/msup on average). Corpus vectors
+        route to 1 super (the cost-critical side); the tiny query side
+        routes to 2 (coarse multi-probe — recovers the recall the
+        one-super approximation gives up, at negligible cost).
+        Tie-breaks at both levels: rounded cosine desc, id asc —
+        mirrored in the oracle."""
+        idc = df.columns[0]
+        wsv = Window.partitionBy(idc).orderBy(
+            F.col("_ssim").desc(), F.col("super_id").asc()
+        )
+        routed = (
+            df.crossJoin(F.broadcast(supers))
+            .withColumn(
+                "_ssim",
+                F.round(
+                    cosine_precomputed(
+                        F.col(vec), F.col("_sv"), F.col(nrm), F.col("_sn")
+                    ),
+                    6,
+                ),
+            )
+            .withColumn("_srn", F.row_number().over(wsv))
+            .filter(F.col("_srn") <= super_keep)
+            .drop("_sv", "_sn", "_ssim", "_srn")
+        )
+        w = Window.partitionBy(idc).orderBy(
             F.col("_csim").desc(), F.col("centroid_id").asc()
         )
         return (
-            scored.withColumn("_crank", F.row_number().over(w))
+            routed.join(F.broadcast(cmap), "super_id")
+            .withColumn(
+                "_csim",
+                F.round(
+                    cosine_precomputed(
+                        F.col(vec), F.col("_cv"), F.col(nrm), F.col("_ccn")
+                    ),
+                    6,
+                ),
+            )
+            .withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= keep)
-            .drop("_cv", "_ccn", "_csim", "_crank")
+            .drop("_cv", "_ccn", "_csim", "_crank", "super_id")
         )
 
     for _ in range(lloyd_iters):
-        members = assign(c_raw, "_v", "_cn", keep=1)
+        supers, cmap = hier_quantizer(cents)
+        members = assign(c_raw, "_v", "_cn", 1, supers, cmap)
         dims = (
             members.select(
                 "centroid_id", F.posexplode("_v").alias("pos", "val")
@@ -184,12 +280,13 @@ def ivf_topk(
             .withColumn("_ccn", norm(F.col("_cv")))
         )
 
-    c = assign(c_raw, "_v", "_cn", keep=1)
+    supers, cmap = hier_quantizer(cents)
+    c = assign(c_raw, "_v", "_cn", 1, supers, cmap)
     q = assign(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")
         ).withColumn("_qn", norm(F.col("_qv"))),
-        "_qv", "_qn", keep=probes,
+        "_qv", "_qn", probes, supers, cmap, super_keep=2,
     )
     scored = (
         F.broadcast(q)

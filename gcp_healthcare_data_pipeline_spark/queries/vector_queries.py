@@ -238,6 +238,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end because every step (seeding, refinement, assignment) is
     deterministic.
 
+    Assignment is hierarchical as of r12 (coarse quantizer of
+    sqrt(nlist) supers — kills the n^1.5 flat-assignment curve the
+    round-11 third-decade probe measured; see ivf_topk). probes=4 with
+    2-super query routing was measured at recall@5 = 0.30 vs brute
+    force at sf0.1 — parity with the flat probes=2 design it replaces
+    (0.29); the extra probes ride the tiny query side only.
+
     Recall on THIS corpus is modest: the synthetic embeddings are
     near-isotropic, so clusters carry little signal even after Lloyd
     refinement — IVF shines on corpora with real cluster structure;
@@ -246,32 +253,88 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return ivf_topk(
-        emb, queries, k=_K, centroid_mod=None, probes=2, lloyd_iters=1
+        emb, queries, k=_K, centroid_mod=None, probes=4, lloyd_iters=1
     )
 
 
-_ORACLE_ANN_IVF = f"""
+def _cosr_sql(a: str, b: str) -> str:
+    """Rounded cosine between two DuckDB list columns (full formula —
+    same IEEE double products/sums as the Spark precomputed-norm path)."""
+    return (
+        f"ROUND(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {b}[i]))"
+        f" / (SQRT(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i] * {a}[i])))"
+        f" * SQRT(list_sum(list_transform(range(1, len({b}) + 1), "
+        f"i -> {b}[i] * {b}[i])))), 6)"
+    )
+
+
+def _ivf_hier_sql(cent: str, p: str) -> str:
+    """DuckDB twin of ``ivf_topk``'s hierarchical coarse quantizer for
+    one centroid-set version ``cent`` (columns centroid_id, qv): emits
+    ``{p}sup`` (msup = max(1, ceil(sqrt(n_cents))) hash-stratified
+    super-centroids), ``{p}cmap`` (centroid -> super max-cosine map) and
+    ``{p}csup`` (corpus vector -> super route). The caller composes the
+    final children-only argmax."""
+    msup = (
+        f"(SELECT GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) "
+        f"FROM {cent})"
+    )
+    return f"""{p}sup AS (
+  SELECT centroid_id AS super_id, qv AS sv FROM (
+    SELECT centroid_id, qv, ROW_NUMBER() OVER (
+      PARTITION BY h % {msup} ORDER BY h, centroid_id) AS rn
+    FROM (SELECT centroid_id, qv,
+      ('0x' || substr(md5(CAST(centroid_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM {cent}) _h) _r
+  WHERE rn = 1
+), {p}cmap AS (
+  SELECT centroid_id, qv, super_id FROM (
+    SELECT k.centroid_id, k.qv, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY k.centroid_id
+        ORDER BY {_cosr_sql("k.qv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM {cent} k CROSS JOIN {p}sup s) _r WHERE rn = 1
+), {p}csup AS (
+  SELECT neighbor_id, super_id FROM (
+    SELECT c.neighbor_id, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
+        ORDER BY {_cosr_sql("c.cv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM c CROSS JOIN {p}sup s) _r WHERE rn = 1
+)"""
+
+
+# adaptive nlist ~ sqrt(n): the default, registry-facing sizing; the
+# epoch-pinning test passes a literal instead (pinned index shape)
+_IVF_ADAPTIVE_MOD_SQL = (
+    "(SELECT GREATEST(31, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+def _ann_ivf_oracle_sql(
+    mod_sql: str = _IVF_ADAPTIVE_MOD_SQL, probes: int = 4
+) -> str:
+    """Full DuckDB oracle for the hierarchical IVF search, parameterized
+    by the seed mod (adaptive by default; a literal pins the epoch —
+    tests/test_epoch_pinning_ivf.py) and the probe count (must match the
+    Spark call's ``probes``)."""
+    return f"""
 WITH c AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
 ), cent0 AS (
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % (SELECT GREATEST(31,
-    CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings) = 0
-), r0 AS (
-  -- Lloyd round 1: cosine-assign every corpus vector to its seed
+  FROM embeddings WHERE vec_id % {mod_sql} = 0
+), {_ivf_hier_sql("cent0", "h1")}, r0 AS (
+  -- Lloyd round 1: two-level cosine-assign every corpus vector
   SELECT neighbor_id, centroid_id FROM (
-    SELECT c.neighbor_id, cent0.centroid_id,
-      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
-        ORDER BY ROUND(
-          list_sum(list_transform(range(1, len(c.cv) + 1),
-                    i -> c.cv[i] * cent0.qv[i]))
-          / (SQRT(list_sum(list_transform(range(1, len(c.cv) + 1),
-                    i -> c.cv[i] * c.cv[i])))
-           * SQRT(list_sum(list_transform(range(1, len(cent0.qv) + 1),
-                    i -> cent0.qv[i] * cent0.qv[i])))), 6) DESC,
-        cent0.centroid_id ASC) AS rnk
-    FROM c CROSS JOIN cent0
-  ) WHERE rnk <= 1
+    SELECT r.neighbor_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY r.neighbor_id
+        ORDER BY {_cosr_sql("c.cv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM h1csup r
+    JOIN c ON c.neighbor_id = r.neighbor_id
+    JOIN h1cmap m ON m.super_id = r.super_id
+  ) _r WHERE rnk <= 1
 ), cdim AS (
   -- refined centroid = per-dimension mean of the cluster's members
   SELECT r0.centroid_id, i AS pos, AVG(c.cv[i]) AS cval
@@ -280,30 +343,34 @@ WITH c AS (
   GROUP BY 1, 2
 ), cent AS (
   SELECT centroid_id, list(cval ORDER BY pos) AS qv FROM cdim GROUP BY 1
-), c_assign AS (
+), {_ivf_hier_sql("cent", "h2")}, c_assign AS (
   SELECT neighbor_id, centroid_id FROM (
-    SELECT c.neighbor_id, cent.centroid_id,
-      ROW_NUMBER() OVER (PARTITION BY c.neighbor_id
-        ORDER BY {_COS_SQL} DESC, cent.centroid_id ASC) AS rnk
-    FROM c CROSS JOIN cent
-  ) WHERE rnk <= 1
+    SELECT r.neighbor_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY r.neighbor_id
+        ORDER BY {_cosr_sql("c.cv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM h2csup r
+    JOIN c ON c.neighbor_id = r.neighbor_id
+    JOIN h2cmap m ON m.super_id = r.super_id
+  ) _r WHERE rnk <= 1
 ), q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id % 100 = 0
+), q_sup AS (
+  -- query-side coarse multi-probe: 2 supers (super_keep=2 in Spark)
+  SELECT query_id, super_id FROM (
+    SELECT q.query_id, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {_cosr_sql("q.qv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM q CROSS JOIN h2sup s) _r WHERE rn <= 2
 ), q_assign AS (
   SELECT query_id, centroid_id FROM (
-    SELECT q.query_id, cent.centroid_id,
-      ROW_NUMBER() OVER (PARTITION BY q.query_id
-        ORDER BY ROUND(
-          list_sum(list_transform(range(1, len(q.qv) + 1),
-                    i -> q.qv[i] * cent.qv[i]))
-          / (SQRT(list_sum(list_transform(range(1, len(q.qv) + 1),
-                    i -> q.qv[i] * q.qv[i])))
-           * SQRT(list_sum(list_transform(range(1, len(cent.qv) + 1),
-                    i -> cent.qv[i] * cent.qv[i])))), 6) DESC,
-        cent.centroid_id ASC) AS rnk
-    FROM q CROSS JOIN cent
-  ) WHERE rnk <= 2
+    SELECT qs.query_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+        ORDER BY {_cosr_sql("q.qv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM q_sup qs
+    JOIN q ON q.query_id = qs.query_id
+    JOIN h2cmap m ON m.super_id = qs.super_id
+  ) _r WHERE rnk <= {probes}
 ), scored AS (
   SELECT DISTINCT qa.query_id, ca.neighbor_id,
     ROUND(
@@ -326,6 +393,9 @@ WITH c AS (
 SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {_K}
 """
+
+
+_ORACLE_ANN_IVF = _ann_ivf_oracle_sql()
 
 
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
