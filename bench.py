@@ -62,10 +62,15 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
 
     # machine-speed anchor BEFORE Spark spins up, so the kernel sees the
-    # same background load the queries will but no JVM warm-up artifacts
-    anchor_sec = measure_anchor()
-    anchor_ratio = round(ANCHOR_REF_SEC / anchor_sec, 4)
-    print(f"# anchor: {anchor_sec:.4f}s (ref {ANCHOR_REF_SEC}s, ratio {anchor_ratio})", file=sys.stderr)
+    # same background load the queries will but no JVM warm-up artifacts.
+    # A second sample runs AFTER the sweep (see below): contention that
+    # starts or stops mid-sweep moves the two samples apart, which the
+    # artifact exposes instead of silently over/under-correcting.
+    anchor_pre_sec = measure_anchor()
+    print(
+        f"# anchor(pre): {anchor_pre_sec:.4f}s (ref {ANCHOR_REF_SEC}s)",
+        file=sys.stderr,
+    )
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,6 +117,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # second anchor sample AFTER the sweep: the normalization ratio uses
+    # the MEAN of the two samples (contention confined to one end of the
+    # run is half-captured instead of fully missed); both raw samples go
+    # in the artifact so a large pre/post spread is visible evidence of
+    # mid-run load. Contention that starts AND stops strictly inside the
+    # sweep window still escapes both samples — the normalized number is
+    # a better prior than raw wall-clock, not a proof (BASELINE.md).
+    anchor_post_sec = measure_anchor(repeats=3)
+    anchor_sec = round((anchor_pre_sec + anchor_post_sec) / 2.0, 4)
+    anchor_ratio = round(ANCHOR_REF_SEC / anchor_sec, 4)
+    print(
+        f"# anchor(post): {anchor_post_sec:.4f}s; mean {anchor_sec:.4f}s "
+        f"(ref {ANCHOR_REF_SEC}s, ratio {anchor_ratio})",
+        file=sys.stderr,
+    )
+
     # like-for-like continuity number: the registry grows every round, so
     # the all-queries total is not comparable across rounds. Sum the exact
     # query set of the round-1 baseline run (BENCH_r01.json) so the
@@ -157,11 +178,15 @@ def main() -> None:
         "unit": "sec",
         "anchor": {
             "sec": anchor_sec,
+            "pre_sec": anchor_pre_sec,
+            "post_sec": anchor_post_sec,
             "ref_sec": ANCHOR_REF_SEC,
             "ratio": anchor_ratio,
-            "note": "pinned CPU calibration kernel (best-of-5 min); "
-            "*_normalized = wall_clock * ratio, comparable across "
-            "sessions regardless of machine contention",
+            "note": "pinned CPU calibration kernel, sampled before AND "
+            "after the sweep (sec = mean); *_normalized = wall_clock * "
+            "ratio — corrects steady background load, but contention "
+            "confined strictly inside the sweep window is uncorrected "
+            "(a large pre/post spread is the tell)",
         },
         "value": total,
         "value_normalized": round(total * anchor_ratio, 3),

@@ -161,9 +161,9 @@ def parquet_num_rows(path: str) -> int | None:
     Handles both single-file tables and Spark-written directories.
     Returns None when the footer isn't readable so callers can fall
     back to a Spark count."""
-    import pyarrow.parquet as pq  # noqa: PLC0415
-
     try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
         if os.path.isdir(path):
             total, found = 0, False
             for f in sorted(os.listdir(path)):
@@ -172,5 +172,5 @@ def parquet_num_rows(path: str) -> int | None:
                     found = True
             return total if found else None
         return pq.read_metadata(path).num_rows
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, ImportError):
         return None

@@ -52,6 +52,11 @@ def hostile(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+        # fail LOUDLY if restoration didn't take (a silently leaked
+        # hostile conf would poison every later test in this session
+        # with an error pointing at the wrong file)
+        restored = {k: spark.conf.get(k) for k in HOSTILE_CONFS}
+        assert restored == saved, f"hostile confs leaked: {restored}"
 
 
 @pytest.mark.parametrize("name", QUERIES)

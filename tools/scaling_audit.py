@@ -183,7 +183,11 @@ def classify_pair_growth(
     data_step = d_big / max(d_small, 1)
     growth_floor = 10.0 * data_step * fail_threshold
     fail = (norm > fail_threshold) if not sparse else (p_big > growth_floor)
-    watch = not fail and norm > watch_threshold
+    # a sparse baseline has no meaningful growth denominator (the
+    # docstring's 3 -> 40-pairs-on-noise case), so the norm-based watch
+    # tier is suppressed there too — sparse families are judged on the
+    # absolute big side only
+    watch = not fail and not sparse and norm > watch_threshold
     return per_small, per_big, norm, fail, watch, sparse
 
 
@@ -438,6 +442,14 @@ _THIRD_STEP_QUERIES = [
     "q_dedup_substring",
     "q_semdedup",
     "q_ann_ivf",
+    # r12: the non-vector watch families the r11 verdict asked to carry
+    # into the third decade — posting-list dedup (9.8x pair growth on
+    # the second decade), FastSS blocking, and the PMI pair fan-out
+    "q_dedup_containment",
+    "q_dedup_ngram_jaccard",
+    "q_golden_record",
+    "q_fuzzy_name_match",
+    "q_pmi_collocations",
 ]
 
 
@@ -474,9 +486,16 @@ def run_third_step(spark, threshold: float):
             continue
         r1 = t_b1 / max(t_base, 1e-9)
         r2 = t_b2 / max(t_b1, 1e-9)
-        flag = r2 > threshold and t_b1 >= 0.15
+        # judge the ratio when the 10x-decade timing is above noise; a
+        # family that is sub-150ms at 10x but LARGE in absolute terms at
+        # 100x (> threshold x the floor) is still superlinear — don't
+        # let the floor silently unflag it
+        flag = r2 > threshold and (t_b1 >= 0.15 or t_b2 >= 0.15 * threshold)
+        below_floor = t_b1 < 0.15 and not flag
         rows.append((name, t_base, t_b1, t_b2, r1, r2, flag))
-        mark = "  <-- SUPERLINEAR (3rd decade)" if flag else ""
+        mark = "  <-- SUPERLINEAR (3rd decade)" if flag else (
+            "  (below timing floor, ratio unjudged)" if below_floor else ""
+        )
         print(f"{name:28s} {t_base:7.3f}s -> {t_b1:8.3f}s -> {t_b2:9.3f}s"
               f"  x{r1:5.2f} x{r2:5.2f}{mark}")
         if flag:
