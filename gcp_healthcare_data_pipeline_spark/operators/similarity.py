@@ -83,6 +83,12 @@ def lsh_signature(vec_col: str, bits: int, dims: int, plane_offset: int = 0) -> 
     )
 
 
+# fixed target cluster size for adaptive IVF sizing (centroid_mod=None):
+# mirrored literally in the oracle (_IVF_ADAPTIVE_MOD_SQL) and pinnable
+# per corpus epoch exactly like an explicit centroid_mod
+IVF_TARGET_CLUSTER_ROWS = 256
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,10 +102,16 @@ def ivf_topk(
     """IVF-style approximate top-k: the second classic ANN scale path.
 
     Centroid seeds are a deterministic corpus sample
-    (id % centroid_mod == 0; ``centroid_mod=None`` derives the mod from
-    corpus size as max(31, ceil(sqrt(n))) — the canonical nlist ~
-    sqrt(n) IVF sizing, keeping both the centroid broadcast and the
-    probed-cluster scan at O(sqrt(n)) as data grows);
+    (id % centroid_mod == 0; ``centroid_mod=None`` uses the fixed
+    TARGET-CLUSTER sizing mod = 256, i.e. nlist = ~n/256 — clusters
+    stay ~256 rows as data grows, so the probe stage (queries x probes
+    x cluster rows) scales LINEARLY with a query set that grows with
+    the corpus. The classic nlist ~ sqrt(n) sizing was measured r12 at
+    the 100x blow-up as the dominant superlinear term: probed clusters
+    of sqrt(n) rows x n/100 queries = n^1.5 probe work — right for a
+    FIXED query workload, wrong for the grow-with-corpus one this
+    engine benchmarks; with the hierarchical quantizer below the
+    centroid count is not the binding cost either way);
     ``lloyd_iters`` > 0 then refines them with
     that many spherical-k-means rounds (assign every corpus vector to
     its max-cosine centroid, recompute each centroid as the per-
@@ -130,24 +142,16 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
     ).withColumn("_cn", norm(F.col("_v")))
     if centroid_mod is None:
-        # scale-adaptive nlist: mod = max(31, ceil(sqrt(n))) gives the
-        # canonical IVF sizing (nlist ~ sqrt(n)) — both the centroid
-        # broadcast (n/mod rows) and each probed cluster (~mod rows)
-        # grow as sqrt(n) instead of one of them growing linearly. The
-        # derivation is a 1-row broadcast aggregate (no driver collect)
-        # and pure arithmetic the DuckDB oracle replicates.
-        moddf = corpus.agg(
-            F.greatest(
-                F.lit(31), F.ceil(F.sqrt(F.count(F.lit(1))))
-            )
-            .cast("bigint")
-            .alias("_mod")
-        )
-        seed_filter = corpus.crossJoin(F.broadcast(moddf)).filter(
-            F.col(id_col) % F.col("_mod") == 0
-        )
-    else:
-        seed_filter = corpus.filter(F.col(id_col) % centroid_mod == 0)
+        # target-cluster sizing: a FIXED mod keeps probed clusters at
+        # ~IVF_TARGET_CLUSTER_ROWS rows forever, so probe work stays
+        # linear in corpus size even when the query set grows with the
+        # corpus; nlist = n/mod grows linearly but the hierarchical
+        # quantizer keeps assignment at n * 2*sqrt(nlist). The centroid
+        # table broadcast grows linearly too — at ~100M vectors/shard
+        # (≈400k centroids x 64 dims ≈ 200 MB) the LSH-style shard
+        # policy takes over; inside any realistic shard it is small.
+        centroid_mod = IVF_TARGET_CLUSTER_ROWS
+    seed_filter = corpus.filter(F.col(id_col) % centroid_mod == 0)
     cents = (
         seed_filter.select(
             F.col(id_col).alias("centroid_id"),

@@ -859,10 +859,21 @@ _PMI_MIN_PAIR = 5  # doc-cooccurrence floor to report a pair
 
 def _pmi_doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, arr): each document's sorted distinct IN-VOCAB token set
-    (vocab = min-df-capped, broadcast as ONE array row). The downstream
-    a<b fan-out is C(|arr|, 2) per doc — THE pair space counted by
-    ``tools/scaling_audit.py --pairs``; q_pmi_collocations and the audit
-    share this definition so the gate can never drift from production.
+    (vocab = min-df-capped). The downstream a<b fan-out is C(|arr|, 2)
+    per doc — THE pair space counted by ``tools/scaling_audit.py
+    --pairs``; q_pmi_collocations and the audit share this definition so
+    the gate can never drift from production.
+
+    Plan shape (r12): exploded tokens BROADCAST-HASH-JOIN the vocab
+    table — O(1) per token occurrence — then one groupBy(doc_id)
+    collect_set rebuilds the per-doc set. The previous formulation
+    broadcast the vocab as ONE array row and membership-tested each
+    token with ``array_contains`` (a linear scan): per-token work grew
+    with |vocab|, and since a growing corpus grows its min-df vocab
+    ~linearly, total work was tokens x vocab ~ quadratic — measured
+    25.1x on the 10x->100x step by the r12 third-decade probe before
+    this change. Docs with zero in-vocab tokens drop out here; they
+    contribute no pairs and no presence, so results are identical.
     Checkpointed so the presence and pair branches both reuse one
     tokenization instead of re-scanning the corpus."""
     docs = load_tables(spark, sf_dir, "documents")
@@ -871,21 +882,13 @@ def _pmi_doc_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= _PMI_MIN_DF)
-        .agg(F.array_sort(F.collect_list("tok")).alias("vocab"))
+        .select("tok")
     )
     return (
-        docs.crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.array_sort(
-                F.array_distinct(
-                    F.filter(
-                        tokens("text"),
-                        lambda t: F.array_contains(F.col("vocab"), t),
-                    )
-                )
-            ).alias("arr"),
-        )
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("tok")).alias("arr"))
         .localCheckpoint(eager=False)
     )
 

@@ -227,10 +227,10 @@ FROM topk t CROSS JOIN recall r
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic centroid seeds (vec_id % mod = 0
-    with mod = max(31, ceil(sqrt(n))) derived from corpus size — the
-    canonical nlist ~ sqrt(n) sizing, so neither the centroid broadcast
-    nor the probed clusters grow linearly with data)
+    """IVF-style ANN: deterministic centroid seeds (vec_id % 256 = 0 —
+    fixed target-cluster sizing, clusters stay ~256 rows and probe work
+    stays linear as corpus AND query set grow; see ivf_topk for why the
+    classic nlist ~ sqrt(n) sizing measured n^1.5 at the 100x blow-up)
     refined by one spherical-k-means Lloyd round (assign all corpus
     vectors by cosine, recompute centroids as per-dimension member
     means), nearest-centroid cluster assignment, 2-probe query search —
@@ -304,12 +304,10 @@ def _ivf_hier_sql(cent: str, p: str) -> str:
 )"""
 
 
-# adaptive nlist ~ sqrt(n): the default, registry-facing sizing; the
-# epoch-pinning test passes a literal instead (pinned index shape)
-_IVF_ADAPTIVE_MOD_SQL = (
-    "(SELECT GREATEST(31, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) "
-    "FROM embeddings)"
-)
+# adaptive sizing = fixed target-cluster mod (clusters stay ~256 rows,
+# nlist = n/256 — see operators.similarity.IVF_TARGET_CLUSTER_ROWS);
+# the epoch-pinning test passes a different literal instead
+_IVF_ADAPTIVE_MOD_SQL = "256"
 
 
 def _ann_ivf_oracle_sql(

@@ -34,21 +34,23 @@ from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa:
 )
 from gcp_healthcare_data_pipeline_spark.session import load_tables  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.1"  # 2000 vectors -> adaptive mod = 45
-
-
-def _adaptive_mod(n: int) -> int:
-    return max(31, math.ceil(math.sqrt(n)))
+SF_DIR = "/root/testdata/sf0.1"  # 2000 vectors
 
 
 def test_corpus_outgrew_epoch_shape():
-    """Precondition: the test corpus's own adaptive mod (2000 vectors ->
-    45) differs from BOTH pinned epoch mods below — otherwise the
-    parity test proves nothing."""
-    assert _adaptive_mod(500) == 31  # the small-epoch pin
-    assert _adaptive_mod(2000) == 45  # what re-deriving today would give
-    assert _adaptive_mod(10000) == 100  # the large-epoch pin
-    assert _adaptive_mod(500) != _adaptive_mod(2000) != _adaptive_mod(10000)
+    """Precondition: both pinned epoch mods below differ from the
+    adaptive target-cluster mod (256) the corpus would get today —
+    otherwise the parity test proves nothing. (31 and 100 are the
+    sqrt(n)-era shapes a 500- and 10000-vector epoch would have pinned:
+    max(31, ceil(sqrt(n))) — exactly the persisted-index situation the
+    policy exists for.)"""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        IVF_TARGET_CLUSTER_ROWS,
+    )
+
+    legacy = [max(31, math.ceil(math.sqrt(n))) for n in (500, 10000)]
+    assert legacy == [31, 100]
+    assert all(mod != IVF_TARGET_CLUSTER_ROWS for mod in legacy)
 
 
 @pytest.mark.parametrize("epoch_mod", [31, 100])

@@ -151,12 +151,15 @@ def test_kmeans_block_count_scales_with_corpus(spark):
 
 
 def test_ivf_adaptive_mod_scales_centroids(spark):
-    """centroid_mod=None derives nlist ~ sqrt(n): more centroids on a
-    bigger corpus, same result contract (rank column, k rows cap)."""
+    """centroid_mod=None uses the fixed target-cluster mod (256):
+    nlist grows with the corpus while probed clusters stay ~256 rows,
+    same result contract (rank column, k rows cap)."""
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        IVF_TARGET_CLUSTER_ROWS,
         ivf_topk,
     )
 
+    assert IVF_TARGET_CLUSTER_ROWS == 256
     n = 4000
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -170,7 +173,7 @@ def test_ivf_adaptive_mod_scales_centroids(spark):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == {0, 1000, 2000, 3000}
     assert all(1 <= r["rank"] <= 3 for r in rows)
-    # derived mod = max(31, ceil(sqrt(4000))=64) = 64 -> ~63 centroids;
-    # each query probes 2 clusters of ~64 rows, so every query's
-    # candidate pool stays far under the 3999-row brute-force scan
+    # mod 256 -> ~16 centroids of ~256 rows; each query probes 2
+    # clusters (~512 candidates), far under the 3999-row brute-force
+    # scan, and the probed volume stays ~512 at ANY corpus size
     assert len(rows) == 4 * 3

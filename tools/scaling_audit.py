@@ -289,8 +289,14 @@ def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
       shingle volume and miscalibrating the superlinear threshold).
     - supplier: names get a two-character copy suffix (edit distance 2
       between copies — outside the levenshtein<=1 linkage radius).
-    - embeddings: a per-copy constant shift on every component moves
-      each copy to a disjoint region (cluster structure preserved).
+    - embeddings: a per-copy deterministic sign-flip pattern (diag +-1)
+      — preserves every within-copy euclidean distance AND cosine
+      exactly ((Sv).(Sw) = v.w), while cross-copy dots decorrelate, so
+      copies collide in neither metric. (The previous additive shift
+      preserved only euclidean structure; its extent-derived level-2
+      shifts made all vectors point along one direction and
+      cosine-based plans measured manufactured degeneracy instead of
+      plan scaling.)
 
     Other tables are symlinked from src_sf unchanged.
     """
@@ -361,26 +367,42 @@ def build_blowup(spark, src_sf: str, copies: int = 10) -> str:
 
     emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
     vec_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    # per-copy shift must clear the WHOLE source extent, derived from
-    # the data rather than a constant, so blow-ups COMPOSE: with a fixed
-    # shift, level-1 copy i + level-2 copy j lands at (i+j)*shift and
-    # copies with equal i+j stack in the same region — up to 10x the
-    # source density, a data-property change that measured as a fake
-    # quadratic in the first 100x probe. An extent-derived shift makes
-    # level-2 displacements larger than the entire level-1 spread.
-    ext = emb.agg(
-        F.max(F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-        ))
-    ).collect()[0][0]
-    shift = 2.0 * float(ext) + 16.0
+    # per-copy rewrite: deterministic SIGN FLIPS (diag +-1 per copy).
+    # An additive per-copy shift (the r9-r11 design) preserves EUCLIDEAN
+    # structure but DESTROYS cosine geometry: extent-derived level-2
+    # shifts dwarf the vectors themselves, so every vector in a shifted
+    # copy points along the all-ones direction and cosine-based plans
+    # (q_ann_ivf) see one degenerate mega-cluster — measured r12 as one
+    # super-centroid capturing 94% of the 100x corpus, turning the probe
+    # into an instrument artifact (it measured manufactured data
+    # degeneracy, not plan scaling). Sign flips fix both metrics at
+    # once: (S v).(S w) = v.w exactly (signs square away), so every
+    # within-copy cosine AND euclidean distance is preserved
+    # bit-for-bit, while cross-copy dots decorrelate (Rademacher-
+    # weighted sums ~ 0 +- |v||w|/sqrt(dims)) — copies collide in
+    # neither metric. Patterns are seeded by (vec_span, copy, dim) so
+    # level-2 patterns differ from level-1 and blow-ups compose.
+    import hashlib
+
+    emb_dims = len(emb.select("embedding").head()[0])
+
+    def _signs(i: int) -> list[float]:
+        return [
+            1.0
+            if int(
+                hashlib.md5(f"{vec_span}:{i}:{d}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
+            else -1.0
+            for d in range(emb_dims)
+        ]
+
     emb_parts = [
         emb.select(
             (F.col("vec_id") + F.lit(i * vec_span)).alias("vec_id"),
-            F.transform(
-                "embedding", lambda x: (x + F.lit(float(i) * shift)).cast("float")
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(s) for s in _signs(i)]),
+                lambda x, s: (x * s).cast("float"),
             ).alias("embedding"),
             "label",
         )
