@@ -56,17 +56,21 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-12 rotation (per the
-# r11 verdict): the 6 k-means/IVF-family queries whose assignment
-# plan was REWRITTEN this round (hierarchical two-level argmin — they
-# need driver evidence on the new plan, the verdict's item-1 done
-# gate), the 2 r05-stale rows the verdict named (q_cube_sales,
-# q_set_ops), then ALL 42 queries whose latest driver rows date to
-# r08. That is exactly 50 slots. The 6 q_pipeline_* gates rotate out
-# for ONE round — they hold green r11 rows (the youngest cohort) and
-# stay covered every run by tests/test_pipeline_e2e.py + the CLI
-# smoke test; they lead the 51+ tail so any sampling overrun hits
-# them first, and they return to the head in r13.
+# r11 verdict): the never-sampled round-12 addition (q_image_coreset),
+# the 6 k-means/IVF-family queries whose assignment plan was REWRITTEN
+# this round (hierarchical two-level argmin — they need driver evidence
+# on the new plan, the verdict's item-1 done gate), the 2 r05-stale
+# rows the verdict named (q_cube_sales, q_set_ops), then 41 of the 42
+# queries whose latest driver rows date to r08 (q_nation_trade — a
+# simple pytest-covered TPC-H shape — is the one displaced row). That
+# is exactly 50 slots. The 6 q_pipeline_* gates rotate out for ONE
+# round — they hold green r11 rows (the youngest cohort) and stay
+# covered every run by tests/test_pipeline_e2e.py + the CLI smoke
+# test; they lead the 51+ tail so any sampling overrun hits them
+# first, and they return to the head in r13.
 _DRIVER_PRIORITY = [
+    # NEW this round (never driver-sampled)
+    "q_image_coreset",
     # plan rewritten this round (hierarchical assignment) - refresh first
     "q_semdedup",
     "q_ann_ivf",
@@ -100,7 +104,6 @@ _DRIVER_PRIORITY = [
     "q_importance_weights",
     "q_market_share",
     "q_mart_refresh",
-    "q_nation_trade",
     "q_oov_rate",
     "q_pmi_collocations",
     "q_regional_supplier_volume",
@@ -121,6 +124,8 @@ _DRIVER_PRIORITY = [
     "q_weighted_sample",
     "q_zorder_stats",
     # ---- 51+: sampled only on driver overrun ----
+    # displaced by q_image_coreset (simple TPC-H shape, pytest-covered)
+    "q_nation_trade",
     # reference end-to-end gates (green r11; pytest-covered every run)
     "q_pipeline_provider_charge_summary",
     "q_pipeline_patient_history",

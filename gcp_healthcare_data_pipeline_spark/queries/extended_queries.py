@@ -1410,7 +1410,135 @@ GROUP BY 1
 """
 
 
+_IMG_DST = 4  # fixed output dims of the resize stage (4 x 4)
+_IMG_CORESET_M = 3  # representatives kept per image cluster
+
+
+def q_image_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END multimodal -> embedding -> curation chain: synthesize
+    one 24-bit BMP per document with VARYING source dimensions (width
+    6..8, height 5..6 — every image exercises a different resample
+    ratio and the BMP row-padding rule), resize every payload to a
+    fixed 4x4 through the REAL decode -> nearest-neighbor -> re-encode
+    round trip (operators/multimodal.py:resize_images, Arrow-batched
+    mapInPandas), decode the RESIZED bytes back to per-channel means
+    (decode_image_stats — a resizer that mispads or misorders rows
+    cannot hash-match), embed each image as the 3-dim mean-RGB vector,
+    and run the same hierarchical-k-means coreset selection as
+    q_coreset_select to keep the 3 most central images per visual
+    cluster. This is the image-dedup/curation pipeline shape (CLIP-style
+    embed -> cluster -> prototype selection) with the codec and
+    clustering both value-pinned: the DuckDB oracle recomputes the NN
+    resample arithmetic (src px = min(src_dim-1, dst*src_dim//4)) and
+    the identical two-level assignment from the pixel formula alone.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _kmeans_assign,
+        _seed_centroids,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_bmp(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = 6 + m % 3, 5 + m % 2
+                rgb = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        rgb += bytes((
+                            (m * 7 + x * 13 + y * 29) % 256,
+                            (m * 11 + x * 3 + y * 17) % 256,
+                            (m * 5 + x * 19 + y * 7) % 256,
+                        ))
+                payloads.append(encode_bmp24(w, h, bytes(rgb)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["image"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        make_bmp, "media_id long, kind string, payload binary"
+    )
+    resized = resize_images(media, _IMG_DST, _IMG_DST)
+    stats = decode_image_stats(resized.select("media_id", "payload"))
+    emb = stats.select(
+        F.col("media_id").alias("vec_id"),
+        F.array(
+            F.round("mean_r", 6), F.round("mean_g", 6), F.round("mean_b", 6)
+        ).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=False)
+    assigned = _kmeans_assign(emb, _seed_centroids(emb))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _IMG_CORESET_M)
+        .select("centroid_id", "rank", "vec_id", "dist")
+    )
+
+
+def _image_coreset_oracle_sql() -> str:
+    """DuckDB twin of q_image_coreset: NN-resample arithmetic from the
+    pixel formula (no bytes needed — the formula IS the image), mean-RGB
+    embedding, then the shared hierarchical-assignment CTE chain."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _C0_SQL,
+        _hier_assign_sql,
+    )
+
+    d = _IMG_DST
+    return f"""
+WITH src AS (
+  SELECT doc_id AS media_id,
+         6 + doc_id % 3 AS w, 5 + doc_id % 2 AS h
+  FROM documents
+), px AS (
+  -- dst pixel (x, y) samples src pixel (min(w-1, x*w//{d}),
+  -- min(h-1, y*h//{d})) — the resize_images NN kernel
+  SELECT s.media_id,
+    (s.media_id * 7 + LEAST(s.w - 1, xs.x * s.w // {d}) * 13
+       + LEAST(s.h - 1, ys.y * s.h // {d}) * 29) % 256 AS r,
+    (s.media_id * 11 + LEAST(s.w - 1, xs.x * s.w // {d}) * 3
+       + LEAST(s.h - 1, ys.y * s.h // {d}) * 17) % 256 AS g,
+    (s.media_id * 5 + LEAST(s.w - 1, xs.x * s.w // {d}) * 19
+       + LEAST(s.h - 1, ys.y * s.h // {d}) * 7) % 256 AS b
+  FROM src s, range(0, {d}) xs(x), range(0, {d}) ys(y)
+), e AS (
+  SELECT media_id AS vec_id,
+    [ROUND(AVG(r), 6), ROUND(AVG(g), 6), ROUND(AVG(b), 6)]::DOUBLE[] AS v
+  FROM px GROUP BY 1
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}
+SELECT centroid_id, rank, vec_id, dist FROM (
+  SELECT centroid_id, vec_id, dist,
+    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
+  FROM a1) _r
+WHERE rank <= {_IMG_CORESET_M}
+"""
+
+
+_ORACLE_IMAGE_CORESET = _image_coreset_oracle_sql()
+
+
 QUERIES = [
+    QuerySpec(
+        "q_image_coreset", q_image_coreset, _ORACLE_IMAGE_CORESET,
+        "ext:multimodal ext:similarity (resize -> embed -> coreset chain)",
+    ),
     QuerySpec("q_scd2_two_runs", q_scd2_two_runs, _ORACLE_SCD2_TWO_RUNS, "J6 §2.6"),
     QuerySpec(
         "q_active_shipments", q_active_shipments, _ORACLE_ACTIVE_SHIPMENTS,

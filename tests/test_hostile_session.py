@@ -39,6 +39,8 @@ QUERIES = [
     # round-11 additions
     "q_dedup_substring",
     "q_coreset_select",
+    # round-12 addition (codec round-trip + hierarchical assignment)
+    "q_image_coreset",
 ]
 
 
