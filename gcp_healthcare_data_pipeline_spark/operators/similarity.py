@@ -224,41 +224,73 @@ def ivf_topk(
         routes to 2 (coarse multi-probe — recovers the recall the
         one-super approximation gives up, at negligible cost).
         Tie-breaks at both levels: rounded cosine desc, id asc —
-        mirrored in the oracle."""
+        mirrored in the oracle.
+
+        keep-1 argmaxes run as ``groupBy(id).agg(min(struct(-sim, id)))``
+        — lexicographic struct min IS (sim desc, id asc), negation of a
+        rounded double is exact, and the aggregate partial-combines
+        map-side so the exchange carries one pre-reduced row per vector
+        instead of the full fan-out a window sort would shuffle.
+        ``first(carry)`` is deterministic: ids are unique in ``df``, so
+        every row in a group carries the same payload. Top-N keeps
+        (query probing) still use the window."""
         idc = df.columns[0]
-        wsv = Window.partitionBy(idc).orderBy(
-            F.col("_ssim").desc(), F.col("super_id").asc()
-        )
-        routed = (
-            df.crossJoin(F.broadcast(supers))
-            .withColumn(
-                "_ssim",
-                F.round(
-                    cosine_precomputed(
-                        F.col(vec), F.col("_sv"), F.col(nrm), F.col("_sn")
-                    ),
-                    6,
-                ),
+        carry = [c for c in df.columns if c != idc]
+
+        def argbest1(scored: DataFrame, sim: str, out_id: str) -> DataFrame:
+            # 0.0 - sim (not unary minus): IEEE 0.0-(+-0.0) = +0.0, so a
+            # similarity of either zero sign cannot order differently
+            # from the window's DESC tie-break
+            return (
+                scored.groupBy(idc)
+                .agg(
+                    F.min(
+                        F.struct(
+                            (F.lit(0.0) - F.col(sim)).alias("_neg"),
+                            F.col(out_id),
+                        )
+                    ).alias("_w"),
+                    *[F.first(c).alias(c) for c in carry],
+                )
+                .select(idc, *carry, F.col(f"_w.{out_id}").alias(out_id))
             )
-            .withColumn("_srn", F.row_number().over(wsv))
-            .filter(F.col("_srn") <= super_keep)
-            .drop("_sv", "_sn", "_ssim", "_srn")
+
+        sroutes = df.crossJoin(F.broadcast(supers)).withColumn(
+            "_ssim",
+            F.round(
+                cosine_precomputed(
+                    F.col(vec), F.col("_sv"), F.col(nrm), F.col("_sn")
+                ),
+                6,
+            ),
         )
+        if super_keep == 1:
+            routed = argbest1(sroutes, "_ssim", "super_id")
+        else:
+            wsv = Window.partitionBy(idc).orderBy(
+                F.col("_ssim").desc(), F.col("super_id").asc()
+            )
+            routed = (
+                sroutes.withColumn("_srn", F.row_number().over(wsv))
+                .filter(F.col("_srn") <= super_keep)
+                .drop("_sv", "_sn", "_ssim", "_srn")
+            )
+        cjoined = routed.join(F.broadcast(cmap), "super_id").withColumn(
+            "_csim",
+            F.round(
+                cosine_precomputed(
+                    F.col(vec), F.col("_cv"), F.col(nrm), F.col("_ccn")
+                ),
+                6,
+            ),
+        )
+        if keep == 1:
+            return argbest1(cjoined, "_csim", "centroid_id")
         w = Window.partitionBy(idc).orderBy(
             F.col("_csim").desc(), F.col("centroid_id").asc()
         )
         return (
-            routed.join(F.broadcast(cmap), "super_id")
-            .withColumn(
-                "_csim",
-                F.round(
-                    cosine_precomputed(
-                        F.col(vec), F.col("_cv"), F.col(nrm), F.col("_ccn")
-                    ),
-                    6,
-                ),
-            )
-            .withColumn("_crank", F.row_number().over(w))
+            cjoined.withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= keep)
             .drop("_cv", "_ccn", "_csim", "_crank", "super_id")
         )
