@@ -124,7 +124,12 @@ def main() -> None:
     # mid-run load. Contention that starts AND stops strictly inside the
     # sweep window still escapes both samples — the normalized number is
     # a better prior than raw wall-clock, not a proof (BASELINE.md).
-    anchor_post_sec = measure_anchor(repeats=3)
+    # Spark is stopped FIRST and repeats matches the pre sample: a live
+    # 32-thread JVM and a best-of-3 (vs 5) minimum would both bias the
+    # post sample high on an idle machine, silently flattering
+    # *_normalized relative to the r11 pre-only methodology.
+    spark.stop()
+    anchor_post_sec = measure_anchor()
     anchor_sec = round((anchor_pre_sec + anchor_post_sec) / 2.0, 4)
     anchor_ratio = round(ANCHOR_REF_SEC / anchor_sec, 4)
     print(

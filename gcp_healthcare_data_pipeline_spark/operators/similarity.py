@@ -89,6 +89,36 @@ def lsh_signature(vec_col: str, bits: int, dims: int, plane_offset: int = 0) -> 
 IVF_TARGET_CLUSTER_ROWS = 256
 
 
+def hash_stratified_winners(
+    df: DataFrame, id_col: str, mf: DataFrame, m_col: str
+) -> DataFrame:
+    """ONE hash-minimal row per id-hash bucket: the deterministic
+    stratified-seeding discipline every centroid/super-centroid
+    selection in the engine shares (k-means seeds, k-means supers, IVF
+    supers). ``mf`` is a 1-row frame holding the bucket count ``m_col``
+    (a broadcast aggregate — no driver collect). Hash = first 48 bits
+    of md5(id) as bigint; winner per ``hash % m`` bucket by (hash, id).
+
+    This is THE single Spark-side definition — the DuckDB twins
+    (vector_queries._C0_SQL, _hier_assign_sql's ``{p}sup``,
+    _ivf_hier_sql's ``{p}sup``) replicate it verbatim and must change
+    in lockstep with this function."""
+    h = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 12), 16, 10)"
+        " as bigint)"
+    )
+    w = Window.partitionBy(
+        F.pmod(F.col("_h"), F.col(m_col))
+    ).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", h)
+        .crossJoin(F.broadcast(mf))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn", m_col)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -174,26 +204,22 @@ def ivf_topk(
             .cast("bigint")
             .alias("_m")
         )
-        h = F.expr(
-            "cast(conv(substr(md5(cast(centroid_id as string)), 1, 12),"
-            " 16, 10) as bigint)"
+        supers = hash_stratified_winners(cents, "centroid_id", mf, "_m").select(
+            F.col("centroid_id").alias("super_id"),
+            F.col("_cv").alias("_sv"),
+            F.col("_ccn").alias("_sn"),
         )
-        wsup = Window.partitionBy(
-            F.pmod(F.col("_h"), F.col("_m"))
-        ).orderBy("_h", "centroid_id")
-        supers = (
-            cents.withColumn("_h", h)
-            .crossJoin(F.broadcast(mf))
-            .withColumn("_rn", F.row_number().over(wsup))
-            .filter(F.col("_rn") == 1)
-            .select(
-                F.col("centroid_id").alias("super_id"),
-                F.col("_cv").alias("_sv"),
-                F.col("_ccn").alias("_sn"),
-            )
-        )
+        # self-preference tie-break: a centroid that IS a super must map
+        # to itself — two near-identical vectors both chosen as supers
+        # tie at rounded cosine 1.000000, and without the preference the
+        # losing super is CHILDLESS, silently dropping every vector the
+        # coarse router sends to it. Mirrored in _ivf_hier_sql's cmap.
         wc = Window.partitionBy("centroid_id").orderBy(
-            F.col("_ssim").desc(), F.col("super_id").asc()
+            F.col("_ssim").desc(),
+            F.when(F.col("super_id") == F.col("centroid_id"), 0)
+            .otherwise(1)
+            .asc(),
+            F.col("super_id").asc(),
         )
         cmap = (
             cents.crossJoin(F.broadcast(supers))
@@ -238,17 +264,19 @@ def ivf_topk(
         carry = [c for c in df.columns if c != idc]
 
         def argbest1(scored: DataFrame, sim: str, out_id: str) -> DataFrame:
-            # 0.0 - sim (not unary minus): IEEE 0.0-(+-0.0) = +0.0, so a
-            # similarity of either zero sign cannot order differently
-            # from the window's DESC tie-break
+            # two IEEE hazards vs the row_number window this replaces:
+            # - 0.0 - sim (not unary minus): 0.0-(+-0.0) = +0.0, so a
+            #   zero-signed similarity cannot order differently;
+            # - nanvl(sim, +inf): both engines sort NaN FIRST under
+            #   DESC (NaN > any double), but struct-min would AVOID a
+            #   NaN key — mapping NaN to +inf makes its negated key
+            #   -inf, which wins the min exactly like the window.
+            key = F.lit(0.0) - F.nanvl(F.col(sim), F.lit(float("inf")))
             return (
                 scored.groupBy(idc)
                 .agg(
                     F.min(
-                        F.struct(
-                            (F.lit(0.0) - F.col(sim)).alias("_neg"),
-                            F.col(out_id),
-                        )
+                        F.struct(key.alias("_neg"), F.col(out_id))
                     ).alias("_w"),
                     *[F.first(c).alias(c) for c in carry],
                 )

@@ -900,14 +900,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection (word2vec-style bigram joining) and topic co-occurrence
     maps.
 
-    Scale shape: the vocabulary is min-df-capped and broadcast as ONE
-    array row; each document's in-vocab distinct-token set is built
-    map-side by a HOF filter, and the a<b pairs are generated by a
-    nested ``transform``/``slice``/``flatten`` — no self-join anywhere,
-    and the per-doc pair fan-out is bounded by |vocab-distinct-per-doc|²,
-    NOT doc length. One exchange counts pair document-frequencies, one
-    counts per-token presence (vocab-sized, broadcast back). PMI is then
-    arithmetic on three broadcastable aggregates.
+    Scale shape: the vocabulary is min-df-capped and joined as a
+    broadcast HASH table (O(1) per token occurrence — see
+    :func:`_pmi_doc_arrays` for the measured quadratic the previous
+    broadcast-array membership scan caused), and the a<b pairs are
+    generated by a nested ``transform``/``slice``/``flatten`` — no
+    self-join anywhere, and the per-doc pair fan-out is bounded by
+    |vocab-distinct-per-doc|², NOT doc length. One exchange counts pair
+    document-frequencies, one counts per-token presence (vocab-sized,
+    broadcast back). PMI is then arithmetic on three broadcastable
+    aggregates.
     """
     docs = load_tables(spark, sf_dir, "documents")
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

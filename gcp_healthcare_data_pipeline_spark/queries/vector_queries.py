@@ -233,17 +233,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic nlist ~ sqrt(n) sizing measured n^1.5 at the 100x blow-up)
     refined by one spherical-k-means Lloyd round (assign all corpus
     vectors by cosine, recompute centroids as per-dimension member
-    means), nearest-centroid cluster assignment, 2-probe query search —
+    means), nearest-centroid cluster assignment, 4-probe query search —
     the cluster-based scale path next to the LSH one, oracle-checkable
     end to end because every step (seeding, refinement, assignment) is
     deterministic.
 
     Assignment is hierarchical as of r12 (coarse quantizer of
     sqrt(nlist) supers — kills the n^1.5 flat-assignment curve the
-    round-11 third-decade probe measured; see ivf_topk). probes=4 with
-    2-super query routing was measured at recall@5 = 0.30 vs brute
-    force at sf0.1 — parity with the flat probes=2 design it replaces
-    (0.29); the extra probes ride the tiny query side only.
+    round-11 third-decade probe measured; see ivf_topk). The shipped
+    configuration (bounded ~256-row clusters, probes=4, 2-super query
+    routing) measured recall@5 = 0.78 vs brute force at sf0.1 — ABOVE
+    the flat sqrt(n)/probes=2 design it replaces (0.29); the extra
+    probes ride the tiny query side only. (An intermediate sqrt(n)-
+    sized hierarchical variant measured 0.30 — SCALING_r12.md §3/§6.)
 
     Recall on THIS corpus is modest: the synthetic embeddings are
     near-isotropic, so clusters carry little signal even after Lloyd
@@ -290,10 +292,15 @@ def _ivf_hier_sql(cent: str, p: str) -> str:
       FROM {cent}) _h) _r
   WHERE rn = 1
 ), {p}cmap AS (
+  -- self-preference tie-break (see the k-means family cmap): a super
+  -- must map to itself so no super is ever childless — a childless
+  -- super would silently drop every vector routed to it
   SELECT centroid_id, qv, super_id FROM (
     SELECT k.centroid_id, k.qv, s.super_id,
       ROW_NUMBER() OVER (PARTITION BY k.centroid_id
-        ORDER BY {_cosr_sql("k.qv", "s.sv")} DESC, s.super_id ASC) AS rn
+        ORDER BY {_cosr_sql("k.qv", "s.sv")} DESC,
+          CASE WHEN s.super_id = k.centroid_id THEN 0 ELSE 1 END ASC,
+          s.super_id ASC) AS rn
     FROM {cent} k CROSS JOIN {p}sup s) _r WHERE rn = 1
 ), {p}csup AS (
   SELECT neighbor_id, super_id FROM (
@@ -563,10 +570,19 @@ def _hier_assign_sql(cent: str, out: str, p: str) -> str:
       FROM {cent}) _h) _r
   WHERE rn = 1
 ), {p}cmap AS (
+  -- self-preference tie-break: a centroid that IS a super always maps
+  -- to itself (its self-distance 0.000000 can TIE another super's
+  -- rounded distance when two near-identical vectors were both chosen
+  -- as supers; without the preference the lower id wins the tie, the
+  -- losing super ends up CHILDLESS, and every vector routed to it
+  -- would vanish through the inner child join — the exact
+  -- near-duplicate regime a dedup engine must survive)
   SELECT centroid_id, c, super_id FROM (
     SELECT k.centroid_id, k.c, s.super_id,
       ROW_NUMBER() OVER (PARTITION BY k.centroid_id
-        ORDER BY {_km_dist_sql("k.c", "s.sc")} ASC, s.super_id ASC) AS rn
+        ORDER BY {_km_dist_sql("k.c", "s.sc")} ASC,
+          CASE WHEN s.super_id = k.centroid_id THEN 0 ELSE 1 END ASC,
+          s.super_id ASC) AS rn
     FROM {cent} k CROSS JOIN {p}sup s) _r WHERE rn = 1
 ), {p}vsup AS (
   SELECT vec_id, v, super_id FROM (
@@ -612,26 +628,15 @@ def _seed_centroids(emb: DataFrame) -> DataFrame:
     Execution shape: rank only the narrow (vec_id, hash) projection
     (the one shuffle, k tiny sorted groups), then broadcast the k
     winner ids back onto the corpus — the vectors themselves never
-    shuffle. Mirrored verbatim in the oracle ``_C0_SQL``."""
-    from pyspark.sql import Window
+    shuffle. The bucket-winner discipline is the shared
+    :func:`operators.similarity.hash_stratified_winners`; mirrored
+    verbatim in the oracle ``_C0_SQL``."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        hash_stratified_winners,
+    )
 
-    kf = _derived_k(emb)
-    h = F.expr(
-        "cast(conv(substr(md5(cast(vec_id as string)), 1, 12), 16, 10)"
-        " as bigint)"
-    )
-    hashed = (
-        emb.select("vec_id")
-        .withColumn("_h", h)
-        .crossJoin(F.broadcast(kf))
-    )
-    w = Window.partitionBy(
-        F.pmod(F.col("_h"), F.col("_k"))
-    ).orderBy("_h", "vec_id")
-    winners = (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id")
+    winners = hash_stratified_winners(
+        emb.select("vec_id"), "vec_id", _derived_k(emb), "_k"
     )
     return emb.join(F.broadcast(winners), "vec_id").select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
@@ -673,28 +678,17 @@ def _derived_m(emb: DataFrame) -> DataFrame:
 
 def _super_centroids(centroids: DataFrame, emb: DataFrame) -> DataFrame:
     """m hash-stratified super-centroids chosen FROM the centroid table
-    (same seeding discipline as :func:`_seed_centroids`, keyed on
-    centroid_id): m id-hash buckets, one hash-minimal member each.
-    Deterministic, uniform over the centroid set, mirrored verbatim in
-    the oracle's ``{p}sup`` CTE."""
-    from pyspark.sql import Window
+    (the shared :func:`operators.similarity.hash_stratified_winners`
+    discipline, keyed on centroid_id): m id-hash buckets, one
+    hash-minimal member each. Deterministic, uniform over the centroid
+    set, mirrored verbatim in the oracle's ``{p}sup`` CTE."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        hash_stratified_winners,
+    )
 
-    mf = _derived_m(emb)
-    h = F.expr(
-        "cast(conv(substr(md5(cast(centroid_id as string)), 1, 12), 16, 10)"
-        " as bigint)"
-    )
-    hashed = centroids.withColumn("_h", h).crossJoin(F.broadcast(mf))
-    w = Window.partitionBy(
-        F.pmod(F.col("_h"), F.col("_m"))
-    ).orderBy("_h", "centroid_id")
-    return (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col("centroid_id").alias("super_id"), F.col("c").alias("sc")
-        )
-    )
+    return hash_stratified_winners(
+        centroids, "centroid_id", _derived_m(emb), "_m"
+    ).select(F.col("centroid_id").alias("super_id"), F.col("c").alias("sc"))
 
 
 def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -724,8 +718,20 @@ def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     centroids = centroids.localCheckpoint(eager=False)
     supers = _super_centroids(centroids, emb)
 
+    # self-preference tie-break: a centroid that IS a super must map to
+    # itself. Two near-identical vectors can both be hash-chosen as
+    # supers; their mutual rounded distance then TIES the 0.000000
+    # self-distance, the plain (dist, id) tie-break sends the higher-id
+    # super under the lower one, the higher super ends up CHILDLESS,
+    # and every vector routed to it would be silently DROPPED by the
+    # inner child join — in the near-duplicate regime this dedup engine
+    # exists for. Mirrored in the oracle's {p}cmap CTE.
     wc = Window.partitionBy("centroid_id").orderBy(
-        F.col("_sd").asc(), F.col("super_id").asc()
+        F.col("_sd").asc(),
+        F.when(F.col("super_id") == F.col("centroid_id"), 0)
+        .otherwise(1)
+        .asc(),
+        F.col("super_id").asc(),
     )
     cmap = (
         centroids.crossJoin(F.broadcast(supers))

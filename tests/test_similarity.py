@@ -177,3 +177,63 @@ def test_ivf_adaptive_mod_scales_centroids(spark):
     # clusters (~512 candidates), far under the 3999-row brute-force
     # scan, and the probed volume stays ~512 at ANY corpus size
     assert len(rows) == 4 * 3
+
+
+def test_near_identical_supers_drop_no_vectors(spark):
+    """Regression (r12 review finding): two NEAR-identical vectors both
+    hash-chosen as super-centroids tie at rounded distance 0.000000 in
+    the centroid->super map; without the self-preference tie-break the
+    higher-id super maps under the lower one, ends up CHILDLESS, and
+    any vector whose 6dp-rounded distance strictly prefers it VANISHES
+    through the inner child join. This fixture constructs that exact
+    geometry against the real hash-derived seeds/supers of a 500-id
+    corpus (seeds 138..433, supers {168, 363} — pure md5 arithmetic,
+    stable by construction) and asserts the every-vector-assigned
+    contract plus the discriminating routing."""
+    import hashlib
+
+    from gcp_healthcare_data_pipeline_spark.queries import (
+        vector_queries as vq,
+    )
+
+    n, dims = 500, 8
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+
+    k = max(vq._KMEANS_K_MIN, math.ceil(n / vq._TARGET_BLOCK_ROWS))
+    buckets: dict = {}
+    for i in range(n):
+        b = h(i) % k
+        if b not in buckets or (h(i), i) < buckets[b]:
+            buckets[b] = (h(i), i)
+    seeds = sorted(i for _, i in buckets.values())
+    m = max(1, math.ceil(math.sqrt(k)))
+    sb: dict = {}
+    for c in seeds:
+        b = h(c) % m
+        if b not in sb or (h(c), c) < sb[b]:
+            sb[b] = (h(c), c)
+    supers = sorted(c for _, c in sb.values())
+    assert len(supers) >= 2, "fixture degenerate: need two supers"
+    sup_a, sup_b = supers[0], supers[1]
+    w_id = next(i for i in range(n) if i not in seeds)
+
+    def vec(i: int) -> list:
+        if i == sup_a:
+            return [0.0] * dims
+        if i == sup_b:
+            return [2e-7] + [0.0] * (dims - 1)  # rounds to dist 0.0 of A
+        if i == w_id:
+            # dist to B = 4e-7 -> rounds 0.000000; dist to A = 6e-7 ->
+            # rounds 0.000001: strictly prefers super B
+            return [6e-7] + [0.0] * (dims - 1)
+        return [1000.0 + i, float(i % 7)] + [0.0] * (dims - 2)
+
+    rows = [(i, vec(i)) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    assigned = vq._kmeans_assign(emb, vq._seed_centroids(emb))
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    assert len(got) == n, f"vectors dropped: {n - len(got)}"
+    # the discriminating row: w routes to super B and must find B there
+    assert got[w_id] == sup_b

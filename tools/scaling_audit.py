@@ -31,9 +31,11 @@ generators can LOOK linear in runtime while their pair space bends up):
 - ``--second-step``: re-times the dedup/ANN families on a synthetic 10x
   blow-up of sf0.1 (documents' tokens are re-written per copy so dup
   DENSITY is preserved — copies are unrelated documents, not 10-way
-  near-dup clusters; embeddings get a per-copy centroid shift). A
-  sf0.01->sf0.1 audit alone can mask late-onset superlinearity; this
-  records the second decade.
+  near-dup clusters; embeddings get a per-copy SIGN-FLIP pattern that
+  preserves within-copy euclidean AND cosine geometry exactly while
+  decorrelating copies — see build_blowup). A sf0.01->sf0.1 audit
+  alone can mask late-onset superlinearity; this records the second
+  decade.
 
 Usage: python tools/scaling_audit.py [--threshold 18] [query ...]
 Writes SCALING_r.md next to the repo root when --out is passed.
@@ -499,6 +501,14 @@ def run_third_step(spark, threshold: float):
             t0 = time.perf_counter()
             spec.fn(spark, blow1).count()
             t_b1 = time.perf_counter() - t0
+            # the 10x cell is BOTH the numerator of r1 and the
+            # DENOMINATOR of the judged r2, and it is cheap — always
+            # take best-of-2 so a cold read inflating it cannot mask a
+            # real superlinear 100x (nor fake one by deflating r2's
+            # sibling run)
+            t0 = time.perf_counter()
+            spec.fn(spark, blow1).count()
+            t_b1 = min(t_b1, time.perf_counter() - t0)
             t0 = time.perf_counter()
             spec.fn(spark, blow2).count()
             t_b2 = time.perf_counter() - t0
