@@ -41,6 +41,11 @@ QUERIES = [
     "q_coreset_select",
     # round-12 addition (codec round-trip + hierarchical assignment)
     "q_image_coreset",
+    # round-12 plan rewrite: the rest of the hierarchical-assignment
+    # family (q_semdedup/q_ann_ivf/q_coreset_select already above)
+    "q_kmeans",
+    "q_knn_graph",
+    "q_cluster_balance",
 ]
 
 

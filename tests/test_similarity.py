@@ -237,3 +237,38 @@ def test_near_identical_supers_drop_no_vectors(spark):
     assert len(got) == n, f"vectors dropped: {n - len(got)}"
     # the discriminating row: w routes to super B and must find B there
     assert got[w_id] == sup_b
+
+
+def test_degenerate_corpora_assignment_contract(spark):
+    """The every-vector-assigned-exactly-once contract under the two
+    degenerate shapes a dedup engine actually meets: a corpus where
+    EVERY vector is identical (all distances tie at every level — the
+    maximal-duplication regime), and a corpus smaller than K_MIN (some
+    seed hash-buckets empty, m supers over fewer centroids)."""
+    from gcp_healthcare_data_pipeline_spark.queries import (
+        vector_queries as vq,
+    )
+
+    # 1) 300 identical vectors: ties everywhere, nothing may drop
+    emb = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.expr("array(1.0d, 2.0d, 3.0d, 4.0d)").alias("v"),
+    )
+    assigned = vq._kmeans_assign(emb, vq._seed_centroids(emb))
+    rows = assigned.collect()
+    assert len(rows) == 300
+    assert len({r["vec_id"] for r in rows}) == 300
+    # all ties resolve to ONE deterministic centroid
+    assert len({r["centroid_id"] for r in rows}) == 1
+    assert all(r["dist"] == 0.0 for r in rows)
+
+    # 2) corpus smaller than K_MIN: n=5 -> k=8 buckets, several empty
+    tiny = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 3), i -> cast(id * (i + 1) as double))"
+        ).alias("v"),
+    )
+    got = vq._kmeans_assign(tiny, vq._seed_centroids(tiny)).collect()
+    assert len(got) == 5
+    assert len({r["vec_id"] for r in got}) == 5
