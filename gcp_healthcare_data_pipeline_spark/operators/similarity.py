@@ -83,10 +83,26 @@ def lsh_signature(vec_col: str, bits: int, dims: int, plane_offset: int = 0) -> 
     )
 
 
-# fixed target cluster size for adaptive IVF sizing (centroid_mod=None):
-# mirrored literally in the oracle (_IVF_ADAPTIVE_MOD_SQL) and pinnable
-# per corpus epoch exactly like an explicit centroid_mod
-IVF_TARGET_CLUSTER_ROWS = 256
+# fixed target cluster size for adaptive IVF sizing (centroid_mod=None),
+# expressed in FLOATS so the probe cost AND the centroid broadcast the
+# target bounds (both rows x dims) stay constant across embedding
+# widths (r13, dim-aware sizing): 16384 floats = the r12-measured 256
+# rows at the 64-dim testdata, so any 64-dim corpus derives the exact
+# mod every prior round used; a 1024-dim corpus gets 16-row clusters
+# instead of a 16x-ed broadcast. Mirrored in the oracle
+# (_IVF_ADAPTIVE_MOD_SQL) and pinnable per corpus epoch exactly like an
+# explicit centroid_mod.
+IVF_TARGET_CLUSTER_FLOATS = 16384
+
+
+def _md5_48(col: str) -> F.Column:
+    """First 48 bits of md5(id) as bigint — the engine's shared
+    deterministic id hash (same expression as
+    :func:`hash_stratified_winners`)."""
+    return F.expr(
+        f"cast(conv(substr(md5(cast({col} as string)), 1, 12), 16, 10)"
+        " as bigint)"
+    )
 
 
 def hash_stratified_winners(
@@ -103,10 +119,7 @@ def hash_stratified_winners(
     (vector_queries._C0_SQL, _hier_assign_sql's ``{p}sup``,
     _ivf_hier_sql's ``{p}sup``) replicate it verbatim and must change
     in lockstep with this function."""
-    h = F.expr(
-        f"cast(conv(substr(md5(cast({id_col} as string)), 1, 12), 16, 10)"
-        " as bigint)"
-    )
+    h = _md5_48(id_col)
     w = Window.partitionBy(
         F.pmod(F.col("_h"), F.col(m_col))
     ).orderBy("_h", id_col)
@@ -119,6 +132,32 @@ def hash_stratified_winners(
     )
 
 
+def _assert_unique_ids(df: DataFrame, col: str, who: str) -> DataFrame:
+    """Debug-mode uniqueness guard: attaches a 1-row broadcast check
+    that raises at EXECUTION time if ``col`` carries duplicates —
+    duplicate ids would otherwise collapse silently (one row per id,
+    nondeterministically chosen payload) in the keep-1 aggregation.
+    One extra groupBy on the id projection — debug cost, not hot-path."""
+    chk = (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.assert_true(
+                F.coalesce(F.max("_c"), F.lit(0)) <= 1,
+                F.lit(f"{who}: duplicate {col} values — ids must be unique"),
+            ).alias("_ok")
+        )
+    )
+    # the filter REFERENCES _ok so column pruning cannot elide the
+    # assert_true expression (a bare drop lets Catalyst remove it);
+    # assert_true yields NULL on success, so the filter keeps every row
+    return (
+        df.crossJoin(F.broadcast(chk))
+        .filter(F.col("_ok").isNull())
+        .drop("_ok")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,8 +167,18 @@ def ivf_topk(
     lloyd_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate_ids: bool = False,
 ) -> DataFrame:
     """IVF-style approximate top-k: the second classic ANN scale path.
+
+    CONTRACT: ``id_col`` must be UNIQUE within ``corpus`` and within
+    ``queries``. The keep-1 assignment aggregates carry payload columns
+    with ``first(...)`` per id group — deterministic ONLY because every
+    row of a group then holds the same payload; a duplicate-id corpus
+    would collapse to one nondeterministically-chosen vector per id with
+    no error and diverge from the oracle. Pass ``validate_ids=True``
+    (debug mode — one extra id-projection groupBy per side) to make a
+    duplicate-id corpus fail loudly at execution time instead.
 
     Centroid seeds are a deterministic corpus sample
     (id % centroid_mod == 0; ``centroid_mod=None`` uses the fixed
@@ -168,26 +217,80 @@ def ivf_topk(
     index is built, reuse for every batch) pins the full index shape:
     see tests/test_epoch_pinning_ivf.py.
     """
+    if validate_ids:
+        corpus = _assert_unique_ids(corpus, id_col, "ivf_topk corpus")
+        queries = _assert_unique_ids(queries, id_col, "ivf_topk queries")
     c_raw = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
     ).withColumn("_cn", norm(F.col("_v")))
     if centroid_mod is None:
-        # target-cluster sizing: a FIXED mod keeps probed clusters at
-        # ~IVF_TARGET_CLUSTER_ROWS rows forever, so probe work stays
-        # linear in corpus size even when the query set grows with the
-        # corpus; nlist = n/mod grows linearly but the hierarchical
-        # quantizer keeps assignment at n * 2*sqrt(nlist). The centroid
-        # table broadcast grows linearly too — at ~100M vectors/shard
-        # (≈400k centroids x 64 dims ≈ 200 MB) the LSH-style shard
-        # policy takes over; inside any realistic shard it is small.
-        centroid_mod = IVF_TARGET_CLUSTER_ROWS
-    seed_filter = corpus.filter(F.col(id_col) % centroid_mod == 0)
+        # target-cluster sizing: a FIXED mod keeps probed clusters at a
+        # constant FLOAT volume (~IVF_TARGET_CLUSTER_FLOATS, i.e.
+        # floats/dims rows — dim-aware as of r13) forever, so probe
+        # work stays linear in corpus size even when the query set
+        # grows with the corpus; nlist = n/mod grows linearly but the
+        # hierarchical quantizer keeps assignment at n * 2*sqrt(nlist).
+        # The centroid table broadcast grows linearly too and at a
+        # constant BYTE budget per row-count regardless of dims — the
+        # shard_vectors operator bounds it (≈200 MB of centroids per
+        # ~100M-vector 64-dim shard); inside any shard it is small.
+        # The mod is a 1-row broadcast aggregate (no collect), exactly
+        # like the k-means family's _derived_k.
+        modf = corpus.agg(
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    F.lit(float(IVF_TARGET_CLUSTER_FLOATS))
+                    / F.max(F.size(vec_col))
+                ),
+            ).alias("_mod")
+        )
+        seed_filter = (
+            corpus.crossJoin(F.broadcast(modf))
+            .filter(F.col(id_col) % F.col("_mod") == 0)
+            .drop("_mod")
+        )
+    else:
+        seed_filter = corpus.filter(F.col(id_col) % centroid_mod == 0)
     cents = (
         seed_filter.select(
             F.col(id_col).alias("centroid_id"),
             as_double(vec_col).alias("_cv"),
         )
         .withColumn("_ccn", norm(F.col("_cv")))
+    )
+    # Empty-seed guard (r12 ADVICE): ``id % mod == 0`` is an id-space
+    # sample — a corpus whose ids are sparse or not 0-aligned (1-based,
+    # post-filter survivors, …) can yield ZERO seeds, and zero centroids
+    # would make every downstream join silently return an empty result.
+    # Fall back to the single hash-minimal corpus row (the engine's
+    # hash-stratified-winner discipline at m=1, computed as a partial-
+    # combining min-struct aggregate — no single-reducer window) used
+    # ONLY when the sampled seed set is empty; a 1-centroid index
+    # degrades to brute force within one cluster, which is correct.
+    seedcnt = cents.agg(F.count(F.lit(1)).alias("_nseeds"))
+    fallback = (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"), as_double(vec_col).alias("_cv")
+        )
+        .withColumn("_h", _md5_48("centroid_id"))
+        .groupBy()
+        .agg(
+            F.min(
+                F.struct(F.col("_h"), F.col("centroid_id"), F.col("_cv"))
+            ).alias("_w")
+        )
+        .select(
+            F.col("_w.centroid_id").alias("centroid_id"),
+            F.col("_w._cv").alias("_cv"),
+        )
+        .filter(F.col("centroid_id").isNotNull())  # empty corpus
+        .withColumn("_ccn", norm(F.col("_cv")))
+    )
+    cents = cents.unionByName(
+        fallback.crossJoin(F.broadcast(seedcnt))
+        .filter(F.col("_nseeds") == 0)
+        .drop("_nseeds")
     )
 
     def hier_quantizer(cents: DataFrame) -> tuple[DataFrame, DataFrame]:

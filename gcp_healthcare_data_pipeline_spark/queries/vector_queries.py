@@ -311,10 +311,15 @@ def _ivf_hier_sql(cent: str, p: str) -> str:
 )"""
 
 
-# adaptive sizing = fixed target-cluster mod (clusters stay ~256 rows,
-# nlist = n/256 — see operators.similarity.IVF_TARGET_CLUSTER_ROWS);
-# the epoch-pinning test passes a different literal instead
-_IVF_ADAPTIVE_MOD_SQL = "256"
+# adaptive sizing = fixed target-cluster mod, dim-aware as of r13
+# (clusters hold a constant FLOAT volume — 16384/dims rows, 256 at the
+# 64-dim testdata, bit-identical to every prior round there; see
+# operators.similarity.IVF_TARGET_CLUSTER_FLOATS); the epoch-pinning
+# test passes a different literal instead
+_IVF_ADAPTIVE_MOD_SQL = (
+    "(SELECT GREATEST(1, CAST(FLOOR(16384.0 / MAX(len(embedding))) "
+    "AS BIGINT)) FROM embeddings)"
+)
 
 
 def _ann_ivf_oracle_sql(
@@ -328,8 +333,19 @@ def _ann_ivf_oracle_sql(
 WITH c AS (
   SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
 ), cent0 AS (
+  -- twin of ivf_topk's seed sample + empty-seed fallback (the single
+  -- hash-minimal corpus row, used only when the id-space sample is
+  -- empty — sparse / non-0-aligned id corpora)
   SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id % {mod_sql} = 0
+  UNION ALL
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv FROM (
+    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY
+      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
+      vec_id) AS rn
+    FROM embeddings) _fb
+  WHERE rn = 1 AND NOT EXISTS (
+    SELECT 1 FROM embeddings WHERE vec_id % {mod_sql} = 0)
 ), {_ivf_hier_sql("cent0", "h1")}, r0 AS (
   -- Lloyd round 1: two-level cosine-assign every corpus vector
   SELECT neighbor_id, centroid_id FROM (
@@ -494,7 +510,17 @@ SELECT label, vec_id, centroid_dist, rank FROM ranked WHERE rank <= 5
 # results stay bit-identical across engines.
 # ---------------------------------------------------------------------------
 _KMEANS_K_MIN = 8
-_TARGET_BLOCK_ROWS = 256
+# Block size is EMBEDDING-DIM-AWARE (r13, verdict item 4): the cost the
+# block target bounds — within-cluster pair folds, centroid broadcast
+# bytes — is rows x dims, not rows, so the target is FLOATS per block
+# (16384 = the r12-measured 256 rows x the 64-dim testdata; any 64-dim
+# corpus derives bit-identical k/m to every prior round). A 1024-dim
+# corpus now gets 16-row blocks instead of 16x-ing the broadcast and the
+# per-block fold work. dims is MAX(len(v)) over the corpus — a 1-row
+# broadcast aggregate computed alongside n, no extra pass; mirrored in
+# the oracle (_K_SQL/_M_SQL). Pinned at two dims by
+# tests/test_dim_aware_blocks.py.
+_TARGET_BLOCK_FLOATS = 16384
 # SCALE NOTE (r11 measured, r12 fixed IN-ENGINE): k = ceil(n / 256)
 # keeps the within-cluster self-joins bounded (~256-row blocks) but a
 # FLAT broadcast nearest-centroid assignment is n x k ~ n^2/256 —
@@ -514,11 +540,17 @@ _TARGET_BLOCK_ROWS = 256
 # (the ~400-node expression tree pushes the stage out of efficient
 # codegen) — negative result recorded in SCALING_r11.md §4.
 
+# DuckDB twin of the dim-aware block size in ROWS; valid inside any
+# aggregate over the corpus CTE that exposes the vector column ``v``.
+# FLOOR yields a double in DuckDB and a bigint in Spark; both divide
+# COUNT(*) as exact-integer-valued doubles, so CEIL agrees bit-for-bit.
+_BLOCK_SQL = f"GREATEST(1, FLOOR({_TARGET_BLOCK_FLOATS}.0 / MAX(len(v))))"
+
 # DuckDB twin of the k derivation; valid wherever CTE ``e`` (the
 # embedding corpus) is in scope
 _K_SQL = (
     f"(SELECT GREATEST({_KMEANS_K_MIN}, "
-    f"CAST(CEIL(COUNT(*) / {_TARGET_BLOCK_ROWS}.0) AS BIGINT)) FROM e)"
+    f"CAST(CEIL(COUNT(*) / {_BLOCK_SQL}) AS BIGINT)) FROM e)"
 )
 
 # DuckDB twin of _seed_centroids (hash-stratified seeds): one
@@ -539,7 +571,7 @@ _C0_SQL = f"""c0 AS (
 # engines agree without exchanging the centroid table's cardinality
 _M_SQL = (
     f"(SELECT GREATEST(1, CAST(CEIL(SQRT(GREATEST({_KMEANS_K_MIN}, "
-    f"CAST(CEIL(COUNT(*) / {_TARGET_BLOCK_ROWS}.0) AS BIGINT)))) "
+    f"CAST(CEIL(COUNT(*) / {_BLOCK_SQL}) AS BIGINT)))) "
     f"AS BIGINT)) FROM e)"
 )
 
@@ -601,12 +633,25 @@ def _hier_assign_sql(cent: str, out: str, p: str) -> str:
 )"""
 
 
+def _block_rows_agg() -> "F.Column":
+    """Dim-aware block size in ROWS as an aggregate expression over a
+    corpus frame exposing ``v``: max(1, floor(TARGET_FLOATS / dims)).
+    On an EMPTY corpus ``max(size(v))`` is NULL, the division and floor
+    propagate NULL, and the ``greatest`` in the k/m derivations skips
+    the NULL operand (Spark greatest ignores NULLs), preserving the
+    K_MIN floor the degenerate-corpus contract tests pin."""
+    return F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.lit(float(_TARGET_BLOCK_FLOATS)) / F.max(F.size("v"))),
+    )
+
+
 def _derived_k(emb: DataFrame) -> DataFrame:
     """1-row frame holding the derived block count ``_k``."""
     return emb.agg(
         F.greatest(
             F.lit(_KMEANS_K_MIN),
-            F.ceil(F.count(F.lit(1)) / F.lit(float(_TARGET_BLOCK_ROWS))),
+            F.ceil(F.count(F.lit(1)) / _block_rows_agg()),
         )
         .cast("bigint")
         .alias("_k")
@@ -667,7 +712,7 @@ def _derived_m(emb: DataFrame) -> DataFrame:
     k = (
         F.greatest(
             F.lit(_KMEANS_K_MIN),
-            F.ceil(F.count(F.lit(1)) / F.lit(float(_TARGET_BLOCK_ROWS))),
+            F.ceil(F.count(F.lit(1)) / _block_rows_agg()),
         )
         .cast("bigint")
     )

@@ -39,18 +39,19 @@ SF_DIR = "/root/testdata/sf0.1"  # 2000 vectors
 
 def test_corpus_outgrew_epoch_shape():
     """Precondition: both pinned epoch mods below differ from the
-    adaptive target-cluster mod (256) the corpus would get today —
+    adaptive target-cluster mod (16384/64 dims = 256) the corpus would get today —
     otherwise the parity test proves nothing. (31 and 100 are the
     sqrt(n)-era shapes a 500- and 10000-vector epoch would have pinned:
     max(31, ceil(sqrt(n))) — exactly the persisted-index situation the
     policy exists for.)"""
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
-        IVF_TARGET_CLUSTER_ROWS,
+        IVF_TARGET_CLUSTER_FLOATS,
     )
 
+    adaptive_mod = IVF_TARGET_CLUSTER_FLOATS // 64  # 64-dim corpus
     legacy = [max(31, math.ceil(math.sqrt(n))) for n in (500, 10000)]
     assert legacy == [31, 100]
-    assert all(mod != IVF_TARGET_CLUSTER_ROWS for mod in legacy)
+    assert all(mod != adaptive_mod for mod in legacy)
 
 
 @pytest.mark.parametrize("epoch_mod", [31, 100])

@@ -114,17 +114,21 @@ def test_lsh_probe_depth_zero_rejected(spark):
 
 
 def test_kmeans_block_count_scales_with_corpus(spark):
-    """The derived block count k = max(K_MIN, ceil(n/TARGET_BLOCK_ROWS))
-    grows with corpus size, and the resulting k-means blocks stay within
-    a small factor of the target — the bound that keeps the semdedup /
-    kNN-graph within-block self-joins from going quadratic at scale."""
+    """The derived block count k = max(K_MIN, ceil(n/block_rows)) grows
+    with corpus size, with block_rows DIM-AWARE (max(1, floor(
+    TARGET_BLOCK_FLOATS/dims)) — 2048 rows at these 8-dim vectors), and
+    the resulting k-means blocks stay within a small factor of the
+    target — the bound that keeps the semdedup / kNN-graph within-block
+    self-join FOLD WORK (rows x dims per block) from going quadratic at
+    scale regardless of embedding width."""
     import math
 
     from gcp_healthcare_data_pipeline_spark.queries import (
         vector_queries as vq,
     )
 
-    for n in (500, 2048, 8192):
+    block = max(1, vq._TARGET_BLOCK_FLOATS // 8)  # 8-dim vectors below
+    for n in (500, 2048, 8192, 40000):
         emb = spark.range(n).select(
             F.col("id").alias("vec_id"),
             F.expr(
@@ -132,7 +136,7 @@ def test_kmeans_block_count_scales_with_corpus(spark):
                 "i -> sin(cast(id * (i + 3) as double)))"
             ).alias("v"),
         )
-        expect_k = max(vq._KMEANS_K_MIN, math.ceil(n / vq._TARGET_BLOCK_ROWS))
+        expect_k = max(vq._KMEANS_K_MIN, math.ceil(n / block))
         assert vq._derived_k(emb).collect()[0]["_k"] == expect_k
         cent = vq._seed_centroids(emb)
         assert cent.count() == min(expect_k, n)
@@ -147,19 +151,21 @@ def test_kmeans_block_count_scales_with_corpus(spark):
         assert sum(sizes) == n  # every vector assigned exactly once
         # k-means gives no hard balance guarantee; empirically blocks
         # stay within a small factor of the target on this data shape
-        assert max(sizes) <= 4 * vq._TARGET_BLOCK_ROWS
+        assert max(sizes) <= 4 * block
 
 
 def test_ivf_adaptive_mod_scales_centroids(spark):
-    """centroid_mod=None uses the fixed target-cluster mod (256):
-    nlist grows with the corpus while probed clusters stay ~256 rows,
-    same result contract (rank column, k rows cap)."""
+    """centroid_mod=None uses the fixed target-cluster mod, DIM-AWARE
+    as of r13 (floor(TARGET_FLOATS/dims) — 2048 at these 8-dim vectors,
+    256 at the 64-dim testdata): nlist grows with the corpus while
+    probed clusters hold a constant float volume, same result contract
+    (rank column, k rows cap)."""
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
-        IVF_TARGET_CLUSTER_ROWS,
+        IVF_TARGET_CLUSTER_FLOATS,
         ivf_topk,
     )
 
-    assert IVF_TARGET_CLUSTER_ROWS == 256
+    assert IVF_TARGET_CLUSTER_FLOATS // 64 == 256  # 64-dim testdata mod
     n = 4000
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
@@ -173,9 +179,9 @@ def test_ivf_adaptive_mod_scales_centroids(spark):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == {0, 1000, 2000, 3000}
     assert all(1 <= r["rank"] <= 3 for r in rows)
-    # mod 256 -> ~16 centroids of ~256 rows; each query probes 2
-    # clusters (~512 candidates), far under the 3999-row brute-force
-    # scan, and the probed volume stays ~512 at ANY corpus size
+    # mod floor(16384/8)=2048 at 8 dims -> 2 centroids here; each query
+    # probes 2 clusters, and the probed FLOAT volume stays constant at
+    # ANY corpus size and embedding width
     assert len(rows) == 4 * 3
 
 
@@ -201,7 +207,10 @@ def test_near_identical_supers_drop_no_vectors(spark):
     def h(i: int) -> int:
         return int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
 
-    k = max(vq._KMEANS_K_MIN, math.ceil(n / vq._TARGET_BLOCK_ROWS))
+    k = max(
+        vq._KMEANS_K_MIN,
+        math.ceil(n / max(1, vq._TARGET_BLOCK_FLOATS // dims)),
+    )
     buckets: dict = {}
     for i in range(n):
         b = h(i) % k
@@ -272,3 +281,69 @@ def test_degenerate_corpora_assignment_contract(spark):
     got = vq._kmeans_assign(tiny, vq._seed_centroids(tiny)).collect()
     assert len(got) == 5
     assert len({r["vec_id"] for r in got}) == 5
+
+
+def test_ivf_empty_seed_fallback(spark):
+    """r12 ADVICE: ``id % mod == 0`` seed sampling yields ZERO seeds on a
+    corpus whose ids are sparse / non-0-aligned (odd 1-based ids here —
+    no multiple of the adaptive mod exists), and zero centroids used to
+    make ivf_topk return an empty result SILENTLY. The guard falls back
+    to the single hash-minimal corpus row, so the search degrades to
+    brute force within one cluster instead of vanishing."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    n = 100
+    emb = spark.range(n).select(
+        (F.col("id") * 2 + 1).alias("vec_id"),  # 1, 3, ..., 199
+        F.expr(
+            "transform(sequence(0, 7), "
+            "i -> sin(cast(id * (i + 3) as double)))"
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") <= 5)
+    for mod in (None, 50):  # adaptive (2048 at 8 dims) and explicit
+        out = ivf_topk(emb, queries, k=3, centroid_mod=mod, probes=2)
+        rows = out.collect()
+        assert {r["query_id"] for r in rows} == {1, 3, 5}, mod
+        assert all(1 <= r["rank"] <= 3 for r in rows)
+
+
+def test_ivf_empty_corpus_stays_empty(spark):
+    """The fallback must not conjure a centroid out of nothing: an empty
+    corpus still returns an empty (not failing) result."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = _emb(spark)
+    empty = emb.filter(F.col("vec_id") < 0)
+    out = ivf_topk(empty, emb.limit(2), k=3, centroid_mod=None)
+    assert out.count() == 0
+
+
+def test_ivf_validate_ids_rejects_duplicates(spark):
+    """r12 ADVICE: duplicate ids silently collapse in the keep-1
+    aggregation (first(payload) per id group). validate_ids=True makes
+    that corpus fail loudly at execution time; on a unique-id corpus the
+    validated plan returns the identical result."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    clean = ivf_topk(emb, queries, k=3, centroid_mod=31)
+    checked = ivf_topk(emb, queries, k=3, centroid_mod=31, validate_ids=True)
+    assert sorted(map(tuple, clean.collect())) == sorted(
+        map(tuple, checked.collect())
+    )
+
+    dup = emb.unionByName(emb.limit(1))  # one duplicated vec_id
+    with pytest.raises(Py4JJavaError, match="duplicate vec_id"):
+        ivf_topk(dup, queries, k=3, centroid_mod=31, validate_ids=True).collect()

@@ -517,8 +517,15 @@ def run_third_step(spark, threshold: float):
             # parquet from disk after page-cache eviction mid-probe —
             # measured 63.9s cold vs 17.7s steady on the same query).
             # Re-time each cell once and keep the min (background load
-            # and cold I/O only ever ADD time) before judging.
+            # and cold I/O only ever ADD time) before judging. The
+            # retry is ONE-SIDED — it can only unflag — so when it DOES
+            # clear a flag, both readings are recorded in the artifact
+            # (r12 ADVICE): a reviewer can see how close the retried
+            # minimum remains to the threshold instead of taking the
+            # pass on faith.
+            retry_cleared = None
             if t_b2 / max(t_b1, 1e-9) > threshold:
+                first = (t_base, t_b1, t_b2)
                 t0 = time.perf_counter()
                 spec.fn(spark, BIG_SF).count()
                 t_base = min(t_base, time.perf_counter() - t0)
@@ -528,6 +535,8 @@ def run_third_step(spark, threshold: float):
                 t0 = time.perf_counter()
                 spec.fn(spark, blow2).count()
                 t_b2 = min(t_b2, time.perf_counter() - t0)
+                if t_b2 / max(t_b1, 1e-9) <= threshold:
+                    retry_cleared = first
         except Exception as exc:  # noqa: BLE001
             errors += 1
             print(f"{name:28s} ERROR {type(exc).__name__}: {exc}"[:160])
@@ -540,10 +549,16 @@ def run_third_step(spark, threshold: float):
         # let the floor silently unflag it
         flag = r2 > threshold and (t_b1 >= 0.15 or t_b2 >= 0.15 * threshold)
         below_floor = t_b1 < 0.15 and not flag
-        rows.append((name, t_base, t_b1, t_b2, r1, r2, flag))
+        rows.append((name, t_base, t_b1, t_b2, r1, r2, flag, retry_cleared))
         mark = "  <-- SUPERLINEAR (3rd decade)" if flag else (
             "  (below timing floor, ratio unjudged)" if below_floor else ""
         )
+        if retry_cleared is not None:
+            fb, f1, f2 = retry_cleared
+            mark += (
+                f"  [flag CLEARED by retry: first read "
+                f"{fb:.2f}/{f1:.2f}/{f2:.2f}s = x{f2 / max(f1, 1e-9):.2f}]"
+            )
         print(f"{name:28s} {t_base:7.3f}s -> {t_b1:8.3f}s -> {t_b2:9.3f}s"
               f"  x{r1:5.2f} x{r2:5.2f}{mark}")
         if flag:
@@ -611,11 +626,19 @@ def main() -> int:
                     "ratio 1->10x | ratio 10->100x | flag |\n"
                     "|---|---|---|---|---|---|---|\n"
                 )
-                for name, tb, t1, t2, r1, r2, fl in rows:
+                for name, tb, t1, t2, r1, r2, fl, rc in rows:
+                    note = "SUPERLINEAR" if fl else ""
+                    if rc is not None:
+                        # one-sided retry cleared the flag: publish the
+                        # first reading so the pass is reviewable
+                        note += (
+                            f"retry-cleared (first read {rc[0]:.2f}/"
+                            f"{rc[1]:.2f}/{rc[2]:.2f}s = "
+                            f"x{rc[2] / max(rc[1], 1e-9):.2f})"
+                        )
                     fh.write(
                         f"| {name} | {tb:.3f} | {t1:.3f} | {t2:.3f} | "
-                        f"{r1:.2f} | {r2:.2f} | "
-                        f"{'SUPERLINEAR' if fl else ''} |\n"
+                        f"{r1:.2f} | {r2:.2f} | {note} |\n"
                     )
                 if errors:
                     fh.write(f"\n{errors} queries ERRORED (audit failed).\n")
