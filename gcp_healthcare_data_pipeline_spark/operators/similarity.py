@@ -132,6 +132,67 @@ def hash_stratified_winners(
     )
 
 
+# Centroid-broadcast budget per shard, in FLOATS (≈200 MB of doubles):
+# the shard driver sizes shards so the per-shard centroid table —
+# rows_per_shard / block_rows centroids x dims floats — never exceeds
+# this, regardless of embedding width. rows_per_shard =
+# floor(BUDGET x block_rows / dims) = BUDGET x BLOCK_FLOATS / dims^2:
+# 102.4M rows at 64 dims (the documented "~100M vectors/shard ≈ 200 MB
+# of centroids" policy, now executable), 400k rows at 1024 dims.
+SHARD_CENTROID_BUDGET_FLOATS = 25_600_000
+
+
+def shard_vectors(
+    df: DataFrame,
+    max_rows_per_shard: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Deterministic corpus sharding for the vector family's per-shard
+    scale path (SCALING_r12.md §3's prose policy, executable as of r13):
+    adds ``shard_id = md5_48(id) % n_shards`` with
+    ``n_shards = max(1, ceil(n / rows_per_shard))``.
+
+    ``max_rows_per_shard=None`` derives the dim-aware default
+    ``floor(SHARD_CENTROID_BUDGET_FLOATS * block_rows / dims)`` (see the
+    budget constant above) so the per-shard centroid table stays under
+    ~200 MB at ANY embedding width. Everything is a 1-row broadcast
+    aggregate composed into the plan — no driver collect; the md5 hash
+    is the engine's shared id-hash discipline, so the split is
+    reproducible in the DuckDB oracle verbatim. Callers that LOOP over
+    shards (the per-shard index-build jobs) materialize one scalar — the
+    shard count — which is index-build orchestration, the same driver
+    pattern as the reference's config-table loop (C1).
+    """
+    if max_rows_per_shard is not None:
+        rows = F.lit(int(max_rows_per_shard)).cast("bigint")
+    else:
+        block = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                F.lit(float(IVF_TARGET_CLUSTER_FLOATS)) / F.max(F.size(vec_col))
+            ),
+        )
+        rows = F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                F.lit(float(SHARD_CENTROID_BUDGET_FLOATS))
+                * block
+                / F.max(F.size(vec_col))
+            ),
+        )
+    nf = df.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"), F.ceil(F.count(F.lit(1)) / rows)
+        ).alias("_nsh")
+    )
+    return (
+        df.crossJoin(F.broadcast(nf))
+        .withColumn("shard_id", F.pmod(_md5_48(id_col), F.col("_nsh")))
+        .drop("_nsh")
+    )
+
+
 def _assert_unique_ids(df: DataFrame, col: str, who: str) -> DataFrame:
     """Debug-mode uniqueness guard: attaches a 1-row broadcast check
     that raises at EXECUTION time if ``col`` carries duplicates —

@@ -1534,7 +1534,177 @@ WHERE rank <= {_IMG_CORESET_M}
 _ORACLE_IMAGE_CORESET = _image_coreset_oracle_sql()
 
 
+_VID_EVERY_MS = 500  # frame-sampling stride target
+_VID_FPS = 4  # 250 ms/frame -> sample_frames keeps every 2nd frame
+_VID_CORESET_M = 3  # representatives kept per visual cluster
+
+
+def q_video_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END video -> frames -> embedding -> curation chain (the
+    frame-sampled sibling of q_image_coreset, r12 verdict item 5):
+    synthesize one uncompressed AVI per document with VARYING geometry
+    (width 4..6, height 3..4, 4..6 frames at 4 fps — every payload
+    exercises the DIB row-padding rule and a different frame count),
+    sample frames through the REAL container parse
+    (operators/multimodal.py:sample_frames -> decode_avi_rgb24, stride
+    = every_ms over the stream's own 250 ms frame period, i.e. every
+    2nd frame), embed each SAMPLED frame as its mean-RGB vector
+    computed from the decoded bytes, and keep the
+    ``_VID_CORESET_M`` most central frames per visual cluster with the
+    shared hierarchical-k-means machinery. The DuckDB oracle recomputes
+    frame selection (range(0, n_frames, 2)) AND the per-frame channel
+    means from the pixel formula alone — an encoder/parser that strips
+    padding wrong, drops a frame, or mis-strides the sampler cannot
+    hash-match.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        encode_avi_rgb24,
+        sample_frames,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _kmeans_assign,
+        _seed_centroids,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def make_avi(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h, n = 4 + m % 3, 3 + m % 2, 4 + m % 3
+                frames = []
+                for f in range(n):
+                    rgb = bytearray()
+                    for y in range(h):
+                        for x in range(w):
+                            rgb += bytes((
+                                (m * 7 + x * 13 + y * 29 + f * 31) % 256,
+                                (m * 11 + x * 3 + y * 17 + f * 23) % 256,
+                                (m * 5 + x * 19 + y * 7 + f * 37) % 256,
+                            ))
+                    frames.append(bytes(rgb))
+                payloads.append(encode_avi_rgb24(w, h, _VID_FPS, frames))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["video"] * len(payloads),
+                    "payload": payloads,
+                    "duration_ms": pd.Series(
+                        [None] * len(payloads), dtype="Int64"
+                    ),
+                }
+            )
+
+    media = docs.mapInPandas(
+        make_avi,
+        "media_id long, kind string, payload binary, duration_ms long",
+    )
+    frames = sample_frames(media, every_ms=_VID_EVERY_MS)
+
+    def embed(it):
+        for pdf in it:
+            ids, rs, gs, bs = [], [], [], []
+            for mid, fi, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_payload"]
+            ):
+                raw = bytes(payload)
+                n = len(raw) // 3
+                # frame_idx < 8 always (<= 6 frames/clip), so the packed
+                # id is bijective; exact-integer sums, ONE IEEE division
+                ids.append(int(mid) * 8 + int(fi))
+                rs.append(sum(raw[0::3]) / n)
+                gs.append(sum(raw[1::3]) / n)
+                bs.append(sum(raw[2::3]) / n)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "mean_r": rs,
+                    "mean_g": gs,
+                    "mean_b": bs,
+                }
+            )
+
+    stats = frames.mapInPandas(
+        embed, "vec_id long, mean_r double, mean_g double, mean_b double"
+    )
+    emb = stats.select(
+        "vec_id",
+        F.array(
+            F.round("mean_r", 6), F.round("mean_g", 6), F.round("mean_b", 6)
+        ).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=False)
+    assigned = _kmeans_assign(emb, _seed_centroids(emb))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VID_CORESET_M)
+        .select(
+            "centroid_id",
+            "rank",
+            F.expr("CAST(vec_id div 8 AS BIGINT)").alias("media_id"),
+            F.pmod("vec_id", F.lit(8)).cast("bigint").alias("frame_idx"),
+            "dist",
+        )
+    )
+
+
+def _video_coreset_oracle_sql() -> str:
+    """DuckDB twin of q_video_coreset: frame sampling + per-frame mean
+    RGB from the pixel formula (the formula IS the video), then the
+    shared hierarchical-assignment CTE chain."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _C0_SQL,
+        _hier_assign_sql,
+    )
+
+    return f"""
+WITH src AS (
+  SELECT doc_id AS m, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+         4 + doc_id % 3 AS nf
+  FROM documents
+), fr AS (
+  -- sample_frames stride: every_ms={_VID_EVERY_MS} over the 250 ms
+  -- frame period of the {_VID_FPS} fps stream -> every 2nd frame
+  SELECT m, w, h, fs.f FROM src, UNNEST(range(0, nf, 2)) AS fs(f)
+), px AS (
+  SELECT m, f,
+    (m * 7 + xs.x * 13 + ys.y * 29 + f * 31) % 256 AS r,
+    (m * 11 + xs.x * 3 + ys.y * 17 + f * 23) % 256 AS g,
+    (m * 5 + xs.x * 19 + ys.y * 7 + f * 37) % 256 AS b
+  FROM fr, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)
+), e AS (
+  SELECT m * 8 + f AS vec_id,
+    [ROUND(AVG(r), 6), ROUND(AVG(g), 6), ROUND(AVG(b), 6)]::DOUBLE[] AS v
+  FROM px GROUP BY 1
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}
+SELECT centroid_id, rank, vec_id // 8 AS media_id, vec_id % 8 AS frame_idx,
+       dist
+FROM (
+  SELECT centroid_id, vec_id, dist,
+    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
+  FROM a1) _r
+WHERE rank <= {_VID_CORESET_M}
+"""
+
+
+_ORACLE_VIDEO_CORESET = _video_coreset_oracle_sql()
+
+
 QUERIES = [
+    QuerySpec(
+        "q_video_coreset", q_video_coreset, _ORACLE_VIDEO_CORESET,
+        "ext:multimodal ext:similarity (video frame-sample -> embed -> "
+        "coreset chain)",
+    ),
     QuerySpec(
         "q_image_coreset", q_image_coreset, _ORACLE_IMAGE_CORESET,
         "ext:multimodal ext:similarity (resize -> embed -> coreset chain)",

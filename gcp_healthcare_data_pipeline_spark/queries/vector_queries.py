@@ -546,34 +546,46 @@ _TARGET_BLOCK_FLOATS = 16384
 # COUNT(*) as exact-integer-valued doubles, so CEIL agrees bit-for-bit.
 _BLOCK_SQL = f"GREATEST(1, FLOOR({_TARGET_BLOCK_FLOATS}.0 / MAX(len(v))))"
 
-# DuckDB twin of the k derivation; valid wherever CTE ``e`` (the
-# embedding corpus) is in scope
-_K_SQL = (
-    f"(SELECT GREATEST({_KMEANS_K_MIN}, "
-    f"CAST(CEIL(COUNT(*) / {_BLOCK_SQL}) AS BIGINT)) FROM e)"
-)
 
-# DuckDB twin of _seed_centroids (hash-stratified seeds): one
-# hash-minimal member per id-hash bucket — bit-identical to the Spark
-# conv(md5) 48-bit hash and (hash, vec_id) ranking
-_C0_SQL = f"""c0 AS (
+def _k_sql(corpus: str = "e") -> str:
+    """DuckDB twin of the k derivation over any corpus CTE with ``v``."""
+    return (
+        f"(SELECT GREATEST({_KMEANS_K_MIN}, "
+        f"CAST(CEIL(COUNT(*) / {_BLOCK_SQL}) AS BIGINT)) FROM {corpus})"
+    )
+
+
+def _c0_sql(corpus: str = "e", out: str = "c0") -> str:
+    """DuckDB twin of _seed_centroids (hash-stratified seeds): one
+    hash-minimal member per id-hash bucket — bit-identical to the Spark
+    conv(md5) 48-bit hash and (hash, vec_id) ranking."""
+    return f"""{out} AS (
   SELECT vec_id AS centroid_id, v AS c FROM (
     SELECT vec_id, v, ROW_NUMBER() OVER (
-      PARTITION BY h % {_K_SQL} ORDER BY h, vec_id) AS rn
+      PARTITION BY h % {_k_sql(corpus)} ORDER BY h, vec_id) AS rn
     FROM (SELECT vec_id, v,
       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
-      FROM e) _h) _r
+      FROM {corpus}) _h) _r
   WHERE rn = 1
 )"""
 
-# DuckDB twin of the super-centroid count m = max(1, ceil(sqrt(k))) —
-# pure arithmetic from the same corpus count n that derives k, so both
-# engines agree without exchanging the centroid table's cardinality
-_M_SQL = (
-    f"(SELECT GREATEST(1, CAST(CEIL(SQRT(GREATEST({_KMEANS_K_MIN}, "
-    f"CAST(CEIL(COUNT(*) / {_BLOCK_SQL}) AS BIGINT)))) "
-    f"AS BIGINT)) FROM e)"
-)
+
+def _m_sql(corpus: str = "e") -> str:
+    """DuckDB twin of the super-centroid count m = max(1, ceil(sqrt(k)))
+    — pure arithmetic from the same corpus count n that derives k, so
+    both engines agree without exchanging the centroid table's
+    cardinality."""
+    return (
+        f"(SELECT GREATEST(1, CAST(CEIL(SQRT(GREATEST({_KMEANS_K_MIN}, "
+        f"CAST(CEIL(COUNT(*) / {_BLOCK_SQL}) AS BIGINT)))) "
+        f"AS BIGINT)) FROM {corpus})"
+    )
+
+
+# the default-corpus instantiations every single-corpus oracle composes
+_K_SQL = _k_sql()
+_C0_SQL = _c0_sql()
+_M_SQL = _m_sql()
 
 
 def _km_dist_sql(a: str, b: str) -> str:
@@ -584,19 +596,19 @@ def _km_dist_sql(a: str, b: str) -> str:
     )
 
 
-def _hier_assign_sql(cent: str, out: str, p: str) -> str:
+def _hier_assign_sql(cent: str, out: str, p: str, corpus: str = "e") -> str:
     """DuckDB twin of the hierarchical :func:`_kmeans_assign`: emits a
     CTE chain (prefix ``p`` keeps names unique per assignment pass) that
     seeds m super-centroids hash-stratified over ``cent``'s centroid_id,
     maps every centroid to its nearest super, routes every vector of
-    ``e`` to its nearest super, and argmins only that super's children.
-    ``out`` exposes (vec_id, v, centroid_id, dist) — identical contract
-    to the Spark side, bit-identical tie-breaks (rounded dist asc, id
-    asc at both levels)."""
+    ``corpus`` to its nearest super, and argmins only that super's
+    children. ``out`` exposes (vec_id, v, centroid_id, dist) — identical
+    contract to the Spark side, bit-identical tie-breaks (rounded dist
+    asc, id asc at both levels)."""
     return f"""{p}sup AS (
   SELECT centroid_id AS super_id, c AS sc FROM (
     SELECT centroid_id, c, ROW_NUMBER() OVER (
-      PARTITION BY h % {_M_SQL} ORDER BY h, centroid_id) AS rn
+      PARTITION BY h % {_m_sql(corpus)} ORDER BY h, centroid_id) AS rn
     FROM (SELECT centroid_id, c,
       ('0x' || substr(md5(CAST(centroid_id AS VARCHAR)), 1, 12))::BIGINT AS h
       FROM {cent}) _h) _r
@@ -621,7 +633,7 @@ def _hier_assign_sql(cent: str, out: str, p: str) -> str:
     SELECT e.vec_id, e.v, s.super_id,
       ROW_NUMBER() OVER (PARTITION BY e.vec_id
         ORDER BY {_km_dist_sql("e.v", "s.sc")} ASC, s.super_id ASC) AS rn
-    FROM e CROSS JOIN {p}sup s) _r WHERE rn = 1
+    FROM {corpus} e CROSS JOIN {p}sup s) _r WHERE rn = 1
 ), {out} AS (
   SELECT vec_id, v, centroid_id, dist FROM (
     SELECT w.vec_id, w.v, m.centroid_id,
@@ -736,7 +748,9 @@ def _super_centroids(centroids: DataFrame, emb: DataFrame) -> DataFrame:
     ).select(F.col("centroid_id").alias("super_id"), F.col("c").alias("sc"))
 
 
-def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def _kmeans_assign(
+    emb: DataFrame, centroids: DataFrame, checkpoint: bool = True
+) -> DataFrame:
     """HIERARCHICAL two-level nearest-centroid assignment (r12, replaces
     the flat broadcast argmin whose n x k cost the round-11 third-decade
     probe measured as n^2/256 — SCALING_r11.md §4):
@@ -759,8 +773,11 @@ def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
     # both the super seeding and the child map traverse the centroid
     # lineage (which includes a full corpus pass after a Lloyd
-    # recompute) — checkpoint so it is computed once
-    centroids = centroids.localCheckpoint(eager=False)
+    # recompute) — checkpoint so it is computed once; callers unioning
+    # many SMALL per-shard branches into one action skip it (each lazy
+    # checkpoint is its own serial job — see _semdedup_drops)
+    if checkpoint:
+        centroids = centroids.localCheckpoint(eager=False)
     supers = _super_centroids(centroids, emb)
 
     # self-preference tie-break: a centroid that IS a super must map to
@@ -950,23 +967,42 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest such keeper (single-link variant: a keeper may itself be
     dropped against an even lower id — documented, deterministic).
     """
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    return _semdedup_drops(emb)
+
+
+def _semdedup_drops(emb: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """The q_semdedup core over any (vec_id, v) corpus: deterministic
+    k-means blocking (hash-stratified seeds + one Lloyd refinement
+    round), within-cluster cosine pair scan, lowest-keeper drop rule.
+    Emits (id_drop, duplicate_of, centroid_id, cos_sim). Factored out so
+    the shard driver (q_semdedup_sharded) can run the IDENTICAL
+    machinery per shard. ``checkpoint=False`` skips the lineage-cutting
+    localCheckpoints: each lazy checkpoint materializes as its own
+    serial job, which is the right trade on ONE big corpus but pure
+    per-shard overhead when the caller unions many small-shard branches
+    into a single action (measured: the 10-shard sf0.1 loop spent more
+    wall time on checkpoint jobs than on compute)."""
     from pyspark.sql import Window
 
-    emb = (
-        load_tables(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double("embedding").alias("v"))
-        .localCheckpoint(eager=False)  # shared by seed + assign branches
-    )
+    if checkpoint:
+        emb = emb.localCheckpoint(eager=False)  # shared by seed + assign
     centroids = _seed_centroids(emb)
     # one Lloyd refinement round: the blocking quality a real deployment
     # gets from k-means, still fully deterministic / oracle-checkable
-    centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
+    centroids = _kmeans_recompute(
+        _kmeans_assign(emb, centroids, checkpoint=checkpoint)
+    )
     assigned = (
-        _kmeans_assign(emb, centroids)
+        _kmeans_assign(emb, centroids, checkpoint=checkpoint)
         .select("vec_id", "v", "centroid_id")
         .withColumn("_n", norm(F.col("v")))
-        .localCheckpoint(eager=False)  # both sides of the bucket self-join
     )
+    if checkpoint:
+        # both sides of the bucket self-join
+        assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("id_keep"),
@@ -1029,6 +1065,286 @@ FROM (
     ORDER BY id_keep ASC) AS rn
   FROM scored WHERE cos_sim >= {_SEMDEDUP_THR})
 WHERE rn = 1
+"""
+
+
+# Shard size for the oracle-gated shard-driver query: 200 rows splits
+# every test SF into >= 2 shards (500 docs -> 3, 2000 -> 10) so the
+# shard/reconcile machinery is ALWAYS live, while each shard still
+# exercises the full k-means chain (K_MIN clusters). Production callers
+# omit the override and get the dim-aware ~200 MB-of-centroids budget
+# (operators.similarity.SHARD_CENTROID_BUDGET_FLOATS).
+_SHARD_TEST_ROWS = 200
+
+
+def _semdedup_cross_shard_drops(survivors: DataFrame) -> DataFrame:
+    """Boundary reconciliation for the shard driver: cluster the
+    SURVIVORS of the per-shard passes with the same hierarchical
+    machinery, then apply the semdedup drop rule only to pairs whose
+    members came from DIFFERENT shards — exactly the near-dup pairs the
+    hash split could have hidden (same-shard pairs were already judged
+    inside their shard). Emits (id_drop, duplicate_of, cos_sim).
+
+    Scale posture: the reconcile corpus is the DEDUPED survivor set —
+    on near-dup-heavy corpora a fraction of n — and the pass is itself
+    shardable (apply shard_vectors to the survivors and recurse) when
+    survivors still exceed one shard budget; one level suffices for
+    every measured regime (SCALING_r13.md)."""
+    from pyspark.sql import Window
+
+    emb2 = survivors.select("vec_id", "v").localCheckpoint(eager=False)
+    centroids = _seed_centroids(emb2)
+    centroids = _kmeans_recompute(_kmeans_assign(emb2, centroids))
+    assigned = (
+        _kmeans_assign(emb2, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .join(survivors.select("vec_id", "shard_id"), "vec_id")
+        .withColumn("_n", norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_keep"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+        F.col("shard_id").alias("_sa"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_drop"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        F.col("shard_id").alias("_sb"),
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(
+            (F.col("id_keep") < F.col("id_drop"))
+            & (F.col("_sa") != F.col("_sb"))
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THR)
+    )
+    w = Window.partitionBy("id_drop").orderBy(F.col("id_keep").asc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id_drop", F.col("id_keep").alias("duplicate_of"), "cos_sim")
+    )
+
+
+def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the EXECUTABLE shard policy (r13; makes the
+    prose-only "~100M vectors/shard" bound of SCALING_r12.md §3 code):
+
+    1. :func:`operators.similarity.shard_vectors` splits the corpus
+       deterministically (md5-hash mod shard count; dim-aware default
+       budget, a small override here so every test SF spans >= 2
+       shards);
+    2. the UNMODIFIED q_semdedup machinery (hash-stratified seeds, one
+       Lloyd round, hierarchical assignment, within-cluster pair scan)
+       runs PER SHARD — each per-shard job's centroid table is bounded
+       by the shard budget, which is the whole point;
+    3. survivors of all shards get one boundary-reconciliation pass:
+       cluster the survivors, drop cross-shard near-dup pairs the hash
+       split hid (:func:`_semdedup_cross_shard_drops`).
+
+    The per-shard loop materializes ONE scalar (the shard count) — the
+    same index-build orchestration pattern as the reference's
+    config-table driver loop (pipelines.py's table list; SURVEY C1);
+    every per-shard stage is a full distributed plan. On a corpus of
+    near-identical duplicate groups the final survivor set equals the
+    unsharded q_semdedup's exactly (tests/test_semdedup_sharded.py);
+    blocking differences make other corpora APPROXIMATELY equal — the
+    standard sharded-dedup trade, stated rather than hidden.
+    """
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        shard_vectors,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    # eager: the shard assignment is every per-shard job's input — one
+    # upfront job, then the concurrent shard jobs read the cached blocks
+    sharded = shard_vectors(
+        emb, max_rows_per_shard=_SHARD_TEST_ROWS
+    ).localCheckpoint(eager=True)
+    top = sharded.agg(F.max("shard_id").alias("_top")).first()["_top"]
+    if top is None:  # empty corpus: schema-stable empty result
+        return spark.createDataFrame(
+            [], "id_drop bigint, duplicate_of bigint, cos_sim double, stage string"
+        )
+
+    # The per-shard jobs are INDEPENDENT — submit them from driver
+    # threads so their stages interleave on the executor pool instead of
+    # serializing (the production shard driver launches shard jobs
+    # concurrently for the same reason; with 200-row test shards the
+    # wall time is otherwise ~n_shards x fixed job overhead). Each job
+    # ends in an eager localCheckpoint, so the union below reads
+    # materialized blocks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one_shard(s: int) -> DataFrame:
+        return _semdedup_drops(
+            sharded.filter(F.col("shard_id") == s).select("vec_id", "v")
+        ).drop("centroid_id").localCheckpoint(eager=True)
+
+    n_loop = int(top) + 1
+    try:
+        with ThreadPoolExecutor(max_workers=min(16, n_loop)) as ex:
+            shard_drops = list(ex.map(_one_shard, range(n_loop)))
+    except RuntimeError:
+        # thread exhaustion under a loaded host: the jobs are
+        # independent either way — fall back to the serial loop (same
+        # results, just no stage overlap)
+        shard_drops = [_one_shard(s) for s in range(n_loop)]
+    drops1 = shard_drops[0]
+    for d in shard_drops[1:]:
+        drops1 = drops1.unionByName(d)
+    survivors = sharded.join(
+        drops1.select(F.col("id_drop").alias("vec_id")), "vec_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    cross = _semdedup_cross_shard_drops(survivors)
+    return drops1.withColumn("stage", F.lit("shard")).unionByName(
+        cross.withColumn("stage", F.lit("cross"))
+    )
+
+
+def _hier_assign_sql_sharded(cent: str, out: str, p: str) -> str:
+    """Shard-grouped DuckDB twin of the per-shard loop's
+    :func:`_kmeans_assign` calls: identical CTE chain to
+    :func:`_hier_assign_sql` with shard_id threaded through the seeding
+    partition and both join keys — a window PARTITION BY (shard_id, ...)
+    over the whole corpus is exactly the union of the per-shard windows
+    the Spark loop executes, because every id lives in one shard.
+    Requires CTEs ``es`` (shard_id, vec_id, v) and ``sst2``
+    (shard_id, k_s, m_s) in scope."""
+    return f"""{p}sup AS (
+  SELECT shard_id, centroid_id AS super_id, c AS sc FROM (
+    SELECT t.shard_id, t.centroid_id, t.c, ROW_NUMBER() OVER (
+      PARTITION BY t.shard_id, t.h % st.m_s
+      ORDER BY t.h, t.centroid_id) AS rn
+    FROM (SELECT shard_id, centroid_id, c,
+      ('0x' || substr(md5(CAST(centroid_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM {cent}) t JOIN sst2 st USING (shard_id)) _r
+  WHERE rn = 1
+), {p}cmap AS (
+  -- self-preference tie-break: see _hier_assign_sql's cmap
+  SELECT shard_id, centroid_id, c, super_id FROM (
+    SELECT k.shard_id, k.centroid_id, k.c, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY k.centroid_id
+        ORDER BY {_km_dist_sql("k.c", "s.sc")} ASC,
+          CASE WHEN s.super_id = k.centroid_id THEN 0 ELSE 1 END ASC,
+          s.super_id ASC) AS rn
+    FROM {cent} k JOIN {p}sup s ON s.shard_id = k.shard_id) _r WHERE rn = 1
+), {p}vsup AS (
+  SELECT shard_id, vec_id, v, super_id FROM (
+    SELECT e.shard_id, e.vec_id, e.v, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql("e.v", "s.sc")} ASC, s.super_id ASC) AS rn
+    FROM es e JOIN {p}sup s ON s.shard_id = e.shard_id) _r WHERE rn = 1
+), {out} AS (
+  SELECT shard_id, vec_id, v, centroid_id, dist FROM (
+    SELECT w.shard_id, w.vec_id, w.v, m.centroid_id,
+      {_km_dist_sql("w.v", "m.c")} AS dist,
+      ROW_NUMBER() OVER (PARTITION BY w.vec_id
+        ORDER BY {_km_dist_sql("w.v", "m.c")} ASC, m.centroid_id ASC) AS rn
+    FROM {p}vsup w JOIN {p}cmap m ON m.super_id = w.super_id) _r
+  WHERE rn = 1
+)"""
+
+
+_ORACLE_SEMDEDUP_SHARDED = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), ns AS (
+  -- twin of shard_vectors(max_rows_per_shard={_SHARD_TEST_ROWS})
+  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {_SHARD_TEST_ROWS}.0) AS BIGINT))
+    AS n FROM e
+), es AS (
+  SELECT vec_id, v,
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+      % (SELECT n FROM ns) AS shard_id
+  FROM e
+), sst AS (
+  -- per-shard k (dim-aware block), twin of _derived_k on each shard
+  SELECT shard_id,
+    GREATEST({_KMEANS_K_MIN},
+      CAST(CEIL(COUNT(*) / {_BLOCK_SQL}) AS BIGINT)) AS k_s
+  FROM es GROUP BY 1
+), sst2 AS (
+  SELECT shard_id, k_s,
+    GREATEST(1, CAST(CEIL(SQRT(k_s)) AS BIGINT)) AS m_s
+  FROM sst
+), sc0 AS (
+  -- per-shard hash-stratified seeds, twin of _seed_centroids per shard
+  SELECT shard_id, vec_id AS centroid_id, v AS c FROM (
+    SELECT t.shard_id, t.vec_id, t.v, ROW_NUMBER() OVER (
+      PARTITION BY t.shard_id, t.h % st.k_s ORDER BY t.h, t.vec_id) AS rn
+    FROM (SELECT shard_id, vec_id, v,
+      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM es) t JOIN sst2 st USING (shard_id)) _r
+  WHERE rn = 1
+), {_hier_assign_sql_sharded("sc0", "sa1", "g1")}, sd1 AS (
+  SELECT shard_id, centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM sa1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2, 3
+), sc1 AS (
+  SELECT shard_id, centroid_id, list(cval ORDER BY pos) AS c
+  FROM sd1 GROUP BY 1, 2
+), {_hier_assign_sql_sharded("sc1", "sa2", "g2")}, spairs AS (
+  -- cluster ids are member vec_ids, so the centroid equi-join is
+  -- automatically within-shard
+  SELECT b.vec_id AS id_drop, a.vec_id AS id_keep, a.v AS qv, b.v AS cv
+  FROM sa2 a JOIN sa2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+), sscored AS (
+  SELECT id_drop, id_keep, {_COS_SQL} AS cos_sim FROM spairs
+), sdrops AS (
+  SELECT id_drop, id_keep AS duplicate_of, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_drop
+      ORDER BY id_keep ASC) AS rn
+    FROM sscored WHERE cos_sim >= {_SEMDEDUP_THR}) _x
+  WHERE rn = 1
+), e2 AS (
+  -- survivors of every per-shard pass
+  SELECT vec_id, v FROM es
+  WHERE vec_id NOT IN (SELECT id_drop FROM sdrops)
+), {_c0_sql("e2", "rc0")}, {_hier_assign_sql("rc0", "ra1", "r1", "e2")},
+rd1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM ra1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), rc1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM rd1 GROUP BY 1
+), {_hier_assign_sql("rc1", "ra2", "r2", "e2")}, rpairs AS (
+  SELECT b.vec_id AS id_drop, a.vec_id AS id_keep, a.v AS qv, b.v AS cv
+  FROM ra2 a JOIN ra2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN es sa ON sa.vec_id = a.vec_id
+  JOIN es sb ON sb.vec_id = b.vec_id
+  WHERE sa.shard_id <> sb.shard_id
+), rscored AS (
+  SELECT id_drop, id_keep, {_COS_SQL} AS cos_sim FROM rpairs
+), rdrops AS (
+  SELECT id_drop, id_keep AS duplicate_of, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_drop
+      ORDER BY id_keep ASC) AS rn
+    FROM rscored WHERE cos_sim >= {_SEMDEDUP_THR}) _x
+  WHERE rn = 1
+)
+SELECT id_drop, duplicate_of, cos_sim, 'shard' AS stage FROM sdrops
+UNION ALL
+SELECT id_drop, duplicate_of, cos_sim, 'cross' AS stage FROM rdrops
 """
 
 
@@ -1283,6 +1599,11 @@ QUERIES = [
     QuerySpec(
         "q_semdedup", q_semdedup, _ORACLE_SEMDEDUP,
         "ext:dedup (SemDeDup cluster-scoped embedding near-dup pruning)",
+    ),
+    QuerySpec(
+        "q_semdedup_sharded", q_semdedup_sharded, _ORACLE_SEMDEDUP_SHARDED,
+        "ext:dedup (executable shard driver: per-shard SemDeDup + "
+        "cross-shard boundary reconciliation)",
     ),
     QuerySpec(
         "q_cluster_balance", q_cluster_balance, _ORACLE_CLUSTER_BALANCE,

@@ -46,6 +46,10 @@ QUERIES = [
     "q_kmeans",
     "q_knn_graph",
     "q_cluster_balance",
+    # round-13 addition: the executable shard driver (per-shard k-means
+    # + cross-shard reconcile; concurrent per-shard jobs must inherit
+    # the caller's confs identically on every thread)
+    "q_semdedup_sharded",
 ]
 
 
