@@ -1432,6 +1432,18 @@ def q_image_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample arithmetic (src px = min(src_dim-1, dst*src_dim//4)) and
     the identical two-level assignment from the pixel formula alone.
     """
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return _image_coreset_chain(docs)
+
+
+def _image_coreset_chain(docs: DataFrame) -> DataFrame:
+    """The q_image_coreset body over any (media_id) frame — factored so
+    the degenerate-corpus contract tests (empty / < K_MIN corpora,
+    tests/test_multimodal_chain_degenerate.py) can drive the REAL
+    synth -> resize -> decode -> embed -> coreset chain without parquet
+    fixtures."""
     import pandas as pd  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
@@ -1440,10 +1452,6 @@ def q_image_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
         _kmeans_assign,
         _seed_centroids,
-    )
-
-    docs = load_tables(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
     )
 
     def make_bmp(it):
@@ -1557,6 +1565,15 @@ def q_video_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding wrong, drops a frame, or mis-strides the sampler cannot
     hash-match.
     """
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return _video_coreset_chain(docs)
+
+
+def _video_coreset_chain(docs: DataFrame) -> DataFrame:
+    """The q_video_coreset body over any (media_id) frame — factored for
+    the degenerate-corpus contract tests, like _image_coreset_chain."""
     import pandas as pd  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
@@ -1566,10 +1583,6 @@ def q_video_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
         _kmeans_assign,
         _seed_centroids,
-    )
-
-    docs = load_tables(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id")
     )
 
     def make_avi(it):

@@ -46,10 +46,12 @@ QUERIES = [
     "q_kmeans",
     "q_knn_graph",
     "q_cluster_balance",
-    # round-13 addition: the executable shard driver (per-shard k-means
+    # round-13 additions: the executable shard driver (per-shard k-means
     # + cross-shard reconcile; concurrent per-shard jobs must inherit
-    # the caller's confs identically on every thread)
+    # the caller's confs identically on every thread) and the video
+    # frame-sample chain
     "q_semdedup_sharded",
+    "q_video_coreset",
 ]
 
 
