@@ -566,6 +566,116 @@ def run_third_step(spark, threshold: float):
     return rows, flagged, errors
 
 
+def run_shard_cell(spark):
+    """The r12-verdict item-1 'done' cell: on ONE corpus that spans
+    several shards, show (a) every per-shard centroid table bounded by
+    the shard budget while the unsharded plan's is not, and (b) the
+    sharded path's final survivor set EQUAL to the unsharded plan's.
+
+    The corpus is the exact-copies shape (groups of identical vectors,
+    cross-group cosine 0) at 40k vectors / 10k groups — the regime where
+    sharded-dedup ground truth is well-defined (identical vectors
+    co-assign in any deterministic clustering), scaled 55x past the
+    contract test so the shard split is 5-way and each shard still
+    carries thousands of vectors."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        shard_vectors,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries import (
+        vector_queries as vq,
+    )
+
+    # 32 one-hot groups (cross-group cosine EXACTLY 0 < threshold) of
+    # 1250 identical copies each: identical vectors co-assign in any
+    # deterministic clustering, so the true survivor set is exactly
+    # {min id per group} for BOTH plans — and the 79 hash-stratified
+    # seeds over 32 distinct locations make many seeds identical,
+    # stressing the r12 childless-super tie-break at scale.
+    n_groups, copies, dims, budget = 32, 1250, 32, 8192
+    n = n_groups * copies
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dims - 1}), i -> CASE WHEN "
+            f"i = CAST(id / {copies} AS INT) THEN 1.0 ELSE 0.0 END)"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    uns_drops = {
+        r["id_drop"] for r in vq._semdedup_drops(emb).collect()
+    }
+    t_uns = time.perf_counter() - t0
+    k_uns = vq._derived_k(emb).collect()[0]["_k"]
+
+    t0 = time.perf_counter()
+    sharded = shard_vectors(emb, max_rows_per_shard=budget).localCheckpoint(
+        eager=True
+    )
+    top = int(sharded.agg(F.max("shard_id")).first()[0])
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(s):
+        return (
+            vq._semdedup_drops(
+                sharded.filter(F.col("shard_id") == s).select("vec_id", "v")
+            )
+            .drop("centroid_id")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        ds = list(ex.map(one, range(top + 1)))
+    d1 = ds[0]
+    for d in ds[1:]:
+        d1 = d1.unionByName(d)
+    survivors = sharded.join(
+        d1.select(F.col("id_drop").alias("vec_id")), "vec_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    cross = vq._semdedup_cross_shard_drops(survivors)
+    sh_drops = {r["id_drop"] for r in d1.collect()} | {
+        r["id_drop"] for r in cross.collect()
+    }
+    t_sh = time.perf_counter() - t0
+
+    block = vq._TARGET_BLOCK_FLOATS // dims
+    k_bound = max(vq._KMEANS_K_MIN, math.ceil(budget / block))
+    shard_rows = {
+        r["shard_id"]: r["c"]
+        for r in sharded.groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    per_shard_k = {}
+    for s in shard_rows:
+        per_shard_k[s] = vq._derived_k(
+            sharded.filter(F.col("shard_id") == s).select("vec_id", "v")
+        ).collect()[0]["_k"]
+
+    expect = {g * copies for g in range(n_groups)}  # min id per group
+    uns_surv = set(range(n)) - uns_drops
+    sh_surv = set(range(n)) - sh_drops
+    match = uns_surv == sh_surv == expect
+    print(f"corpus: {n} vectors ({n_groups} groups x {copies}), "
+          f"dims={dims}, budget={budget} rows/shard")
+    print(f"shards: {top + 1}; rows/shard={sorted(shard_rows.values())}")
+    print(f"unsharded: k={k_uns} centroids, {t_uns:.1f}s")
+    print(f"sharded:   per-shard k={sorted(per_shard_k.values())} "
+          f"(bound ceil(budget/block)={k_bound}), {t_sh:.1f}s")
+    print(f"per-shard centroid bound holds: "
+          f"{all(v <= k_bound for v in per_shard_k.values())}")
+    print("survivor sets EQUAL (sharded == unsharded == one-per-group): "
+          f"{match}")
+    return 0 if (match and all(
+        v <= k_bound for v in per_shard_k.values()
+    )) else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -593,6 +703,10 @@ def main() -> int:
     ap.add_argument("--third-step", action="store_true",
                     help="time the headline families at sf0.1 -> 10x "
                          "-> 100x (5M docs; blow-up of the blow-up)")
+    ap.add_argument("--shard-cell", action="store_true",
+                    help="the r12-verdict item-1 cell: per-shard "
+                         "centroid bound + sharded-vs-unsharded "
+                         "survivor equality on a multi-shard corpus")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
@@ -611,6 +725,9 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.shard_cell:
+        return run_shard_cell(spark)
 
     if args.third_step:
         rows, flagged, errors = run_third_step(spark, args.threshold)
