@@ -243,10 +243,11 @@ def ivf_topk(
 
     Centroid seeds are a deterministic corpus sample
     (id % centroid_mod == 0; ``centroid_mod=None`` uses the fixed
-    TARGET-CLUSTER sizing mod = 256, i.e. nlist = ~n/256 — clusters
-    stay ~256 rows as data grows, so the probe stage (queries x probes
-    x cluster rows) scales LINEARLY with a query set that grows with
-    the corpus. The classic nlist ~ sqrt(n) sizing was measured r12 at
+    TARGET-CLUSTER sizing mod = floor(IVF_TARGET_CLUSTER_FLOATS/dims),
+    256 at the 64-dim testdata, i.e. nlist = ~n/mod — clusters hold a
+    constant float volume as data grows, so the probe stage (queries x
+    probes x cluster rows x dims) scales LINEARLY with a query set that
+    grows with the corpus. The classic nlist ~ sqrt(n) sizing was measured r12 at
     the 100x blow-up as the dominant superlinear term: probed clusters
     of sqrt(n) rows x n/100 queries = n^1.5 probe work — right for a
     FIXED query workload, wrong for the grow-with-corpus one this

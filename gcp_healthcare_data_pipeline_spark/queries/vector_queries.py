@@ -227,9 +227,10 @@ FROM topk t CROSS JOIN recall r
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic centroid seeds (vec_id % 256 = 0 —
-    fixed target-cluster sizing, clusters stay ~256 rows and probe work
-    stays linear as corpus AND query set grow; see ivf_topk for why the
+    """IVF-style ANN: deterministic centroid seeds (vec_id % mod = 0
+    with the dim-aware fixed target-cluster mod — 256 at this 64-dim
+    corpus; clusters hold a constant float volume and probe work stays
+    linear as corpus AND query set grow; see ivf_topk for why the
     classic nlist ~ sqrt(n) sizing measured n^1.5 at the 100x blow-up)
     refined by one spherical-k-means Lloyd round (assign all corpus
     vectors by cosine, recompute centroids as per-dimension member

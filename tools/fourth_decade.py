@@ -75,7 +75,7 @@ def main() -> int:
     spark = get_spark(
         "fourth-decade",
         shuffle_partitions=512,
-        extra_conf={"spark.driver.memory": "48g"},
+        extra_conf={"spark.driver.memory": "64g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -93,26 +93,48 @@ def main() -> int:
         decades.append(out)
         cur = out
 
+    def _reclaim():
+        # the 5M/50M cells run back-to-back in one JVM: drop cached
+        # blocks and nudge both GCs so a prior cell's lingering shuffle
+        # state cannot OOM the next one (observed: a 5M re-run OOM'd
+        # after a successful 250 s first run at 48g)
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     specs = all_queries()
     results = {}
     for name in QUERIES:
         spec = specs[name]
         spec.fn(spark, "/root/testdata/sf0.001").count()  # codegen warmup
         times = []
+        failed = None
         for i, d in enumerate(decades):
-            t0 = time.perf_counter()
-            spec.fn(spark, d).count()
-            t = time.perf_counter() - t0
-            if i < len(decades) - 1:  # denominator cells: best-of-2
+            _reclaim()
+            try:
                 t0 = time.perf_counter()
                 spec.fn(spark, d).count()
-                t = min(t, time.perf_counter() - t0)
+                t = time.perf_counter() - t0
+                if i <= 2:  # cheap denominator cells: best-of-2
+                    t0 = time.perf_counter()
+                    spec.fn(spark, d).count()
+                    t = min(t, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001
+                failed = (i, f"{type(exc).__name__}: {exc}"[:200])
+                print(f"{name} decade {i} FAILED: {failed[1]}", flush=True)
+                break
             times.append(t)
-            print(f"{name} decade {i} ({5 * 10 ** i}k docs... scale "
-                  f"10^{i}): {t:.1f}s", flush=True)
-        r_last = times[-1] / max(times[-2], 1e-9)
-        retry_note = ""
-        if r_last > THRESHOLD:
+            print(f"{name} decade {i} (5e{i + 3} docs): {t:.1f}s",
+                  flush=True)
+        r_last = times[-1] / max(times[-2], 1e-9) if len(times) > 1 else 0.0
+        retry_note = "" if failed is None else f" [decade {failed[0]} FAILED: {failed[1]}]"
+        if failed is None and r_last > THRESHOLD:
+            _reclaim()
             t0 = time.perf_counter()
             spec.fn(spark, decades[-1]).count()
             t2 = time.perf_counter() - t0
