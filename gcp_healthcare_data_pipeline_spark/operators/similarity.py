@@ -330,6 +330,14 @@ def ivf_topk(
     # combining min-struct aggregate — no single-reducer window) used
     # ONLY when the sampled seed set is empty; a 1-centroid index
     # degrades to brute force within one cluster, which is correct.
+    # COST, measured and accepted (r13 ADVICE): the guard's min-struct
+    # aggregate is one extra corpus pass paid on EVERY call — the
+    # _nseeds==0 gate is data-dependent, so Catalyst cannot prune the
+    # branch when seeds exist. The pass is a narrow projection with a
+    # map-side-combining aggregate (no shuffle of vectors), and the
+    # committed 0.61-0.68x bench carries it; a plan-time gate would need
+    # a driver-side count, which this engine's no-collect discipline
+    # rejects for a hot-path operator.
     seedcnt = cents.agg(F.count(F.lit(1)).alias("_nseeds"))
     fallback = (
         corpus.select(

@@ -29,6 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_healthcare_data_pipeline_spark.functions.windows import (
+    tiny_frame_window,
+)
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.session import load_tables
 
@@ -283,7 +286,8 @@ def q_stable_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offset",
             F.coalesce(
                 F.sum("cnt").over(
-                    Window.orderBy("bucket").rowsBetween(
+                    # frame = |buckets| rows (n/100), post-aggregation
+                    tiny_frame_window("bucket", "bucket").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),

@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_healthcare_data_pipeline_spark.functions.windows import (
+    tiny_frame_window,
+)
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
 
@@ -579,7 +582,7 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(cents).alias("_cents"), F.count(F.lit(1)).alias("n_orders"))
     )
-    w = Window.orderBy("month")  # |months| rows: tiny frame
+    w = tiny_frame_window("month", "month")  # |months| rows: tiny frame
     prev = F.lag("_cents").over(w)
     return monthly.select(
         "month",

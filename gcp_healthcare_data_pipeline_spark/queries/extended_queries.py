@@ -20,6 +20,9 @@ from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
     encode_wav_pcm16,
     extract_features,
 )
+from gcp_healthcare_data_pipeline_spark.functions.windows import (
+    tiny_frame_window,
+)
 from gcp_healthcare_data_pipeline_spark.operators.scd2 import scd2_merge
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.queries.silver_analogs import (
@@ -1363,7 +1366,7 @@ def q_active_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("month")
         )
     )
-    w = Window.orderBy("month")  # frame = month grid (~tens of rows)
+    w = tiny_frame_window("month", "month")  # frame = month grid (~tens of rows)
     return (
         grid.join(deltas, "month", "left")
         .withColumn(

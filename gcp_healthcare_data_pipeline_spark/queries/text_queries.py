@@ -16,6 +16,9 @@ from gcp_healthcare_data_pipeline_spark.functions.text import (
     token_count,
     tokens,
 )
+from gcp_healthcare_data_pipeline_spark.functions.windows import (
+    tiny_frame_window,
+)
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.session import load_tables
 
@@ -561,7 +564,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     ).limit(10)
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    # frame = the 10 TakeOrdered rows; tiny_frame_window keeps the
+    # "No Partition Defined" warning reserved for real global windows
+    w = tiny_frame_window("doc_id", F.col("bm25").desc(), F.col("doc_id").asc())
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("doc_id", "n_terms_matched", "bm25", "rank")
@@ -638,7 +643,8 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = agg.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(
         _BPE_TOP_MERGES
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    # frame = the _BPE_TOP_MERGES TakeOrdered rows (tiny by construction)
+    w = tiny_frame_window("pair", F.col("n").desc(), F.col("pair").asc())
     return (
         topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("pair", "n", "rank")

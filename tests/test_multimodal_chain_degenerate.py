@@ -50,7 +50,7 @@ def test_video_chain_empty_corpus(spark):
 
 
 def test_video_chain_below_k_min(spark):
-    """2 clips -> 4 + 6 frames sampled at stride 2 -> 2 + 3 vectors,
+    """2 clips -> 4 + 5 frames sampled at stride 2 -> 2 + 3 vectors,
     still < K_MIN: every sampled frame comes back exactly once with the
     stride-2 frame indices the sampler contract promises."""
     rows = _video_coreset_chain(_docs(spark, 2)).collect()
