@@ -147,6 +147,7 @@ def shard_vectors(
     max_rows_per_shard: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Deterministic corpus sharding for the vector family's per-shard
     scale path (SCALING_r12.md §3's prose policy, executable as of r13):
@@ -163,7 +164,23 @@ def shard_vectors(
     shards (the per-shard index-build jobs) materialize one scalar — the
     shard count — which is index-build orchestration, the same driver
     pattern as the reference's config-table loop (C1).
+
+    ``n_shards`` pins the shard COUNT directly (no corpus-count
+    aggregate in the plan at all) — the dev-SF/test override: a fixed
+    small split keeps the shard machinery live with >= 2 shards while
+    the per-shard job count stays constant as test corpora grow
+    (r13 verdict item 5). Mutually exclusive with ``max_rows_per_shard``;
+    production sizing derives the count from the row budget.
     """
+    if n_shards is not None:
+        if max_rows_per_shard is not None:
+            raise ValueError(
+                "pass max_rows_per_shard OR n_shards, not both"
+            )
+        return df.withColumn(
+            "shard_id",
+            F.pmod(_md5_48(id_col), F.lit(int(n_shards)).cast("bigint")),
+        )
     if max_rows_per_shard is not None:
         rows = F.lit(int(max_rows_per_shard)).cast("bigint")
     else:

@@ -749,9 +749,7 @@ def _super_centroids(centroids: DataFrame, emb: DataFrame) -> DataFrame:
     ).select(F.col("centroid_id").alias("super_id"), F.col("c").alias("sc"))
 
 
-def _kmeans_assign(
-    emb: DataFrame, centroids: DataFrame, checkpoint: bool = True
-) -> DataFrame:
+def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """HIERARCHICAL two-level nearest-centroid assignment (r12, replaces
     the flat broadcast argmin whose n x k cost the round-11 third-decade
     probe measured as n^2/256 — SCALING_r11.md §4):
@@ -774,11 +772,10 @@ def _kmeans_assign(
 
     # both the super seeding and the child map traverse the centroid
     # lineage (which includes a full corpus pass after a Lloyd
-    # recompute) — checkpoint so it is computed once; callers unioning
-    # many SMALL per-shard branches into one action skip it (each lazy
-    # checkpoint is its own serial job — see _semdedup_drops)
-    if checkpoint:
-        centroids = centroids.localCheckpoint(eager=False)
+    # recompute) — checkpoint so it is computed once (a former
+    # skip-checkpoint mode for small-shard loops measured 2.9x SLOWER,
+    # see _semdedup_drops)
+    centroids = centroids.localCheckpoint(eager=False)
     supers = _super_centroids(centroids, emb)
 
     # self-preference tie-break: a centroid that IS a super must map to
@@ -974,36 +971,36 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_drops(emb)
 
 
-def _semdedup_drops(emb: DataFrame, checkpoint: bool = True) -> DataFrame:
+def _semdedup_drops(emb: DataFrame) -> DataFrame:
     """The q_semdedup core over any (vec_id, v) corpus: deterministic
     k-means blocking (hash-stratified seeds + one Lloyd refinement
     round), within-cluster cosine pair scan, lowest-keeper drop rule.
     Emits (id_drop, duplicate_of, centroid_id, cos_sim). Factored out so
     the shard driver (q_semdedup_sharded) can run the IDENTICAL
-    machinery per shard. ``checkpoint=False`` skips the lineage-cutting
-    localCheckpoints: each lazy checkpoint materializes as its own
-    serial job, which is the right trade on ONE big corpus but pure
-    per-shard overhead when the caller unions many small-shard branches
-    into a single action (measured: the 10-shard sf0.1 loop spent more
-    wall time on checkpoint jobs than on compute)."""
+    machinery per shard.
+
+    The lineage-cutting localCheckpoints below are unconditional: a
+    former ``checkpoint=False`` escape hatch (r13) claimed skipping them
+    helped small-shard loops, but the r14 A/B measured the opposite —
+    2.9x SLOWER on the 3-shard sf0.001 loop (9.8 s vs 3.4 s), because
+    without the cuts every reference to the centroid table inlines the
+    nested assign→recompute subtree and the duplicated lineage costs far
+    more than the extra checkpoint jobs. Parameter removed (r13 ADVICE:
+    it was dead code; making it live falsified the claim)."""
     from pyspark.sql import Window
 
-    if checkpoint:
-        emb = emb.localCheckpoint(eager=False)  # shared by seed + assign
+    emb = emb.localCheckpoint(eager=False)  # shared by seed + assign
     centroids = _seed_centroids(emb)
     # one Lloyd refinement round: the blocking quality a real deployment
     # gets from k-means, still fully deterministic / oracle-checkable
-    centroids = _kmeans_recompute(
-        _kmeans_assign(emb, centroids, checkpoint=checkpoint)
-    )
+    centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
     assigned = (
-        _kmeans_assign(emb, centroids, checkpoint=checkpoint)
+        _kmeans_assign(emb, centroids)
         .select("vec_id", "v", "centroid_id")
         .withColumn("_n", norm(F.col("v")))
-    )
-    if checkpoint:
         # both sides of the bucket self-join
-        assigned = assigned.localCheckpoint(eager=False)
+        .localCheckpoint(eager=False)
+    )
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("id_keep"),
@@ -1069,13 +1066,17 @@ WHERE rn = 1
 """
 
 
-# Shard size for the oracle-gated shard-driver query: 200 rows splits
-# every test SF into >= 2 shards (500 docs -> 3, 2000 -> 10) so the
-# shard/reconcile machinery is ALWAYS live, while each shard still
-# exercises the full k-means chain (K_MIN clusters). Production callers
-# omit the override and get the dim-aware ~200 MB-of-centroids budget
+# Shard COUNT for the oracle-gated shard-driver queries: a fixed 3-way
+# split keeps the shard/reconcile machinery ALWAYS live (>= 2 shards at
+# every test SF: 500 -> 3 x ~167, 2000 -> 3 x ~667) while each shard
+# still exercises the full k-means chain (K_MIN clusters), and — unlike
+# the r13 200-row BUDGET, which made sf0.1 a 10-shard loop costing
+# 12.1 s of almost pure per-job orchestration (r13 verdict item 5) —
+# the per-shard job count stays constant as test corpora grow.
+# Production callers omit the override and get the dim-aware
+# ~200 MB-of-centroids budget
 # (operators.similarity.SHARD_CENTROID_BUDGET_FLOATS).
-_SHARD_TEST_ROWS = 200
+_SHARD_TEST_SHARDS = 3
 
 
 def _semdedup_cross_shard_drops(survivors: DataFrame) -> DataFrame:
@@ -1148,8 +1149,8 @@ def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. :func:`operators.similarity.shard_vectors` splits the corpus
        deterministically (md5-hash mod shard count; dim-aware default
-       budget, a small override here so every test SF spans >= 2
-       shards);
+       budget, a fixed 3-way override here so every test SF spans >= 2
+       shards at constant job count);
     2. the UNMODIFIED q_semdedup machinery (hash-stratified seeds, one
        Lloyd round, hierarchical assignment, within-cluster pair scan)
        runs PER SHARD — each per-shard job's centroid table is bounded
@@ -1177,7 +1178,7 @@ def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager: the shard assignment is every per-shard job's input — one
     # upfront job, then the concurrent shard jobs read the cached blocks
     sharded = shard_vectors(
-        emb, max_rows_per_shard=_SHARD_TEST_ROWS
+        emb, n_shards=_SHARD_TEST_SHARDS
     ).localCheckpoint(eager=True)
     top = sharded.agg(F.max("shard_id").alias("_top")).first()["_top"]
     if top is None:  # empty corpus: schema-stable empty result
@@ -1188,7 +1189,7 @@ def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The per-shard jobs are INDEPENDENT — submit them from driver
     # threads so their stages interleave on the executor pool instead of
     # serializing (the production shard driver launches shard jobs
-    # concurrently for the same reason; with 200-row test shards the
+    # concurrently for the same reason; with small test shards the
     # wall time is otherwise ~n_shards x fixed job overhead). Each job
     # ends in an eager localCheckpoint, so the union below reads
     # materialized blocks.
@@ -1267,14 +1268,11 @@ def _hier_assign_sql_sharded(cent: str, out: str, p: str) -> str:
 _ORACLE_SEMDEDUP_SHARDED = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), ns AS (
-  -- twin of shard_vectors(max_rows_per_shard={_SHARD_TEST_ROWS})
-  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / {_SHARD_TEST_ROWS}.0) AS BIGINT))
-    AS n FROM e
 ), es AS (
+  -- twin of shard_vectors(n_shards={_SHARD_TEST_SHARDS})
   SELECT vec_id, v,
     ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
-      % (SELECT n FROM ns) AS shard_id
+      % {_SHARD_TEST_SHARDS} AS shard_id
   FROM e
 ), sst AS (
   -- per-shard k (dim-aware block), twin of _derived_k on each shard
