@@ -17,6 +17,7 @@ from gcp_healthcare_data_pipeline_spark.functions.vectors import (
     norm,
 )
 from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+    IVF_TARGET_CLUSTER_FLOATS,
     brute_force_topk,
     ivf_topk,
     lsh_bucket_topk,
@@ -25,6 +26,18 @@ from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.session import load_tables
 
 _K = 5
+
+# Shard COUNT for the oracle-gated shard-driver queries
+# (q_semdedup_sharded, q_ann_ivf_sharded): a fixed 3-way split keeps
+# the shard/reconcile machinery ALWAYS live (>= 2 shards at every test
+# SF: 500 -> 3 x ~167, 2000 -> 3 x ~667) while each shard still
+# exercises the full per-shard chain, and — unlike the r13 200-row
+# BUDGET, which made sf0.1 a 10-shard loop costing 12.1 s of almost
+# pure per-job orchestration (r13 verdict item 5) — the per-shard job
+# count stays constant as test corpora grow. Production callers omit
+# the override and get the dim-aware ~200 MB-of-centroids budget
+# (operators.similarity.SHARD_CENTROID_BUDGET_FLOATS).
+_SHARD_TEST_SHARDS = 3
 
 _COS_SQL = """
 ROUND(
@@ -418,6 +431,257 @@ FROM ranked WHERE rank <= {_K}
 
 
 _ORACLE_ANN_IVF = _ann_ivf_oracle_sql()
+
+
+def _ann_ivf_sharded_result(
+    emb: DataFrame, queries: DataFrame, n_shards: int
+) -> DataFrame:
+    """Scatter-gather IVF over a hash-sharded corpus — the r13 shard
+    driver (q_semdedup_sharded) generalized to the search family
+    (r13 verdict item 1):
+
+    1. :func:`operators.similarity.shard_vectors` splits the corpus
+       deterministically (md5-48 of the id mod shard count);
+    2. the UNMODIFIED :func:`operators.similarity.ivf_topk` machinery
+       (dim-aware seed mod, per-shard empty-seed fallback, one Lloyd
+       round, hierarchical coarse quantizer, 4-probe search) builds an
+       INDEPENDENT index PER SHARD — each per-shard centroid table is
+       bounded by the shard budget, killing the one remaining unbounded
+       vector-family state (the global centroid table ivf_topk alone
+       builds grows linearly with the corpus: fine inside a shard,
+       broadcast-fatal at 100 TB);
+    3. every query fans out to ALL shards (the classic distributed-ANN
+       scatter), each shard returns its local top-k, and one global
+       rank merges them (gather). Per-shard truncation is LOSSLESS for
+       the global top-k: ranking is a total order (rounded cosine desc,
+       unique neighbor_id asc), so any global top-k candidate is a
+       fortiori in its own shard's top-k.
+
+    The per-shard jobs are submitted concurrently from driver threads
+    (same orchestration as q_semdedup_sharded — the only materialized
+    scalar is the shard count, pinned statically here). Factored over
+    (emb, queries, n_shards) so the contract tests can drive synthetic
+    corpora and the n_shards=1 degeneracy (which is exactly q_ann_ivf's
+    plan plus a no-op re-rank)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        shard_vectors,
+    )
+
+    sharded = shard_vectors(
+        emb, n_shards=n_shards, vec_col="embedding"
+    ).localCheckpoint(eager=True)
+    # every shard job broadcasts the query set — checkpoint once so the
+    # concurrent jobs read cached blocks instead of re-scanning parquet
+    queries = queries.localCheckpoint(eager=True)
+
+    def _one(s: int) -> DataFrame:
+        return ivf_topk(
+            sharded.filter(F.col("shard_id") == s).select(
+                "vec_id", "embedding"
+            ),
+            queries,
+            k=_K,
+            centroid_mod=None,
+            probes=4,
+            lloyd_iters=1,
+        ).drop("rank").localCheckpoint(eager=True)
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(16, n_shards)) as ex:
+            parts = list(ex.map(_one, range(n_shards)))
+    except RuntimeError:
+        # thread exhaustion under a loaded host — the jobs are
+        # independent either way; serial fallback, same results
+        parts = [_one(s) for s in range(n_shards)]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def q_ann_ivf_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_ivf under the EXECUTABLE shard policy: per-shard IVF index
+    build + query scatter + global top-k gather
+    (:func:`_ann_ivf_sharded_result`). Same query set and k as
+    q_ann_ivf; the fixed 3-way test split keeps >= 2 shards live at
+    every SF (and, at the dev corpora, at least one shard with no
+    ``id %% mod == 0`` seed — so the per-shard empty-seed fallback path
+    is oracle-gated here, not just unit-tested)."""
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return _ann_ivf_sharded_result(emb, queries, _SHARD_TEST_SHARDS)
+
+
+def _ivf_hier_sql_sharded(cent: str, p: str) -> str:
+    """Shard-grouped DuckDB twin of :func:`_ivf_hier_sql` for one
+    centroid-set version ``cent`` (columns shard_id, centroid_id, qv):
+    per-shard msup (each shard's ivf_topk call derives it from ITS
+    centroid count), per-(shard, hash-bucket) super seeding, and the
+    within-shard centroid->super / corpus->super routes. Requires a CTE
+    ``c`` (shard_id, neighbor_id, cv) in scope. Cluster/super ids are
+    member vec_ids — globally unique — so every downstream equi-join on
+    them is automatically within-shard."""
+    return f"""{p}ms AS (
+  SELECT shard_id, GREATEST(1, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS ms
+  FROM {cent} GROUP BY 1
+), {p}sup AS (
+  SELECT shard_id, centroid_id AS super_id, qv AS sv FROM (
+    SELECT t.shard_id, t.centroid_id, t.qv, ROW_NUMBER() OVER (
+      PARTITION BY t.shard_id, t.h % n.ms ORDER BY t.h, t.centroid_id) AS rn
+    FROM (SELECT shard_id, centroid_id, qv,
+      ('0x' || substr(md5(CAST(centroid_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM {cent}) t JOIN {p}ms n USING (shard_id)) _r
+  WHERE rn = 1
+), {p}cmap AS (
+  -- self-preference tie-break: see _ivf_hier_sql's cmap
+  SELECT shard_id, centroid_id, qv, super_id FROM (
+    SELECT k.shard_id, k.centroid_id, k.qv, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY k.centroid_id
+        ORDER BY {_cosr_sql("k.qv", "s.sv")} DESC,
+          CASE WHEN s.super_id = k.centroid_id THEN 0 ELSE 1 END ASC,
+          s.super_id ASC) AS rn
+    FROM {cent} k JOIN {p}sup s ON s.shard_id = k.shard_id) _r WHERE rn = 1
+), {p}csup AS (
+  SELECT neighbor_id, super_id FROM (
+    SELECT cc.neighbor_id, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY cc.neighbor_id
+        ORDER BY {_cosr_sql("cc.cv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM c cc JOIN {p}sup s ON s.shard_id = cc.shard_id) _r WHERE rn = 1
+)"""
+
+
+def _ann_ivf_sharded_oracle_sql() -> str:
+    """Full DuckDB oracle for the scatter-gather sharded IVF: the
+    per-shard twin of ``_ann_ivf_oracle_sql`` (shard_id threaded through
+    seeding, fallback, both quantizer levels and the Lloyd round) with
+    the query side partitioned per (query, shard) and ONE global rank —
+    lossless vs the Spark side's per-shard top-k truncation because the
+    rank order is total (see _ann_ivf_sharded_result)."""
+    return f"""
+WITH c AS (
+  -- twin of shard_vectors(n_shards={_SHARD_TEST_SHARDS})
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+      % {_SHARD_TEST_SHARDS} AS shard_id
+  FROM embeddings
+), smod AS (
+  -- per-shard dim-aware adaptive mod (each shard's ivf_topk call
+  -- derives it from the SHARD corpus)
+  SELECT shard_id,
+    GREATEST(1, CAST(FLOOR({IVF_TARGET_CLUSTER_FLOATS}.0 / MAX(len(cv)))
+      AS BIGINT)) AS md
+  FROM c GROUP BY 1
+), seeds AS (
+  SELECT c.shard_id, c.neighbor_id AS centroid_id, c.cv AS qv
+  FROM c JOIN smod USING (shard_id)
+  WHERE c.neighbor_id % smod.md = 0
+), fallb AS (
+  -- per-shard hash-minimal corpus row: the empty-seed guard's twin,
+  -- used only by shards whose id-space sample came up empty
+  SELECT shard_id, neighbor_id AS centroid_id, cv AS qv FROM (
+    SELECT shard_id, neighbor_id, cv, ROW_NUMBER() OVER (
+      PARTITION BY shard_id ORDER BY
+        ('0x' || substr(md5(CAST(neighbor_id AS VARCHAR)), 1, 12))::BIGINT,
+        neighbor_id) AS rn
+    FROM c) _f
+  WHERE rn = 1
+), cent0 AS (
+  SELECT shard_id, centroid_id, qv FROM seeds
+  UNION ALL
+  SELECT f.shard_id, f.centroid_id, f.qv FROM fallb f
+  WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.shard_id = f.shard_id)
+), {_ivf_hier_sql_sharded("cent0", "s1")}, r0 AS (
+  -- Lloyd round 1: two-level cosine-assign every vector to its shard's
+  -- centroids (super ids are shard-scoped, so the cmap join cannot
+  -- cross shards)
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT r.neighbor_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY r.neighbor_id
+        ORDER BY {_cosr_sql("cc.cv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM s1csup r
+    JOIN c cc ON cc.neighbor_id = r.neighbor_id
+    JOIN s1cmap m ON m.super_id = r.super_id
+  ) _r WHERE rnk <= 1
+), cdim AS (
+  SELECT r0.centroid_id, i AS pos, AVG(cc.cv[i]) AS cval
+  FROM r0 JOIN c cc USING (neighbor_id),
+       UNNEST(range(1, len(cc.cv) + 1)) AS t(i)
+  GROUP BY 1, 2
+), cent1 AS (
+  -- refined centroids keep their ids (= member vec_ids), so the shard
+  -- comes back through the corpus row that seeded them
+  SELECT cc.shard_id, d.centroid_id, d.qv FROM (
+    SELECT centroid_id, list(cval ORDER BY pos) AS qv
+    FROM cdim GROUP BY 1) d
+  JOIN c cc ON cc.neighbor_id = d.centroid_id
+), {_ivf_hier_sql_sharded("cent1", "s2")}, c_assign AS (
+  SELECT neighbor_id, centroid_id FROM (
+    SELECT r.neighbor_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY r.neighbor_id
+        ORDER BY {_cosr_sql("cc.cv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM s2csup r
+    JOIN c cc ON cc.neighbor_id = r.neighbor_id
+    JOIN s2cmap m ON m.super_id = r.super_id
+  ) _r WHERE rnk <= 1
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), q_sup AS (
+  -- query scatter: 2-super coarse multi-probe PER SHARD (each shard's
+  -- ivf_topk call sees the full query set)
+  SELECT query_id, super_id FROM (
+    SELECT q.query_id, s.shard_id, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id, s.shard_id
+        ORDER BY {_cosr_sql("q.qv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM q CROSS JOIN s2sup s) _r WHERE rn <= 2
+), q_assign AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT qs.query_id, m.shard_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.query_id, m.shard_id
+        ORDER BY {_cosr_sql("q.qv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM q_sup qs
+    JOIN q ON q.query_id = qs.query_id
+    JOIN s2cmap m ON m.super_id = qs.super_id
+  ) _r WHERE rnk <= 4
+), scored AS (
+  SELECT DISTINCT qa.query_id, ca.neighbor_id,
+    ROUND(
+      list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.cv[i]))
+      / (SQRT(list_sum(list_transform(range(1, len(q.qv) + 1),
+                i -> q.qv[i] * q.qv[i])))
+       * SQRT(list_sum(list_transform(range(1, len(c.cv) + 1),
+                i -> c.cv[i] * c.cv[i])))), 6) AS cos_sim
+  FROM q_assign qa
+  JOIN c_assign ca ON ca.centroid_id = qa.centroid_id
+  JOIN q ON q.query_id = qa.query_id
+  JOIN c ON c.neighbor_id = ca.neighbor_id
+  WHERE qa.query_id <> ca.neighbor_id
+), ranked AS (
+  -- the gather: one global rank across all shards' candidates
+  SELECT query_id, neighbor_id, cos_sim,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {_K}
+"""
+
+
+_ORACLE_ANN_IVF_SHARDED = _ann_ivf_sharded_oracle_sql()
 
 
 def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1066,19 +1330,6 @@ WHERE rn = 1
 """
 
 
-# Shard COUNT for the oracle-gated shard-driver queries: a fixed 3-way
-# split keeps the shard/reconcile machinery ALWAYS live (>= 2 shards at
-# every test SF: 500 -> 3 x ~167, 2000 -> 3 x ~667) while each shard
-# still exercises the full k-means chain (K_MIN clusters), and — unlike
-# the r13 200-row BUDGET, which made sf0.1 a 10-shard loop costing
-# 12.1 s of almost pure per-job orchestration (r13 verdict item 5) —
-# the per-shard job count stays constant as test corpora grow.
-# Production callers omit the override and get the dim-aware
-# ~200 MB-of-centroids budget
-# (operators.similarity.SHARD_CENTROID_BUDGET_FLOATS).
-_SHARD_TEST_SHARDS = 3
-
-
 def _semdedup_cross_shard_drops(survivors: DataFrame) -> DataFrame:
     """Boundary reconciliation for the shard driver: cluster the
     SURVIVORS of the per-shard passes with the same hierarchical
@@ -1578,6 +1829,12 @@ QUERIES = [
         "ext:similarity (int8 scalar quantization manifest)",
     ),
     QuerySpec("q_ann_ivf", q_ann_ivf, _ORACLE_ANN_IVF, "ext:similarity IVF"),
+    QuerySpec(
+        "q_ann_ivf_sharded",
+        q_ann_ivf_sharded,
+        _ORACLE_ANN_IVF_SHARDED,
+        "ext:similarity IVF shard driver (scatter-gather)",
+    ),
     QuerySpec(
         "q_embedding_neardup", q_embedding_neardup, _ORACLE_EMBEDDING_NEARDUP,
         "ext:dedup ext:similarity",
