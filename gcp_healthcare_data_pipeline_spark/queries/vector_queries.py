@@ -1339,10 +1339,11 @@ def _semdedup_cross_shard_drops(survivors: DataFrame) -> DataFrame:
     inside their shard). Emits (id_drop, duplicate_of, cos_sim).
 
     Scale posture: the reconcile corpus is the DEDUPED survivor set —
-    on near-dup-heavy corpora a fraction of n — and the pass is itself
-    shardable (apply shard_vectors to the survivors and recurse) when
-    survivors still exceed one shard budget; one level suffices for
-    every measured regime (SCALING_r13.md)."""
+    on near-dup-heavy corpora a fraction of n — and when survivors
+    still exceed one shard budget the EXECUTABLE recursion
+    (:func:`_semdedup_reconcile_recursive`, r14) re-shards them with a
+    level-salted hash and composes this pass with itself; one level
+    suffices for every measured regime (SCALING_r13.md)."""
     from pyspark.sql import Window
 
     emb2 = survivors.select("vec_id", "v").localCheckpoint(eager=False)
@@ -1391,6 +1392,87 @@ def _semdedup_cross_shard_drops(survivors: DataFrame) -> DataFrame:
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("id_drop", F.col("id_keep").alias("duplicate_of"), "cos_sim")
+    )
+
+
+def _semdedup_reconcile_recursive(
+    survivors: DataFrame,
+    max_rows_per_shard: int,
+    level: int = 1,
+    max_levels: int = 4,
+) -> DataFrame:
+    """Boundary reconcile that SHARDS ITSELF when the survivor set still
+    exceeds one shard budget — SCALING_r13.md §1's "shard the survivors
+    and recurse" prose, executable as of r14 (r13 verdict item 3).
+
+    Input: (vec_id, v, shard_id) survivors of the per-shard dedup pass,
+    shard_id being the ORIGINAL shard. At each level:
+
+    - survivors that fit one budget (or the ``max_levels`` cap) get the
+      one-level global pass (:func:`_semdedup_cross_shard_drops`) —
+      every remaining cross-original-shard pair is judged, which is
+      what makes the recursion COMPLETE: any survivor with a lower-id
+      surviving near-dup from another original shard is dropped here at
+      the latest;
+    - otherwise the survivors are re-split into ceil(n/budget)
+      reconcile shards by a LEVEL-SALTED id hash (md5 of "level:id" —
+      the unsalted hash would reproduce the original split and never
+      co-locate a cross-shard pair), each reconcile shard runs the
+      cross-original-shard judge on its own bounded subset, and the
+      still-surviving set recurses at level+1.
+
+    Each level materializes ONE scalar (the survivor count — at
+    production scale it is the previous pass's output row count, free
+    from job metrics) and strictly shrinks the corpus on near-dup-heavy
+    data; ``max_levels`` bounds pathological no-progress splits, with
+    the final global pass keeping completeness regardless. Emits
+    (id_drop, duplicate_of, cos_sim, level). The registry query
+    (q_semdedup_sharded) stays one-level — its measured regimes never
+    overflow one reconcile budget (SCALING_r13.md §1) and the DuckDB
+    oracle pins that plan; this path is contract-tested on a corpus
+    built to overflow (tests/test_semdedup_sharded.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = survivors.count()
+    if n <= max_rows_per_shard or level >= max_levels:
+        return _semdedup_cross_shard_drops(survivors).withColumn(
+            "level", F.lit(level).cast("bigint")
+        )
+    nsh = -(-n // max_rows_per_shard)  # ceil
+    salted = F.expr(
+        "cast(conv(substr(md5(concat("
+        f"'{int(level)}:', cast(vec_id as string))), 1, 12), 16, 10) "
+        "as bigint)"
+    )
+    rsharded = survivors.select("vec_id", "v", "shard_id").withColumn(
+        "_rsid", F.pmod(salted, F.lit(int(nsh)))
+    ).localCheckpoint(eager=True)
+
+    def _one(r: int) -> DataFrame:
+        return _semdedup_cross_shard_drops(
+            rsharded.filter(F.col("_rsid") == r).select(
+                "vec_id", "v", "shard_id"
+            )
+        ).localCheckpoint(eager=True)
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(16, nsh)) as ex:
+            parts = list(ex.map(_one, range(nsh)))
+    except RuntimeError:
+        parts = [_one(r) for r in range(nsh)]
+    drops = parts[0]
+    for p in parts[1:]:
+        drops = drops.unionByName(p)
+    drops = drops.withColumn(
+        "level", F.lit(level).cast("bigint")
+    ).localCheckpoint(eager=True)
+    surv2 = rsharded.join(
+        drops.select(F.col("id_drop").alias("vec_id")), "vec_id", "left_anti"
+    ).select("vec_id", "v", "shard_id")
+    return drops.unionByName(
+        _semdedup_reconcile_recursive(
+            surv2, max_rows_per_shard, level + 1, max_levels
+        )
     )
 
 

@@ -172,6 +172,49 @@ def test_shard_budget_dim_aware_default(spark):
         assert "shard_id" in out.columns
 
 
+def test_recursive_reconcile_when_survivors_exceed_budget(spark):
+    """r13 verdict item 3: survivors of the per-shard pass EXCEED one
+    shard budget, so the one-level global reconcile is over-budget and
+    the recursion must (a) actually shard the survivors (a level-2 row
+    exists in the output), and (b) still end at the unsharded plan's
+    survivor set — the group-minimum ids."""
+    emb = _copies_corpus(spark).localCheckpoint(eager=False)
+    budget = 40
+    sharded = shard_vectors(emb, max_rows_per_shard=budget).localCheckpoint(
+        eager=True
+    )
+    top = int(sharded.agg(F.max("shard_id")).first()[0])
+    assert top >= 1
+
+    drops1 = None
+    for s in range(top + 1):
+        d = vq._semdedup_drops(
+            sharded.filter(F.col("shard_id") == s).select("vec_id", "v")
+        ).drop("centroid_id")
+        drops1 = d if drops1 is None else drops1.unionByName(d)
+    drops1 = drops1.localCheckpoint(eager=True)
+    survivors = sharded.join(
+        drops1.select(F.col("id_drop").alias("vec_id")), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    n_surv = survivors.count()
+    assert n_surv > budget  # the overflow regime this test exists for
+
+    rec = vq._semdedup_reconcile_recursive(survivors, budget).collect()
+    # the recursion was LIVE: at least two levels ran (level 1 = the
+    # re-sharded pass, the final global pass stamps a higher level)
+    assert max(r["level"] for r in rec) >= 2
+
+    dropped = {r["id_drop"] for r in drops1.collect()} | {
+        r["id_drop"] for r in rec
+    }
+    survivors_final = set(range(N_GROUPS * COPIES)) - dropped
+    expect = {g * COPIES for g in range(N_GROUPS)}
+    assert survivors_final == expect
+
+    u_dropped = {r["id_drop"] for r in vq._semdedup_drops(emb).collect()}
+    assert set(range(N_GROUPS * COPIES)) - u_dropped == expect
+
+
 def test_sharded_empty_and_tiny_corpora(spark):
     """Degenerate shapes: the registry fn returns a schema-stable empty
     frame on an empty corpus, and a corpus below K_MIN still dedups."""
