@@ -1715,7 +1715,180 @@ WHERE rank <= {_VID_CORESET_M}
 _ORACLE_VIDEO_CORESET = _video_coreset_oracle_sql()
 
 
+_AUD_RATE = 8000  # Hz, synthetic mono PCM16
+_AUD_WIN = 20  # samples per fixed-width feature window
+_AUD_CORESET_M = 3  # representatives kept per acoustic cluster
+
+
+def q_audio_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio -> windows -> embedding -> curation chain — the
+    THIRD multimodal sibling (image r12, video r13, audio r14; r13
+    verdict item 4): synthesize one RIFF/WAVE PCM16 clip per document
+    with VARYING length (40/60/80 samples at 8 kHz — every clip
+    exercises a different window count), decode through the REAL
+    header-walking parse (operators/multimodal.py:probe_wav_pcm16 —
+    the same chunk walker the audio-stats operator uses — plus the
+    numpy sample unpack), cut the DECODED samples into fixed
+    ``_AUD_WIN``-sample windows, embed each window as
+    [mean, mean-abs, rms] (exact integer sums, ONE IEEE division each,
+    sqrt last), and keep the ``_AUD_CORESET_M`` most central windows
+    per acoustic cluster with the shared hierarchical-k-means
+    machinery. The DuckDB oracle recomputes windows and features from
+    the sample formula alone — an encoder that mis-sizes the data
+    chunk, a parser that mis-walks RIFF chunks, or a windower that
+    strides samples wrong cannot hash-match."""
+    docs = load_tables(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+    return _audio_coreset_chain(docs)
+
+
+def _audio_coreset_chain(docs: DataFrame) -> DataFrame:
+    """The q_audio_coreset body over any (media_id) frame — factored for
+    the degenerate-corpus contract tests, like _video_coreset_chain."""
+    import math  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        probe_wav_pcm16,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _kmeans_assign,
+        _seed_centroids,
+    )
+
+    def make_wav(it):
+        for pdf in it:
+            payloads = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n = 40 + (m % 3) * 20
+                samples = [
+                    ((m * 37 + t * t * 13 + t * 71) % 4001) - 2000
+                    for t in range(n)
+                ]
+                payloads.append(encode_wav_pcm16(_AUD_RATE, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["audio"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        make_wav, "media_id long, kind string, payload binary"
+    )
+
+    def embed(it):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in it:
+            ids, means, mabss, rmss = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload)
+                rate, off, n = probe_wav_pcm16(buf)
+                s = np.frombuffer(
+                    buf, dtype="<i2", count=n, offset=off
+                ).astype(np.int64)
+                # clip lengths are multiples of the window width, so
+                # n // W full windows cover every sample (the oracle
+                # windows by t // W over ALL samples — identical only
+                # under that invariant, asserted by the formula above);
+                # window count <= 4 < 8, packed id bijective (the video
+                # chain's discipline)
+                for wdx in range(n // _AUD_WIN):
+                    wsl = s[wdx * _AUD_WIN:(wdx + 1) * _AUD_WIN]
+                    ids.append(int(mid) * 8 + wdx)
+                    means.append(int(wsl.sum()) / _AUD_WIN)
+                    mabss.append(int(np.abs(wsl).sum()) / _AUD_WIN)
+                    rmss.append(
+                        math.sqrt(int(np.dot(wsl, wsl)) / _AUD_WIN)
+                    )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.Series(ids, dtype="int64"),
+                    "mean_s": means,
+                    "mean_abs": mabss,
+                    "rms": rmss,
+                }
+            )
+
+    stats = media.mapInPandas(
+        embed, "vec_id long, mean_s double, mean_abs double, rms double"
+    )
+    emb = stats.select(
+        "vec_id",
+        F.array(
+            F.round("mean_s", 6), F.round("mean_abs", 6), F.round("rms", 6)
+        ).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=False)
+    assigned = _kmeans_assign(emb, _seed_centroids(emb))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _AUD_CORESET_M)
+        .select(
+            "centroid_id",
+            "rank",
+            F.expr("CAST(vec_id div 8 AS BIGINT)").alias("media_id"),
+            F.pmod("vec_id", F.lit(8)).cast("bigint").alias("window_idx"),
+            "dist",
+        )
+    )
+
+
+def _audio_coreset_oracle_sql() -> str:
+    """DuckDB twin of q_audio_coreset: sample generation + fixed-width
+    windowing + [mean, mean-abs, rms] features from the sample formula
+    (the formula IS the clip), then the shared hierarchical-assignment
+    CTE chain."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _C0_SQL,
+        _hier_assign_sql,
+    )
+
+    w = _AUD_WIN
+    return f"""
+WITH src AS (
+  SELECT doc_id AS m, 40 + (doc_id % 3) * 20 AS n FROM documents
+), smp AS (
+  -- the synth formula; n is always a multiple of {w}, so t // {w}
+  -- windows are exactly the full windows the decoder cuts
+  SELECT m, ts.t // {w} AS win,
+    ((m * 37 + ts.t * ts.t * 13 + ts.t * 71) % 4001) - 2000 AS s
+  FROM src, UNNEST(range(0, n)) AS ts(t)
+), e AS (
+  SELECT m * 8 + win AS vec_id,
+    [ROUND(SUM(s) / {w}.0, 6),
+     ROUND(SUM(ABS(s)) / {w}.0, 6),
+     ROUND(SQRT(SUM(s * s) / {w}.0), 6)]::DOUBLE[] AS v
+  FROM smp GROUP BY 1
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}
+SELECT centroid_id, rank, vec_id // 8 AS media_id, vec_id % 8 AS window_idx,
+       dist
+FROM (
+  SELECT centroid_id, vec_id, dist,
+    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+      ORDER BY dist ASC, vec_id ASC) AS INT) AS rank
+  FROM a1) _r
+WHERE rank <= {_AUD_CORESET_M}
+"""
+
+
+_ORACLE_AUDIO_CORESET = _audio_coreset_oracle_sql()
+
+
 QUERIES = [
+    QuerySpec(
+        "q_audio_coreset", q_audio_coreset, _ORACLE_AUDIO_CORESET,
+        "ext:multimodal ext:similarity (WAV decode -> window features -> "
+        "coreset chain)",
+    ),
     QuerySpec(
         "q_video_coreset", q_video_coreset, _ORACLE_VIDEO_CORESET,
         "ext:multimodal ext:similarity (video frame-sample -> embed -> "

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.queries.extended_queries import (
+    _audio_coreset_chain,
     _image_coreset_chain,
     _video_coreset_chain,
 )
@@ -47,6 +48,25 @@ def test_video_chain_empty_corpus(spark):
     assert out.columns == [
         "centroid_id", "rank", "media_id", "frame_idx", "dist",
     ]
+
+
+def test_audio_chain_empty_corpus(spark):
+    out = _audio_coreset_chain(_docs(spark, 0))
+    assert out.count() == 0
+    assert out.columns == [
+        "centroid_id", "rank", "media_id", "window_idx", "dist",
+    ]
+
+
+def test_audio_chain_below_k_min(spark):
+    """2 clips -> 40 + 60 samples -> 2 + 3 full 20-sample windows,
+    still < K_MIN: every window comes back exactly once with the
+    contiguous window indices the decoder contract promises."""
+    rows = _audio_coreset_chain(_docs(spark, 2)).collect()
+    got = sorted((r["media_id"], r["window_idx"]) for r in rows)
+    # doc 0: 40 samples -> windows 0, 1; doc 1: 60 samples -> 0, 1, 2
+    assert got == [(0, 0), (0, 1), (1, 0), (1, 1), (1, 2)]
+    assert all(1 <= r["rank"] <= 3 for r in rows)
 
 
 def test_video_chain_below_k_min(spark):
