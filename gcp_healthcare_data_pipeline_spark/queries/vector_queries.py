@@ -1680,6 +1680,182 @@ SELECT id_drop, duplicate_of, cos_sim, 'cross' AS stage FROM rdrops
 """
 
 
+def _semdedup_incremental_parts(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(batch_assigned, survivors) — the STANDING-STATE stages of the
+    incremental semantic screen, shared by q_semdedup_incremental and
+    the ``tools/scaling_audit.py --pairs`` delta-cost probe (one
+    definition, so the audited candidate space can never drift from the
+    production one; same discipline as _incremental_band_candidates).
+
+    Standing state = what a production pipeline has already
+    materialized before the nightly delta arrives: the corpus centroid
+    table (hash-stratified seeds + one Lloyd round over the corpus =
+    everything EXCEPT the ``vec_id %% 10 == 0`` batch) and the corpus
+    SURVIVOR set (within-cluster semdedup drops applied). The delta
+    stage assigns each batch vector to its nearest standing centroid
+    (|batch| x 2*sqrt(k) hierarchical folds — cost scales with the
+    DELTA, the corpus is never re-paired)."""
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    is_batch = F.col("vec_id") % 10 == 0
+    corpus = emb.filter(~is_batch).localCheckpoint(eager=False)
+    batch = emb.filter(is_batch)
+    centroids = _kmeans_recompute(
+        _kmeans_assign(corpus, _seed_centroids(corpus))
+    ).localCheckpoint(eager=False)  # reused by corpus AND batch assigns
+    assigned = (
+        _kmeans_assign(corpus, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+        .localCheckpoint(eager=False)  # both sides of the drop self-join
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_keep"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_drop"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    drops = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THR)
+        .select(F.col("id_drop").alias("vec_id"))
+        .distinct()
+    )
+    survivors = assigned.join(drops, "vec_id", "left_anti")
+    batch_assigned = (
+        _kmeans_assign(batch, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+    )
+    return batch_assigned, survivors
+
+
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup — the vector-family analog of
+    q_dedup_incremental (r13 verdict item 6), the nightly-ingest shape
+    a training-data pipeline actually runs: screen an incoming DELTA
+    batch (vec_id % 10 = 0) against the STANDING corpus state (centroid
+    table + semdedup survivor set, :func:`_semdedup_incremental_parts`)
+    without ever re-pairing the corpus against itself.
+
+    Per batch vector: hierarchical assignment to its nearest standing
+    centroid, then cosine ONLY against that cluster's survivors — the
+    candidate space is |batch| x avg-cluster-survivors, so per-ingest
+    cost scales with the delta (instrumented as the
+    ``semdedup_delta_screen`` row of the scaling audit). Emits every
+    batch vector with its routed cluster, the lowest-id survivor that
+    clears the threshold (the semdedup keeper convention; -1 sentinel
+    when clean) and the dup flag. Intra-delta duplicates are the batch
+    pass's job (run q_semdedup / q_semdedup_sharded on the delta) —
+    this query is the delta-vs-corpus screen, composable with it."""
+    from pyspark.sql import Window
+
+    batch_assigned, survivors = _semdedup_incremental_parts(spark, sf_dir)
+    s = survivors.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_keep"),
+        F.col("v").alias("_vs"),
+        F.col("_n").alias("_ns"),
+    )
+    # the DELTA is the small side by design — broadcast it onto the
+    # survivor table so the standing corpus never shuffles for a screen
+    hits = (
+        F.broadcast(batch_assigned).join(s, "centroid_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("v"), F.col("_vs"), F.col("_n"), F.col("_ns")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THR)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("id_keep").asc())
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "id_keep", "cos_sim")
+    )
+    return (
+        batch_assigned.select("vec_id", "centroid_id")
+        .join(F.broadcast(best), "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce("id_keep", F.lit(-1)).alias("duplicate_of"),
+            F.coalesce("cos_sim", F.lit(-1.0)).alias("cos_sim"),
+            F.col("id_keep").isNotNull().cast("int").alias("is_dup"),
+        )
+    )
+
+
+_ORACLE_SEMDEDUP_INCREMENTAL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  -- standing corpus (everything but the delta batch)
+  SELECT vec_id, v FROM e0 WHERE vec_id % 10 <> 0
+), eb AS (
+  -- the delta batch
+  SELECT vec_id, v FROM e0 WHERE vec_id % 10 = 0
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
+), {_hier_assign_sql("c1", "a2", "h2")}, cpairs AS (
+  SELECT b.vec_id AS id_drop, a.v AS qv, b.v AS cv
+  FROM a2 a JOIN a2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+), cdrops AS (
+  SELECT DISTINCT id_drop FROM cpairs WHERE {_COS_SQL} >= {_SEMDEDUP_THR}
+), surv AS (
+  SELECT vec_id, v, centroid_id FROM a2
+  WHERE vec_id NOT IN (SELECT id_drop FROM cdrops)
+), {_hier_assign_sql("c1", "ba", "b1", "eb")}, cand AS (
+  -- the delta screen: batch vector vs its routed cluster's survivors
+  SELECT b.vec_id, b.centroid_id, s.vec_id AS id_keep,
+         b.v AS qv, s.v AS cv
+  FROM ba b JOIN surv s ON s.centroid_id = b.centroid_id
+), scored AS (
+  SELECT vec_id, centroid_id, id_keep, {_COS_SQL} AS cos_sim FROM cand
+), best AS (
+  SELECT vec_id, id_keep, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY id_keep ASC) AS rn
+    FROM scored WHERE cos_sim >= {_SEMDEDUP_THR}) _x
+  WHERE rn = 1
+)
+SELECT ba.vec_id, ba.centroid_id,
+  COALESCE(best.id_keep, -1) AS duplicate_of,
+  COALESCE(best.cos_sim, -1.0) AS cos_sim,
+  CAST(best.id_keep IS NOT NULL AS INT) AS is_dup
+FROM ba LEFT JOIN best ON best.vec_id = ba.vec_id
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric scalar quantization of the embedding column — the
     standard 4x storage/serving compression step before ANN at scale.
@@ -1942,6 +2118,12 @@ QUERIES = [
         "q_semdedup_sharded", q_semdedup_sharded, _ORACLE_SEMDEDUP_SHARDED,
         "ext:dedup (executable shard driver: per-shard SemDeDup + "
         "cross-shard boundary reconciliation)",
+    ),
+    QuerySpec(
+        "q_semdedup_incremental", q_semdedup_incremental,
+        _ORACLE_SEMDEDUP_INCREMENTAL,
+        "ext:dedup (delta batch screened against standing centroids + "
+        "cluster survivors; per-ingest cost scales with the delta)",
     ),
     QuerySpec(
         "q_cluster_balance", q_cluster_balance, _ORACLE_CLUSTER_BALANCE,

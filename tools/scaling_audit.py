@@ -120,6 +120,24 @@ def _candidate_probes():
             or 0
         )
 
+    def semdedup_delta_pairs(spark, sf_dir):
+        # the incremental semantic screen's candidate space: batch
+        # vector x its routed cluster's SURVIVORS — counted through the
+        # same helper the query builds its plan from
+        from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+            _semdedup_incremental_parts,
+        )
+
+        batch_assigned, survivors = _semdedup_incremental_parts(
+            spark, sf_dir
+        )
+        return batch_assigned.join(
+            survivors.select("centroid_id"), "centroid_id"
+        ).count()
+
+    def n_emb(spark, sf_dir):
+        return load_tables(spark, sf_dir, "embeddings").count()
+
     def basket_pairs(spark, sf_dir):
         # the PRE-filter basket self-join space (sum over baskets of
         # C(items, 2)) — q_basket_affinity's one curve that could bend
@@ -165,6 +183,9 @@ def _candidate_probes():
         ),
         "basket_pair_fanout": (
             basket_pairs, n_orders, "q_basket_affinity",
+        ),
+        "semdedup_delta_screen": (
+            semdedup_delta_pairs, n_emb, "q_semdedup_incremental",
         ),
     }
 
