@@ -697,6 +697,120 @@ def run_shard_cell(spark):
     )) else 1
 
 
+def run_ivf_shard_cell(spark):
+    """The r13-verdict item-1 'done' cell for the IVF shard driver
+    (q_ann_ivf_sharded): on ONE corpus spanning several shards, show
+    (a) every per-shard centroid table bounded near ceil(budget/mod)
+    while the UNSHARDED index's centroid table is ~n/mod — the linearly
+    growing broadcast state the shard driver exists to kill, (b)
+    scatter-gather recall@k vs exact brute force NOT BELOW the unsharded
+    index's (searching s bounded per-shard indexes can only widen the
+    candidate set for the same probe budget), (c) wall-clock for both
+    paths, reported either way.
+
+    Corpus: 40k vectors in 32 dims = 32 well-separated direction
+    clusters (strength-4 one-hot component) plus deterministic
+    unit-scale jitter — enough structure that recall measures the index,
+    not noise. budget 8192 rows/shard -> 5 shards; mod = 16384/32 = 512
+    -> unsharded ~78 seed centroids vs a per-shard bound of 16."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        IVF_TARGET_CLUSTER_FLOATS,
+        brute_force_topk,
+        ivf_topk,
+        shard_vectors,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries import (
+        vector_queries as vq,
+    )
+
+    n, dims, budget, k = 40_000, 32, 8_192, 5
+    n_shards = math.ceil(n / budget)
+    mod = IVF_TARGET_CLUSTER_FLOATS // dims
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dims - 1}), i -> "
+            "CASE WHEN i = CAST(id % 32 AS INT) THEN 4.0 ELSE 0.0 END"
+            " + sin(cast(id * (i + 3) as double)))"
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") % 1000 == 0).localCheckpoint(
+        eager=True
+    )
+
+    def topk_sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    truth = topk_sets(brute_force_topk(emb, queries, k=k).collect())
+
+    t0 = time.perf_counter()
+    uns = topk_sets(
+        ivf_topk(
+            emb, queries, k=k, centroid_mod=None, probes=4, lloyd_iters=1
+        ).collect()
+    )
+    t_uns = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    sh = topk_sets(
+        vq._ann_ivf_sharded_result(emb, queries, n_shards).collect()
+    )
+    t_sh = time.perf_counter() - t0
+
+    def recall(got):
+        return sum(
+            len(got.get(q, set()) & tset) / len(tset)
+            for q, tset in truth.items()
+        ) / len(truth)
+
+    r_uns, r_sh = recall(uns), recall(sh)
+
+    # centroid-table sizes = the id-space seed counts (the broadcast
+    # state the bound is about; Lloyd keeps ids, can only shrink them)
+    uns_cents = emb.filter(F.col("vec_id") % mod == 0).count()
+    sharded = shard_vectors(emb, n_shards=n_shards, vec_col="embedding")
+    per_shard = {
+        r["shard_id"]: r["c"]
+        for r in sharded.filter(F.col("vec_id") % mod == 0)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    bound = math.ceil(budget / mod)
+    # hash-split concentration: binomial spread around uns_cents/n_shards,
+    # pinned at 2x the aligned bound (same margin as the semdedup cell's
+    # rows < 2 * budget)
+    bound_ok = all(v <= 2 * bound for v in per_shard.values())
+    max_shard = max(per_shard.values())
+
+    print(f"corpus: {n} vectors, dims={dims}, budget={budget} rows/shard "
+          f"-> {n_shards} shards; mod={mod}, k={k}, "
+          f"{len(truth)} queries")
+    print(f"unsharded: {uns_cents} seed centroids (ONE broadcast table "
+          f"growing ~n/{mod}), recall@{k}={r_uns:.3f}, {t_uns:.1f}s")
+    print(f"sharded:   per-shard seeds={sorted(per_shard.values())} "
+          f"(aligned bound ceil(budget/mod)={bound}, concentration pin "
+          f"<= {2 * bound}), recall@{k}={r_sh:.3f}, {t_sh:.1f}s")
+    print(f"per-shard centroid bound holds: {bound_ok} "
+          f"(max {max_shard} vs unsharded {uns_cents})")
+    print(f"recall parity (sharded >= unsharded - 0.02): "
+          f"{r_sh >= r_uns - 0.02}")
+    ok = (
+        bound_ok
+        and max_shard < uns_cents
+        and r_sh >= r_uns - 0.02
+    )
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -728,6 +842,10 @@ def main() -> int:
                     help="the r12-verdict item-1 cell: per-shard "
                          "centroid bound + sharded-vs-unsharded "
                          "survivor equality on a multi-shard corpus")
+    ap.add_argument("--shard-cell-ivf", action="store_true",
+                    help="the r13-verdict item-1 cell: per-shard IVF "
+                         "centroid bound + scatter-gather recall parity "
+                         "vs the unsharded index on a multi-shard corpus")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
@@ -749,6 +867,9 @@ def main() -> int:
 
     if args.shard_cell:
         return run_shard_cell(spark)
+
+    if args.shard_cell_ivf:
+        return run_ivf_shard_cell(spark)
 
     if args.third_step:
         rows, flagged, errors = run_third_step(spark, args.threshold)
