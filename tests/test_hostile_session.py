@@ -52,6 +52,12 @@ QUERIES = [
     # frame-sample chain
     "q_semdedup_sharded",
     "q_video_coreset",
+    # round-14 additions: the scatter-gather IVF shard driver, the
+    # incremental delta screen (standing state + batch assignment must
+    # agree under ANSI/non-UTC), and the WAV window-feature chain
+    "q_ann_ivf_sharded",
+    "q_semdedup_incremental",
+    "q_audio_coreset",
 ]
 
 
