@@ -1598,16 +1598,16 @@ def _hier_assign_sql_sharded(cent: str, out: str, p: str) -> str:
 )"""
 
 
-_ORACLE_SEMDEDUP_SHARDED = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), es AS (
-  -- twin of shard_vectors(n_shards={_SHARD_TEST_SHARDS})
-  SELECT vec_id, v,
-    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
-      % {_SHARD_TEST_SHARDS} AS shard_id
-  FROM e
-), sst AS (
+def _sharded_kmeans_sql() -> str:
+    """The shard-grouped k-means CTE chain (per-shard dim-aware k/m,
+    hash-stratified seeds, one Lloyd round, hierarchical assignments
+    ``sa1``/``sa2``) over a corpus CTE named ``es``
+    (shard_id, vec_id, v) — the SHARED oracle twin of "run the
+    q_semdedup/q_knn_graph clustering machinery per shard", regardless
+    of whether the shard key is a hash split (q_semdedup_sharded) or a
+    semantic coarse route (q_knn_graph_sharded). One definition so the
+    two sharded oracles can never drift."""
+    return f"""sst AS (
   -- per-shard k (dim-aware block), twin of _derived_k on each shard
   SELECT shard_id,
     GREATEST({_KMEANS_K_MIN},
@@ -1633,7 +1633,19 @@ WITH e AS (
 ), sc1 AS (
   SELECT shard_id, centroid_id, list(cval ORDER BY pos) AS c
   FROM sd1 GROUP BY 1, 2
-), {_hier_assign_sql_sharded("sc1", "sa2", "g2")}, spairs AS (
+), {_hier_assign_sql_sharded("sc1", "sa2", "g2")}"""
+
+
+_ORACLE_SEMDEDUP_SHARDED = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), es AS (
+  -- twin of shard_vectors(n_shards={_SHARD_TEST_SHARDS})
+  SELECT vec_id, v,
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT
+      % {_SHARD_TEST_SHARDS} AS shard_id
+  FROM e
+), {_sharded_kmeans_sql()}, spairs AS (
   -- cluster ids are member vec_ids, so the centroid equi-join is
   -- automatically within-shard
   SELECT b.vec_id AS id_drop, a.vec_id AS id_keep, a.v AS qv, b.v AS cv
@@ -1935,13 +1947,22 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py:ivf_topk does exactly that for search).
     Oracle rebuilds the identical blocked graph in DuckDB.
     """
-    from pyspark.sql import Window
-
     emb = (
         load_tables(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("v"))
         .localCheckpoint(eager=False)
     )
+    return _knn_graph_block(emb)
+
+
+def _knn_graph_block(emb: DataFrame) -> DataFrame:
+    """The q_knn_graph body over any (vec_id, v) corpus: hash-stratified
+    seeds, one Lloyd round, hierarchical assignment, within-cluster
+    half-scored pair scan, per-source top-``_KNN_K``. Factored out so
+    the semantic shard driver (q_knn_graph_sharded) can run the
+    IDENTICAL machinery per shard."""
+    from pyspark.sql import Window
+
     centroids = _seed_centroids(emb)
     centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
     assigned = (
@@ -2028,6 +2049,136 @@ WHERE rank <= {_KNN_K}
 """
 
 
+def q_knn_graph_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-blocked kNN graph under a SEMANTIC shard split — the
+    third shard driver (after q_semdedup_sharded's hash split and
+    q_ann_ivf_sharded's scatter-gather), shaped for GRAPH BUILD at
+    100 TB where both prior patterns break down:
+
+    - a hash split (semdedup's) would put a vector's true neighbors in
+      random other shards — a per-shard graph over hash shards has
+      1/n_shards recall by construction;
+    - query scatter-gather (IVF's) is right when the query set is
+      small, but a graph build queries the WHOLE corpus — scattering
+      every vector to every shard multiplies total work by the shard
+      count.
+
+    So the shard key is SEMANTIC: a coarse router of
+    ``_SHARD_TEST_SHARDS`` hash-stratified coarse centroids (production:
+    ceil(n / shard budget) — ~1,000 rows at 100 TB, a bounded broadcast
+    where q_knn_graph's own k = n/256 centroid table grows unbounded)
+    routes each vector to its nearest coarse centroid's shard, and the
+    UNMODIFIED q_knn_graph machinery (:func:`_knn_graph_block`) runs
+    per shard — per-shard centroid tables bounded by the shard
+    population. Near neighbors co-route by construction (they are near
+    the same coarse centroid), so per-shard graphs keep most true
+    edges; coarse-boundary edges are missed — the same stated trade as
+    q_knn_graph's own cluster blocking, one level up. Hash-stratified
+    coarse seeds follow the data distribution, so dense regions get
+    proportionally more shards (residual skew is bounded by the
+    within-shard blocking, which re-derives k from the SHARD's size).
+
+    The per-shard loop materializes the <= n_shards distinct shard ids
+    (the C1 config-loop orchestration pattern); shards are disjoint, so
+    the per-shard ranks ARE final — union, no re-rank."""
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    return _knn_graph_sharded_result(spark, emb)
+
+
+def _knn_graph_sharded_result(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The q_knn_graph_sharded body over any (vec_id, v) corpus —
+    factored for the contract tests, like _ann_ivf_sharded_result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        hash_stratified_winners,
+    )
+
+    m0 = emb.agg(
+        F.lit(_SHARD_TEST_SHARDS).cast("bigint").alias("_m0")
+    )
+    coarse = hash_stratified_winners(emb, "vec_id", m0, "_m0").select(
+        F.col("vec_id").alias("shard_id"), F.col("v").alias("_cv")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("_sd").asc(), F.col("shard_id").asc()
+    )
+    es = (
+        emb.crossJoin(F.broadcast(coarse))
+        .withColumn("_sd", _dist_between(F.col("v"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(wv))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "shard_id")
+        .localCheckpoint(eager=True)
+    )
+    shard_ids = sorted(
+        r["shard_id"] for r in es.select("shard_id").distinct().collect()
+    )
+    if not shard_ids:  # empty corpus: schema-stable empty result
+        return spark.createDataFrame(
+            [], "vec_id bigint, rank int, neighbor_id bigint, cos_sim double"
+        )
+
+    def _one(s: int) -> DataFrame:
+        return _knn_graph_block(
+            es.filter(F.col("shard_id") == s).select("vec_id", "v")
+        ).localCheckpoint(eager=True)
+
+    try:
+        with ThreadPoolExecutor(max_workers=min(16, len(shard_ids))) as ex:
+            parts = list(ex.map(_one, shard_ids))
+    except RuntimeError:
+        parts = [_one(s) for s in shard_ids]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_ORACLE_KNN_GRAPH_SHARDED = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cw AS (
+  -- coarse router: {_SHARD_TEST_SHARDS} hash-stratified coarse
+  -- centroids (twin of hash_stratified_winners at m0)
+  SELECT vec_id AS shard_id, v AS cv FROM (
+    SELECT vec_id, v, ROW_NUMBER() OVER (
+      PARTITION BY h % {_SHARD_TEST_SHARDS} ORDER BY h, vec_id) AS rn
+    FROM (SELECT vec_id, v,
+      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM e) _h) _r
+  WHERE rn = 1
+), es AS (
+  -- semantic shard = nearest coarse centroid (flat argmin: the router
+  -- is tiny by construction)
+  SELECT vec_id, v, shard_id FROM (
+    SELECT e.vec_id, e.v, w.shard_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_km_dist_sql("e.v", "w.cv")} ASC, w.shard_id ASC) AS rn
+    FROM e CROSS JOIN cw w) _r WHERE rn = 1
+), {_sharded_kmeans_sql()}, gpairs AS (
+  -- cluster ids are member vec_ids: the equi-join is within-shard
+  SELECT a.vec_id AS src, b.vec_id AS neighbor_id, a.v AS qv, b.v AS cv
+  FROM sa2 a JOIN sa2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+), gscored AS (
+  SELECT src, neighbor_id, {_COS_SQL} AS cos_sim FROM gpairs
+)
+SELECT src AS vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM gscored)
+WHERE rank <= {_KNN_K}
+"""
+
+
 _CORESET_M = 5  # representatives kept per cluster
 
 
@@ -2080,6 +2231,12 @@ QUERIES = [
     QuerySpec(
         "q_knn_graph", q_knn_graph, _ORACLE_KNN_GRAPH,
         "ext:similarity (cluster-blocked kNN graph construction)",
+    ),
+    QuerySpec(
+        "q_knn_graph_sharded", q_knn_graph_sharded,
+        _ORACLE_KNN_GRAPH_SHARDED,
+        "ext:similarity (semantic shard driver: coarse-routed per-shard "
+        "kNN graphs, bounded per-shard centroid state)",
     ),
     QuerySpec(
         "q_embedding_quantize", q_embedding_quantize,

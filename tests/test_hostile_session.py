@@ -58,6 +58,7 @@ QUERIES = [
     "q_ann_ivf_sharded",
     "q_semdedup_incremental",
     "q_audio_coreset",
+    "q_knn_graph_sharded",
 ]
 
 
