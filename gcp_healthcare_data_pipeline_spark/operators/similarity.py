@@ -236,27 +236,32 @@ def _assert_unique_ids(df: DataFrame, col: str, who: str) -> DataFrame:
     )
 
 
-def ivf_topk(
+def ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int,
     centroid_mod: int | None = 31,
-    probes: int = 2,
     lloyd_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     validate_ids: bool = False,
-) -> DataFrame:
-    """IVF-style approximate top-k: the second classic ANN scale path.
+):
+    """Build the IVF index over ``corpus``: returns
+    ``(supers, cmap, assigned, assign)`` — the hierarchical coarse
+    quantizer's super-centroid table, the centroid→super child map, the
+    corpus inverted lists (every vector keep-1 assigned:
+    (neighbor_id, _v, _cn, centroid_id)), and the generic two-level
+    ``assign`` function bound to nothing (callers pass their own frame
+    + supers/cmap) — so SEARCH (:func:`ivf_topk`) and INDEX APPEND
+    (q_ann_ivf_incremental's delta assignment) run the IDENTICAL
+    machinery against the same standing index.
 
-    CONTRACT: ``id_col`` must be UNIQUE within ``corpus`` and within
-    ``queries``. The keep-1 assignment aggregates carry payload columns
-    with ``first(...)`` per id group — deterministic ONLY because every
-    row of a group then holds the same payload; a duplicate-id corpus
-    would collapse to one nondeterministically-chosen vector per id with
-    no error and diverge from the oracle. Pass ``validate_ids=True``
-    (debug mode — one extra id-projection groupBy per side) to make a
-    duplicate-id corpus fail loudly at execution time instead.
+    CONTRACT: ``id_col`` must be UNIQUE within ``corpus``. The keep-1
+    assignment aggregates carry payload columns with ``first(...)`` per
+    id group — deterministic ONLY because every row of a group then
+    holds the same payload; a duplicate-id corpus would collapse to one
+    nondeterministically-chosen vector per id with no error and diverge
+    from the oracle. Pass ``validate_ids=True`` (debug mode — one extra
+    id-projection groupBy) to make a duplicate-id corpus fail loudly at
+    execution time instead.
 
     Centroid seeds are a deterministic corpus sample
     (id % centroid_mod == 0; ``centroid_mod=None`` uses the fixed
@@ -297,8 +302,7 @@ def ivf_topk(
     see tests/test_epoch_pinning_ivf.py.
     """
     if validate_ids:
-        corpus = _assert_unique_ids(corpus, id_col, "ivf_topk corpus")
-        queries = _assert_unique_ids(queries, id_col, "ivf_topk queries")
+        corpus = _assert_unique_ids(corpus, id_col, "ivf index corpus")
     c_raw = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_v")
     ).withColumn("_cn", norm(F.col("_v")))
@@ -536,6 +540,37 @@ def ivf_topk(
 
     supers, cmap = hier_quantizer(cents)
     c = assign(c_raw, "_v", "_cn", 1, supers, cmap)
+    return supers, cmap, c, assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroid_mod: int | None = 31,
+    probes: int = 2,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    validate_ids: bool = False,
+) -> DataFrame:
+    """IVF-style approximate top-k: the second classic ANN scale path.
+
+    Index build (seeding, empty-seed fallback, Lloyd refinement,
+    hierarchical coarse quantizer, corpus inverted lists) is
+    :func:`ivf_index` — see its docstring for the full design and the
+    unique-id contract, which applies to ``queries`` here too. This
+    function adds the SEARCH side: queries route through the same
+    coarse quantizer (2-super multi-probe on the tiny query side) and
+    probe their ``probes`` best child centroids; candidates are the
+    probed clusters' members, ranked by rounded cosine with id
+    tie-break per query.
+    """
+    if validate_ids:
+        queries = _assert_unique_ids(queries, id_col, "ivf_topk queries")
+    supers, cmap, c, assign = ivf_index(
+        corpus, centroid_mod, lloyd_iters, id_col, vec_col, validate_ids
+    )
     q = assign(
         queries.select(
             F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qv")

@@ -56,10 +56,11 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-14 rotation (r13 verdict
-# item 2): the four never-sampled round-14 additions
+# item 2): the five never-sampled round-14 additions
 # (q_ann_ivf_sharded — the shard driver generalized to search, the
 # verdict's item 1 — q_audio_coreset, q_semdedup_incremental,
-# q_knn_graph_sharded — the semantic shard driver for graph build),
+# q_knn_graph_sharded — the semantic shard driver for graph build —
+# and q_ann_ivf_incremental — the index-append maintenance shape),
 # q_semdedup_sharded (its RESULT VALUES changed this round: the test
 # split went from a 200-row budget to a fixed 3-shard count, so the
 # r13 row is evidence for a plan that no longer ships), the three
@@ -68,17 +69,18 @@ def all_queries() -> dict[str, QuerySpec]:
 # bit-identical, plans new), the FULL 40-query r10 cohort (the oldest
 # driver evidence in the registry, 4 rounds stale — includes
 # q_bm25_search and q_bpe_merges, which also took the window-helper
-# plan change), and 2 high-machinery r11 continuity picks. That is
-# exactly 50 slots; q_fuzzy_name_match plus the REMAINING r11 cohort
-# (next-oldest) are listed explicitly at 51+ so any sampling overrun
-# refreshes oldest evidence first, and everything after it follows
-# plain registry order.
+# plan change), and 1 high-machinery r11 continuity pick. That is
+# exactly 50 slots; the two displaced r11 picks plus the REMAINING r11
+# cohort (next-oldest) are listed explicitly at 51+ so any sampling
+# overrun refreshes oldest evidence first, and everything after it
+# follows plain registry order.
 _DRIVER_PRIORITY = [
     # NEW this round (never driver-sampled)
     "q_ann_ivf_sharded",
     "q_audio_coreset",
     "q_semdedup_incremental",
     "q_knn_graph_sharded",
+    "q_ann_ivf_incremental",
     # result values changed this round (3-shard test split)
     "q_semdedup_sharded",
     # plan changed to tiny_frame_window (non-r10 members)
@@ -126,13 +128,13 @@ _DRIVER_PRIORITY = [
     "q_token_count",
     "q_token_count_bpe",
     "q_topk_orders",
-    # r11 continuity picks (heaviest text/linkage machinery)
+    # r11 continuity pick (heaviest text machinery)
     "q_boilerplate",
-    "q_dedup_substring",
-    # ---- 51+ : q_fuzzy_name_match (displaced by the 4th new query)
+    # ---- 51+ : the two r11 picks displaced by the 4th/5th new queries,
     # then the remaining r11 cohort (next-oldest evidence), so a
     # sampling overrun refreshes oldest rows first; after these the
     # tail is plain registry order
+    "q_dedup_substring",
     "q_fuzzy_name_match",
     "q_contamination",
     "q_customer_running_total",

@@ -336,30 +336,27 @@ _IVF_ADAPTIVE_MOD_SQL = (
 )
 
 
-def _ann_ivf_oracle_sql(
-    mod_sql: str = _IVF_ADAPTIVE_MOD_SQL, probes: int = 4
-) -> str:
-    """Full DuckDB oracle for the hierarchical IVF search, parameterized
-    by the seed mod (adaptive by default; a literal pins the epoch —
-    tests/test_epoch_pinning_ivf.py) and the probe count (must match the
-    Spark call's ``probes``)."""
-    return f"""
-WITH c AS (
-  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
-), cent0 AS (
-  -- twin of ivf_topk's seed sample + empty-seed fallback (the single
+def _ivf_build_sql(mod_sql: str) -> str:
+    """DuckDB twin of :func:`operators.similarity.ivf_index` over a
+    corpus CTE named ``c`` (neighbor_id, cv): seed sample + empty-seed
+    fallback, one Lloyd round, both hierarchical quantizer versions
+    (h1*/h2*), final inverted lists ``c_assign``. ONE definition shared
+    by the q_ann_ivf and q_ann_ivf_incremental oracles so the index
+    build can never drift between them."""
+    return f"""cent0 AS (
+  -- twin of ivf_index's seed sample + empty-seed fallback (the single
   -- hash-minimal corpus row, used only when the id-space sample is
   -- empty — sparse / non-0-aligned id corpora)
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv
-  FROM embeddings WHERE vec_id % {mod_sql} = 0
+  SELECT neighbor_id AS centroid_id, cv AS qv
+  FROM c WHERE neighbor_id % {mod_sql} = 0
   UNION ALL
-  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS qv FROM (
-    SELECT vec_id, embedding, ROW_NUMBER() OVER (ORDER BY
-      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT,
-      vec_id) AS rn
-    FROM embeddings) _fb
+  SELECT neighbor_id AS centroid_id, cv AS qv FROM (
+    SELECT neighbor_id, cv, ROW_NUMBER() OVER (ORDER BY
+      ('0x' || substr(md5(CAST(neighbor_id AS VARCHAR)), 1, 12))::BIGINT,
+      neighbor_id) AS rn
+    FROM c) _fb
   WHERE rn = 1 AND NOT EXISTS (
-    SELECT 1 FROM embeddings WHERE vec_id % {mod_sql} = 0)
+    SELECT 1 FROM c WHERE neighbor_id % {mod_sql} = 0)
 ), {_ivf_hier_sql("cent0", "h1")}, r0 AS (
   -- Lloyd round 1: two-level cosine-assign every corpus vector
   SELECT neighbor_id, centroid_id FROM (
@@ -387,7 +384,21 @@ WITH c AS (
     JOIN c ON c.neighbor_id = r.neighbor_id
     JOIN h2cmap m ON m.super_id = r.super_id
   ) _r WHERE rnk <= 1
-), q AS (
+)"""
+
+
+def _ann_ivf_oracle_sql(
+    mod_sql: str = _IVF_ADAPTIVE_MOD_SQL, probes: int = 4
+) -> str:
+    """Full DuckDB oracle for the hierarchical IVF search, parameterized
+    by the seed mod (adaptive by default; a literal pins the epoch —
+    tests/test_epoch_pinning_ivf.py) and the probe count (must match the
+    Spark call's ``probes``). Index build is the shared
+    :func:`_ivf_build_sql` chain."""
+    return f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), {_ivf_build_sql(mod_sql)}, q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id % 100 = 0
 ), q_sup AS (
@@ -431,6 +442,117 @@ FROM ranked WHERE rank <= {_K}
 
 
 _ORACLE_ANN_IVF = _ann_ivf_oracle_sql()
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index MAINTENANCE — the search-family member of
+    the incremental trilogy (token-level q_dedup_incremental r11,
+    semantic q_semdedup_incremental r14): the standing index (centroid
+    table + inverted lists over the corpus = everything except the
+    ``vec_id % 10 == 0`` delta) is what production has already
+    materialized; the nightly delta batch is APPENDED by routing each
+    new vector through the SAME two-level quantizer to its keep-1
+    centroid — |batch| x 2*sqrt(nlist) folds, the corpus is never
+    re-clustered or re-paired.
+
+    Output is the re-index signal a maintenance job consumes: one row
+    per touched centroid with its standing occupancy, the appended
+    count, and the growth percentage (NULL via the F10 safe-divide
+    convention for centroids born empty) — when growth concentrates in
+    few clusters, those clusters' probe cost degrades and the epoch
+    policy (tests/test_epoch_pinning_ivf.py) says when to re-derive the
+    index shape. Build and append run the IDENTICAL machinery
+    (:func:`operators.similarity.ivf_index` returns the assign function
+    the search side uses), so the appended lists are exactly what
+    ivf_topk would probe."""
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    is_batch = F.col("vec_id") % 10 == 0
+    corpus = emb.filter(~is_batch)
+    batch = emb.filter(is_batch)
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    # centroid_mod PINNED (the epoch policy this query exists around:
+    # production derives the mod once at index build and reuses it for
+    # every append — an adaptive mod would re-shape the index per
+    # batch); 64 gives the dev corpora a multi-centroid index (the
+    # adaptive 256 leaves sf0.001's corpus a single seed)
+    supers, cmap, assigned, assign = ivf_index(
+        corpus, centroid_mod=64, lloyd_iters=1
+    )
+    b = batch.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("_v"),
+    ).withColumn("_cn", norm(F.col("_v")))
+    b_assigned = assign(b, "_v", "_cn", 1, supers, cmap)
+    before = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    app = b_assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_appended")
+    )
+    return (
+        before.join(app, "centroid_id", "full")
+        .select(
+            "centroid_id",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_appended", F.lit(0)).alias("n_appended"),
+            F.round(
+                F.coalesce("n_appended", F.lit(0))
+                * F.lit(100.0)
+                / F.expr("nullif(n_before, 0)"),
+                4,
+            ).alias("growth_pct"),
+        )
+    )
+
+
+# the Spark side pins centroid_mod=64 (the epoch policy: derive once at
+# index build, reuse per append)
+_IVF_INCREMENTAL_MOD = 64
+
+_ORACLE_ANN_IVF_INCREMENTAL = f"""
+WITH c AS (
+  -- the standing corpus (everything but the delta batch)
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 10 <> 0
+), {_ivf_build_sql(str(_IVF_INCREMENTAL_MOD))}, eb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 10 = 0
+), b_sup AS (
+  -- index append: keep-1 super route (corpus-side discipline, not the
+  -- query side's 2-super multi-probe)
+  SELECT vec_id, super_id FROM (
+    SELECT b.vec_id, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        ORDER BY {_cosr_sql("b.qv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM eb b CROSS JOIN h2sup s) _r WHERE rn = 1
+), b_assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT bs.vec_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY bs.vec_id
+        ORDER BY {_cosr_sql("b.qv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM b_sup bs
+    JOIN eb b ON b.vec_id = bs.vec_id
+    JOIN h2cmap m ON m.super_id = bs.super_id
+  ) _r WHERE rnk <= 1
+), before AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_before
+  FROM c_assign GROUP BY 1
+), app AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_appended
+  FROM b_assign GROUP BY 1
+)
+SELECT centroid_id,
+  COALESCE(n_before, 0) AS n_before,
+  COALESCE(n_appended, 0) AS n_appended,
+  ROUND(COALESCE(n_appended, 0) * 100.0
+        / NULLIF(COALESCE(n_before, 0), 0), 4) AS growth_pct
+FROM before FULL JOIN app USING (centroid_id)
+"""
 
 
 def _ann_ivf_sharded_result(
@@ -2249,6 +2371,14 @@ QUERIES = [
         q_ann_ivf_sharded,
         _ORACLE_ANN_IVF_SHARDED,
         "ext:similarity IVF shard driver (scatter-gather)",
+    ),
+    QuerySpec(
+        "q_ann_ivf_incremental",
+        q_ann_ivf_incremental,
+        _ORACLE_ANN_IVF_INCREMENTAL,
+        "ext:similarity (incremental IVF index append: delta routed "
+        "through the standing quantizer; per-ingest cost scales with "
+        "the delta)",
     ),
     QuerySpec(
         "q_embedding_neardup", q_embedding_neardup, _ORACLE_EMBEDDING_NEARDUP,

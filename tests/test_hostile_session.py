@@ -59,6 +59,7 @@ QUERIES = [
     "q_semdedup_incremental",
     "q_audio_coreset",
     "q_knn_graph_sharded",
+    "q_ann_ivf_incremental",
 ]
 
 
