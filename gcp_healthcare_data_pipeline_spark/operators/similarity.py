@@ -210,6 +210,34 @@ def shard_vectors(
     )
 
 
+def fanout_union(one, ids) -> "DataFrame | None":
+    """Shared per-shard job fan-out for the shard drivers: submit
+    ``one(id)`` for every id from driver threads so the independent
+    per-shard jobs' stages interleave on the executor pool instead of
+    serializing (each ``one`` must end in an eager localCheckpoint so
+    the union below reads materialized blocks), then unionByName the
+    parts. Falls back to the serial loop on RuntimeError (thread
+    exhaustion under a loaded host) — same results, just no stage
+    overlap. Returns None for an empty id list. ONE definition for the
+    four shard drivers (q_semdedup_sharded, q_ann_ivf_sharded,
+    q_knn_graph_sharded, the recursive reconcile) so the
+    fallback-condition and merge semantics cannot drift."""
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    ids = list(ids)
+    if not ids:
+        return None
+    try:
+        with ThreadPoolExecutor(max_workers=min(16, len(ids))) as ex:
+            parts = list(ex.map(one, ids))
+    except RuntimeError:
+        parts = [one(i) for i in ids]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _assert_unique_ids(df: DataFrame, col: str, who: str) -> DataFrame:
     """Debug-mode uniqueness guard: attaches a 1-row broadcast check
     that raises at EXECUTION time if ``col`` carries duplicates —

@@ -585,11 +585,10 @@ def _ann_ivf_sharded_result(
     (emb, queries, n_shards) so the contract tests can drive synthetic
     corpora and the n_shards=1 degeneracy (which is exactly q_ann_ivf's
     plan plus a no-op re-rank)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from pyspark.sql import Window
 
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        fanout_union,
         shard_vectors,
     )
 
@@ -612,16 +611,7 @@ def _ann_ivf_sharded_result(
             lloyd_iters=1,
         ).drop("rank").localCheckpoint(eager=True)
 
-    try:
-        with ThreadPoolExecutor(max_workers=min(16, n_shards)) as ex:
-            parts = list(ex.map(_one, range(n_shards)))
-    except RuntimeError:
-        # thread exhaustion under a loaded host — the jobs are
-        # independent either way; serial fallback, same results
-        parts = [_one(s) for s in range(n_shards)]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
+    cand = fanout_union(_one, range(n_shards))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -1553,7 +1543,9 @@ def _semdedup_reconcile_recursive(
     overflow one reconcile budget (SCALING_r13.md §1) and the DuckDB
     oracle pins that plan; this path is contract-tested on a corpus
     built to overflow (tests/test_semdedup_sharded.py)."""
-    from concurrent.futures import ThreadPoolExecutor
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        fanout_union,
+    )
 
     n = survivors.count()
     if n <= max_rows_per_shard or level >= max_levels:
@@ -1577,15 +1569,7 @@ def _semdedup_reconcile_recursive(
             )
         ).localCheckpoint(eager=True)
 
-    try:
-        with ThreadPoolExecutor(max_workers=min(16, nsh)) as ex:
-            parts = list(ex.map(_one, range(nsh)))
-    except RuntimeError:
-        parts = [_one(r) for r in range(nsh)]
-    drops = parts[0]
-    for p in parts[1:]:
-        drops = drops.unionByName(p)
-    drops = drops.withColumn(
+    drops = fanout_union(_one, range(nsh)).withColumn(
         "level", F.lit(level).cast("bigint")
     ).localCheckpoint(eager=True)
     surv2 = rsharded.join(
@@ -1624,6 +1608,7 @@ def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard sharded-dedup trade, stated rather than hidden.
     """
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        fanout_union,
         shard_vectors,
     )
 
@@ -1641,32 +1626,15 @@ def q_semdedup_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "id_drop bigint, duplicate_of bigint, cos_sim double, stage string"
         )
 
-    # The per-shard jobs are INDEPENDENT — submit them from driver
-    # threads so their stages interleave on the executor pool instead of
-    # serializing (the production shard driver launches shard jobs
-    # concurrently for the same reason; with small test shards the
-    # wall time is otherwise ~n_shards x fixed job overhead). Each job
-    # ends in an eager localCheckpoint, so the union below reads
-    # materialized blocks.
-    from concurrent.futures import ThreadPoolExecutor
-
     def _one_shard(s: int) -> DataFrame:
         return _semdedup_drops(
             sharded.filter(F.col("shard_id") == s).select("vec_id", "v")
         ).drop("centroid_id").localCheckpoint(eager=True)
 
-    n_loop = int(top) + 1
-    try:
-        with ThreadPoolExecutor(max_workers=min(16, n_loop)) as ex:
-            shard_drops = list(ex.map(_one_shard, range(n_loop)))
-    except RuntimeError:
-        # thread exhaustion under a loaded host: the jobs are
-        # independent either way — fall back to the serial loop (same
-        # results, just no stage overlap)
-        shard_drops = [_one_shard(s) for s in range(n_loop)]
-    drops1 = shard_drops[0]
-    for d in shard_drops[1:]:
-        drops1 = drops1.unionByName(d)
+    # the per-shard jobs are INDEPENDENT — fanout_union submits them
+    # from driver threads so their stages interleave on the executor
+    # pool instead of serializing
+    drops1 = fanout_union(_one_shard, range(int(top) + 1))
     survivors = sharded.join(
         drops1.select(F.col("id_drop").alias("vec_id")), "vec_id", "left_anti"
     ).localCheckpoint(eager=False)
@@ -1879,6 +1847,9 @@ def _semdedup_incremental_parts(
         _kmeans_assign(batch, centroids)
         .select("vec_id", "v", "centroid_id")
         .withColumn("_n", norm(F.col("v")))
+        # consumed twice downstream (the screen's hits AND the final
+        # left join) — cut the two-crossJoin assignment lineage once
+        .localCheckpoint(eager=False)
     )
     return batch_assigned, survivors
 
@@ -2214,15 +2185,18 @@ def q_knn_graph_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_graph_sharded_result(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """The q_knn_graph_sharded body over any (vec_id, v) corpus —
     factored for the contract tests, like _ann_ivf_sharded_result."""
-    from concurrent.futures import ThreadPoolExecutor
-
     from pyspark.sql import Window
 
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        fanout_union,
         hash_stratified_winners,
     )
 
-    m0 = emb.agg(
+    # the router count is a STATIC literal at test scale — a 1-row frame,
+    # not an aggregate over the corpus (which would scan every partition
+    # to emit a constant); the production ceil(n/budget) sizing is the
+    # case that genuinely derives it from the corpus count
+    m0 = spark.range(1).select(
         F.lit(_SHARD_TEST_SHARDS).cast("bigint").alias("_m0")
     )
     coarse = hash_stratified_winners(emb, "vec_id", m0, "_m0").select(
@@ -2252,15 +2226,7 @@ def _knn_graph_sharded_result(spark: SparkSession, emb: DataFrame) -> DataFrame:
             es.filter(F.col("shard_id") == s).select("vec_id", "v")
         ).localCheckpoint(eager=True)
 
-    try:
-        with ThreadPoolExecutor(max_workers=min(16, len(shard_ids))) as ex:
-            parts = list(ex.map(_one, shard_ids))
-    except RuntimeError:
-        parts = [_one(s) for s in shard_ids]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return fanout_union(_one, shard_ids)
 
 
 _ORACLE_KNN_GRAPH_SHARDED = f"""

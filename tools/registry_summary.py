@@ -26,7 +26,9 @@ def main() -> int:
         fam[tag] += 1
     print(f"registry: {len(specs)} queries, "
           f"{sum(1 for s in specs.values() if s.oracle)} with SQL oracles, "
-          f"{len(_DRIVER_PRIORITY)} in the driver-sampled first 50\n")
+          f"{min(50, len(_DRIVER_PRIORITY))} in the driver-sampled "
+          f"first 50 ({len(_DRIVER_PRIORITY)} pinned incl. the 51+ "
+          f"overrun tail)\n")
     print("by family tag (first survey-id token):")
     for tag, n in fam.most_common():
         print(f"  {tag:12s} {n}")
