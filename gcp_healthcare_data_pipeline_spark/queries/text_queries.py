@@ -1062,6 +1062,177 @@ JOIN sizes sb ON sb.source = src_b
 """
 
 
+def q_text_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-keyed exact dedup — the normalization pass
+    (CCNet/RefinedWeb-style) that runs BEFORE hash dedup in a
+    training-data pipeline: lower-case, map punctuation to spaces,
+    collapse whitespace, trim; then group on md5(canonical). Catches
+    the case/spacing/punctuation re-encodings that raw exact dedup
+    (q_dedup_exact) misses by construction.
+
+    Re-ingest simulation: the corpus is unioned with a mangled copy
+    (upper-cased, double-spaced, id-offset) — every canonical group
+    must reunite the original with its mangled twin, so the operator's
+    value is visible in ``n_raw_variants >= 2``. Pure map-side string
+    work + one hash groupBy: the same single-shuffle shape as exact
+    dedup at any scale."""
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.unionByName(mangled)
+        .withColumn("_c", canon)
+        .groupBy(F.md5("_c").alias("canon_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("text").alias("n_raw_variants"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+_ORACLE_TEXT_CANONICAL = """
+WITH all_rows AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         upper(regexp_replace(text, ' ', '  ', 'g')) AS text
+  FROM documents
+), c AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+         ' +', ' ', 'g')) AS canon
+  FROM all_rows
+)
+SELECT md5(canon) AS canon_hash,
+       MIN(doc_id) AS keeper_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT text) AS n_raw_variants
+FROM c
+GROUP BY 1
+HAVING COUNT(*) >= 2
+"""
+
+
+_BIGRAM_MIN_DF = 3  # corpus occurrences for bigram-table membership
+_BIGRAM_KEEP_THRESHOLD = -3.42  # avg nats/bigram; splits every test SF
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model scoring — the sequence-aware
+    upgrade of q_unigram_logprob's perplexity-proxy gate: each document
+    scores the average log of p(w2|w1) = 0.75 * c(w1 w2)/c(w1) +
+    0.25 * c(w2)/N (Jelinek-Mercer interpolation with unigram backoff),
+    so shuffled-token gibberish that fools a unigram gate scores low
+    here — bigram structure is what it cannot fake.
+
+    Scale shape mirrors the unigram gate: the bigram table is
+    min-df-capped (unseen/rare bigrams fall through to the backoff
+    term), the unigram vocab is the same _LM_MIN_DF-capped broadcast
+    with a 1-count OOV floor, the scalar total broadcasts, and the only
+    corpus-wide exchanges are the two count groupBys and the per-doc
+    aggregation. No Python, no global sort."""
+    docs = load_tables(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_toks) - 2), "
+                "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    total = uni.agg(F.sum("ucnt").alias("n_total"))  # one row
+    vocab = uni.filter(F.col("ucnt") >= _LM_MIN_DF)
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .filter(F.col("bcnt") >= _BIGRAM_MIN_DF)
+    )
+    u1 = vocab.select(F.col("tok").alias("w1"), F.col("ucnt").alias("c1"))
+    u2 = vocab.select(F.col("tok").alias("w2"), F.col("ucnt").alias("c2"))
+    lp = F.log(
+        F.lit(0.75)
+        * F.coalesce(F.col("bcnt"), F.lit(0)).cast("double")
+        / F.coalesce(F.col("c1"), F.lit(1)).cast("double")
+        + F.lit(0.25)
+        * F.coalesce(F.col("c2"), F.lit(1)).cast("double")
+        / F.col("n_total")
+    )
+    return (
+        big.join(F.broadcast(bcnt), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), "w1", "left")
+        .join(F.broadcast(u2), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.col("bcnt").isNotNull().cast("bigint")).alias(
+                "n_seen_bigrams"
+            ),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            (F.avg(lp) >= F.lit(_BIGRAM_KEEP_THRESHOLD)).alias("keep"),
+        )
+    )
+
+
+_ORACLE_BIGRAM_LOGPROB = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), big AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, UNNEST(range(1, len(toks))) AS t(i)
+  WHERE len(toks) >= 2
+), tk AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+), uni AS (
+  SELECT tok, COUNT(*) AS ucnt FROM tk GROUP BY 1
+), tot AS (
+  SELECT SUM(ucnt) AS n_total FROM uni
+), vocab AS (
+  SELECT tok, ucnt FROM uni WHERE ucnt >= {_LM_MIN_DF}
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS bcnt FROM big GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BIGRAM_MIN_DF}
+), scored AS (
+  SELECT b.doc_id,
+    CASE WHEN bc.bcnt IS NOT NULL THEN 1 ELSE 0 END AS seen,
+    ln(0.75 * CAST(COALESCE(bc.bcnt, 0) AS DOUBLE)
+         / CAST(COALESCE(v1.ucnt, 1) AS DOUBLE)
+       + 0.25 * CAST(COALESCE(v2.ucnt, 1) AS DOUBLE) / n_total) AS lp
+  FROM big b
+  LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+  LEFT JOIN vocab v1 ON v1.tok = b.w1
+  LEFT JOIN vocab v2 ON v2.tok = b.w2
+  CROSS JOIN tot
+)
+SELECT doc_id,
+  COUNT(*) AS n_bigrams,
+  CAST(SUM(seen) AS BIGINT) AS n_seen_bigrams,
+  ROUND(AVG(lp), 6) AS avg_logprob,
+  AVG(lp) >= {_BIGRAM_KEEP_THRESHOLD} AS keep
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("q_token_count", q_token_count, _ORACLE_TOKEN_COUNT, "ext:text"),
     QuerySpec(
@@ -1075,6 +1246,16 @@ QUERIES = [
     QuerySpec(
         "q_unigram_logprob", q_unigram_logprob, _ORACLE_UNIGRAM_LOGPROB,
         "ext:text (unigram-LM perplexity-proxy quality gate)",
+    ),
+    QuerySpec(
+        "q_bigram_logprob", q_bigram_logprob, _ORACLE_BIGRAM_LOGPROB,
+        "ext:text (interpolated bigram-LM quality gate; sequence-aware "
+        "upgrade of the unigram gate)",
+    ),
+    QuerySpec(
+        "q_text_canonical", q_text_canonical, _ORACLE_TEXT_CANONICAL,
+        "ext:dedup ext:text (canonicalization-keyed exact dedup: "
+        "case/punct/whitespace-normalized hash groups)",
     ),
     QuerySpec(
         "q_feature_hashing", q_feature_hashing, _ORACLE_FEATURE_HASHING,

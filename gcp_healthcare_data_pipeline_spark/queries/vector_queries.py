@@ -1782,23 +1782,19 @@ SELECT id_drop, duplicate_of, cos_sim, 'cross' AS stage FROM rdrops
 """
 
 
-def _semdedup_incremental_parts(
+def _incremental_standing_assigned(
     spark: SparkSession, sf_dir: str
 ) -> "tuple[DataFrame, DataFrame]":
-    """(batch_assigned, survivors) — the STANDING-STATE stages of the
-    incremental semantic screen, shared by q_semdedup_incremental and
-    the ``tools/scaling_audit.py --pairs`` delta-cost probe (one
-    definition, so the audited candidate space can never drift from the
-    production one; same discipline as _incremental_band_candidates).
-
-    Standing state = what a production pipeline has already
-    materialized before the nightly delta arrives: the corpus centroid
-    table (hash-stratified seeds + one Lloyd round over the corpus =
-    everything EXCEPT the ``vec_id %% 10 == 0`` batch) and the corpus
-    SURVIVOR set (within-cluster semdedup drops applied). The delta
-    stage assigns each batch vector to its nearest standing centroid
-    (|batch| x 2*sqrt(k) hierarchical folds — cost scales with the
-    DELTA, the corpus is never re-paired)."""
+    """(batch_assigned, assigned) — the standing-state stages every
+    incremental vector query starts from: the delta/corpus split
+    (``vec_id % 10 == 0`` is the incoming batch), the STANDING centroid
+    table (hash-stratified seeds + one Lloyd round over the corpus
+    only), the corpus assignment, and the delta routed through the SAME
+    standing centroids (|batch| x 2*sqrt(k) hierarchical folds — cost
+    scales with the DELTA, the corpus is never re-paired). Shared by
+    q_semdedup_incremental (screen vs cluster survivors) and
+    q_knn_graph_incremental (edge append vs cluster members) — one
+    definition, so the two incremental shapes can never drift apart."""
     emb = load_tables(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -1814,6 +1810,31 @@ def _semdedup_incremental_parts(
         .withColumn("_n", norm(F.col("v")))
         .localCheckpoint(eager=False)  # both sides of the drop self-join
     )
+    batch_assigned = (
+        _kmeans_assign(batch, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+        # consumed twice downstream (the screen's hits AND the final
+        # left join) — cut the two-crossJoin assignment lineage once
+        .localCheckpoint(eager=False)
+    )
+    return batch_assigned, assigned
+
+
+def _semdedup_incremental_parts(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(batch_assigned, survivors) — the STANDING-STATE stages of the
+    incremental semantic screen, shared by q_semdedup_incremental and
+    the ``tools/scaling_audit.py --pairs`` delta-cost probe (one
+    definition, so the audited candidate space can never drift from the
+    production one; same discipline as _incremental_band_candidates).
+
+    Standing state = :func:`_incremental_standing_assigned` plus the
+    corpus SURVIVOR set (within-cluster semdedup drops applied) a
+    production pipeline has already materialized before the nightly
+    delta arrives."""
+    batch_assigned, assigned = _incremental_standing_assigned(spark, sf_dir)
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("id_keep"),
@@ -1843,14 +1864,6 @@ def _semdedup_incremental_parts(
         .distinct()
     )
     survivors = assigned.join(drops, "vec_id", "left_anti")
-    batch_assigned = (
-        _kmeans_assign(batch, centroids)
-        .select("vec_id", "v", "centroid_id")
-        .withColumn("_n", norm(F.col("v")))
-        # consumed twice downstream (the screen's hits AND the final
-        # left join) — cut the two-crossJoin assignment lineage once
-        .localCheckpoint(eager=False)
-    )
     return batch_assigned, survivors
 
 
@@ -2018,6 +2031,232 @@ SELECT vec_id,
   ROUND(list_sum(list_transform(err, x -> x * x)) / n, 12) AS mse,
   ROUND(list_max(list_transform(err, x -> abs(x))), 9) AS max_err
 FROM e
+"""
+
+
+# ---- Product quantization (PQ) ANN -----------------------------------
+#
+# The memory-compression scale path the vector family was missing: IVF
+# bounds WHICH vectors a query touches, PQ bounds the BYTES per touched
+# vector. A PQ-encoded corpus is n x _PQ_SUBS small codes (+ a
+# constant-size codebook) instead of n x dims doubles — the standard
+# ~dims*8/_PQ_SUBS compression (64-dim doubles -> 4 codes = 128x here,
+# 512 B -> 4 B/vector) that lets a 1000-executor cluster keep a 100 TB
+# corpus's search structure in memory. Codebooks are CONSTANT-SIZE by
+# construction (_PQ_SUBS x _PQ_CODES rows), so — unlike the k-means
+# k = n/256 centroid table that needed the two-level hierarchy — the
+# flat broadcast argmin here is linear in n forever.
+
+_PQ_SUBS = 4  # subspaces (m in the PQ literature)
+_PQ_CODES = 16  # codewords per subspace codebook
+
+
+def _pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv): each vector split into ``_PQ_SUBS`` contiguous
+    subvectors. Boundaries ``floor(s*d/m)`` handle dims not divisible by
+    m (requires dims >= _PQ_SUBS — pinned by the contract tests); a
+    narrow map-only projection, no exchange."""
+    d = F.size("v")
+    lo = F.floor((F.col("sub") - 1) * d / _PQ_SUBS)
+    hi = F.floor(F.col("sub") * d / _PQ_SUBS)
+    return emb.select(
+        "vec_id",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(_PQ_SUBS))).alias("sub"),
+    ).select(
+        "vec_id",
+        "sub",
+        F.slice("v", (lo + 1).cast("int"), (hi - lo).cast("int")).alias("sv"),
+    )
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, sub): broadcast the constant-size
+    codebook, rounded-distance argmin, code_id-asc tie-break — the same
+    tie discipline as every assignment in the engine, mirrored in the
+    oracle's a1/codes CTEs."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("_d").asc(), F.col("code_id").asc()
+    )
+    return (
+        sub.join(F.broadcast(cb), "sub")
+        .withColumn("_d", _dist_between(F.col("sv"), F.col("cw")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "sv", "code_id")
+    )
+
+
+def _pq_codebook_and_codes(
+    spark: SparkSession, emb: DataFrame
+) -> "tuple[DataFrame, DataFrame]":
+    """(cb1, codes): train the per-subspace codebooks (hash-stratified
+    seeds + one Lloyd refinement, the q_kmeans discipline applied per
+    subspace) and PQ-encode the corpus. Factored so the recall cell in
+    tools/scaling_audit.py measures the exact production build."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        hash_stratified_winners,
+    )
+
+    sub = _pq_subvectors(emb).localCheckpoint(eager=False)
+    k16 = spark.range(1).select(F.lit(_PQ_CODES).cast("bigint").alias("_k"))
+    # seed ids depend only on the vec_id hash, so the SAME _PQ_CODES
+    # vectors seed every subspace — one winner selection, not m
+    winners = hash_stratified_winners(emb.select("vec_id"), "vec_id", k16, "_k")
+    cb0 = sub.join(F.broadcast(winners), "vec_id").select(
+        "sub", F.col("vec_id").alias("code_id"), F.col("sv").alias("cw")
+    )
+    a1 = _pq_assign(sub, cb0)
+    d1 = (
+        a1.select("sub", "code_id", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("sub", "code_id", "pos")
+        .agg(F.avg("val").alias("cval"))
+    )
+    cb1 = (
+        d1.groupBy("sub", "code_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cw")
+        )
+        # consumed by the re-encode AND the query distance table
+        .localCheckpoint(eager=False)
+    )
+    codes = _pq_assign(sub, cb1).select("vec_id", "sub", "code_id")
+    return cb1, codes
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train _PQ_SUBS per-subspace codebooks
+    (hash-stratified seeds + one Lloyd round), PQ-encode the corpus,
+    then answer top-k by ASYMMETRIC DISTANCE COMPUTATION — the exact
+    query subvector against each codeword, so the corpus floats are
+    touched only at build time and the search scans CODES.
+
+    Execution shape: the per-(query, sub, code) distance table is
+    |Q| x _PQ_SUBS x _PQ_CODES rows — broadcast onto the code table, so
+    the scan side never shuffles; per-candidate distance is the
+    sub-ordered sequential fold of the four table lookups (deterministic
+    summation order, same discipline as _kmeans_recompute's sorted
+    collect). This is flat ADC — linear in n per query with ~128x less
+    data touched than brute force; composing it with the IVF router
+    (operators/similarity.py:ivf_topk) to scan only probed clusters'
+    codes is the standard IVF-PQ production pairing, and the recall/
+    compression trade is measured by ``tools/scaling_audit.py
+    --pq-cell``."""
+    from pyspark.sql import Window
+
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cb1, codes = _pq_codebook_and_codes(spark, emb)
+    qsub = _pq_subvectors(emb.filter(F.col("vec_id") % 100 == 0)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    dtab = qsub.join(F.broadcast(cb1), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        F.aggregate(
+            F.zip_with(F.col("qsv"), F.col("cw"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_d2"),
+    )
+    scored = codes.join(F.broadcast(dtab), ["sub", "code_id"]).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    agg = (
+        scored.groupBy("query_id", "vec_id")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("sub", "_d2"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["_d2"],
+                    )
+                ),
+                6,
+            ).alias("approx_dist")
+        )
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "approx_dist"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "approx_dist", "rank")
+    )
+
+
+_ORACLE_ANN_PQ = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sub AS (
+  SELECT vec_id, s AS sub,
+    v[CAST(FLOOR((s - 1) * len(v) / {_PQ_SUBS}.0) AS INT) + 1 :
+      CAST(FLOOR(s * len(v) / {_PQ_SUBS}.0) AS INT)] AS sv
+  FROM e, UNNEST(range(1, {_PQ_SUBS} + 1)) AS t(s)
+), w AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      PARTITION BY h % {_PQ_CODES} ORDER BY h, vec_id) AS rn
+    FROM (SELECT vec_id,
+      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM e) _h) _r
+  WHERE rn = 1
+), cb0 AS (
+  SELECT sub, vec_id AS code_id, sv AS cw FROM sub JOIN w USING (vec_id)
+), a1 AS (
+  SELECT vec_id, sub, sv, code_id FROM (
+    SELECT t.vec_id, t.sub, t.sv, c.code_id,
+      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+        ORDER BY {_km_dist_sql("t.sv", "c.cw")} ASC, c.code_id ASC) AS rn
+    FROM sub t JOIN cb0 c ON c.sub = t.sub) _r
+  WHERE rn = 1
+), d1 AS (
+  SELECT sub, code_id, i AS pos, AVG(sv[i]) AS cval
+  FROM a1, UNNEST(range(1, len(sv) + 1)) AS t(i)
+  GROUP BY 1, 2, 3
+), cb1 AS (
+  SELECT sub, code_id, list(cval ORDER BY pos) AS cw FROM d1 GROUP BY 1, 2
+), codes AS (
+  SELECT vec_id, sub, code_id FROM (
+    SELECT t.vec_id, t.sub, c.code_id,
+      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+        ORDER BY {_km_dist_sql("t.sv", "c.cw")} ASC, c.code_id ASC) AS rn
+    FROM sub t JOIN cb1 c ON c.sub = t.sub) _r
+  WHERE rn = 1
+), qsub AS (
+  SELECT vec_id AS query_id, sub, sv AS qsv FROM sub WHERE vec_id % 100 = 0
+), dtab AS (
+  SELECT q.query_id, c.sub, c.code_id,
+    list_sum(list_transform(range(1, len(qsv) + 1),
+      i -> (qsv[i] - cw[i]) * (qsv[i] - cw[i]))) AS d2
+  FROM qsub q JOIN cb1 c ON c.sub = q.sub
+), agg AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id,
+    ROUND(SQRT(list_sum(list(d.d2 ORDER BY d.sub))), 6) AS approx_dist
+  FROM codes k JOIN dtab d ON d.sub = k.sub AND d.code_id = k.code_id
+  WHERE d.query_id <> k.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM agg)
+WHERE rank <= {_K}
 """
 
 
@@ -2267,6 +2506,89 @@ WHERE rank <= {_KNN_K}
 """
 
 
+def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-GRAPH maintenance — the graph family's
+    delta-vs-standing shape (completing the incremental trio after
+    q_dedup_incremental's token screen and q_semdedup_incremental's
+    vector screen): when a delta batch (vec_id % 10 = 0) arrives, route
+    each new vector through the STANDING centroid table
+    (:func:`_incremental_standing_assigned` — the same materialized
+    state the semantic screen consumes) and score it ONLY against its
+    routed cluster's standing members, emitting the new vector's
+    top-``_KNN_K`` edges. The standing corpus is never re-paired — the
+    nightly graph append costs |batch| x avg-cluster-size instead of
+    the full rebuild's per-cluster pair spaces.
+
+    The delta is the small side by design: broadcast it onto the
+    standing assignment so the corpus never shuffles for an append.
+    (Reverse-edge maintenance — whether a standing vector should adopt
+    a NEW vector into its own top-k — is the same candidate set mirrored,
+    a second window over these exact hits; emitting the forward edges is
+    the oracle-checkable core.)"""
+    from pyspark.sql import Window
+
+    batch_assigned, assigned = _incremental_standing_assigned(spark, sf_dir)
+    s = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("_vs"),
+        F.col("_n").alias("_ns"),
+    )
+    hits = (
+        F.broadcast(batch_assigned)
+        .join(s, "centroid_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("v"), F.col("_vs"), F.col("_n"), F.col("_ns")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("vec_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+_ORACLE_KNN_GRAPH_INCREMENTAL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  -- standing corpus (everything but the delta batch)
+  SELECT vec_id, v FROM e0 WHERE vec_id % 10 <> 0
+), eb AS (
+  -- the delta batch
+  SELECT vec_id, v FROM e0 WHERE vec_id % 10 = 0
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
+), {_hier_assign_sql("c1", "a2", "h2")},
+{_hier_assign_sql("c1", "ba", "b1", "eb")}, cand AS (
+  -- delta vector vs its routed cluster's standing members
+  SELECT b.vec_id, s.vec_id AS neighbor_id, b.v AS qv, s.v AS cv
+  FROM ba b JOIN a2 s ON s.centroid_id = b.centroid_id
+), scored AS (
+  SELECT vec_id, neighbor_id, {_COS_SQL} AS cos_sim FROM cand
+)
+SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {_KNN_K}
+"""
+
+
 _CORESET_M = 5  # representatives kept per cluster
 
 
@@ -2327,9 +2649,21 @@ QUERIES = [
         "kNN graphs, bounded per-shard centroid state)",
     ),
     QuerySpec(
+        "q_knn_graph_incremental", q_knn_graph_incremental,
+        _ORACLE_KNN_GRAPH_INCREMENTAL,
+        "ext:similarity (incremental graph append: delta routed through "
+        "the standing centroids, edges vs routed cluster only; "
+        "per-ingest cost scales with the delta)",
+    ),
+    QuerySpec(
         "q_embedding_quantize", q_embedding_quantize,
         _ORACLE_EMBEDDING_QUANTIZE,
         "ext:similarity (int8 scalar quantization manifest)",
+    ),
+    QuerySpec(
+        "q_ann_pq", q_ann_pq, _ORACLE_ANN_PQ,
+        "ext:similarity (product-quantization ADC top-k: constant-size "
+        "per-subspace codebooks, search scans codes not floats)",
     ),
     QuerySpec("q_ann_ivf", q_ann_ivf, _ORACLE_ANN_IVF, "ext:similarity IVF"),
     QuerySpec(
