@@ -2158,6 +2158,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsub = _pq_subvectors(emb.filter(F.col("vec_id") % 100 == 0)).select(
         F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
     )
+    return _pq_adc_topk(cb1, codes, qsub, _K)
+
+
+def _pq_adc_topk(
+    cb1: DataFrame, codes: DataFrame, qsub: DataFrame, k: int
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus: per-(query, sub, code)
+    distance table broadcast onto the code table, sub-ordered
+    sequential-fold sum, per-query rank. Factored so the
+    ``--pq-cell`` shortlist-recall measurement scores the exact
+    production plan at a different k."""
+    from pyspark.sql import Window
+
     dtab = qsub.join(F.broadcast(cb1), "sub").select(
         "query_id",
         "sub",
@@ -2194,7 +2207,7 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
 

@@ -60,6 +60,13 @@ QUERIES = [
     "q_audio_coreset",
     "q_knn_graph_sharded",
     "q_ann_ivf_incremental",
+    # late round-14 additions: PQ (per-subspace Lloyd + ADC fold must
+    # agree under ANSI/non-UTC), the incremental graph append (shares
+    # the standing-state stages with q_semdedup_incremental), and the
+    # interpolated-LM ln() parity
+    "q_ann_pq",
+    "q_knn_graph_incremental",
+    "q_bigram_logprob",
 ]
 
 

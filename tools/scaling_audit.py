@@ -894,6 +894,97 @@ def run_knn_shard_cell(spark):
     return 0 if ok else 1
 
 
+def run_pq_cell(spark):
+    """The memory-compression cell for q_ann_pq: on the structured 40k
+    corpus, measure (a) the bytes a query must scan — PQ codes + the
+    constant codebook vs the raw float corpus (the 100 TB story: the
+    search structure fits in memory), (b) ADC top-k recall vs exact
+    brute force, and (c) the SHORTLIST recall that matters in
+    production — PQ is the filter stage of a filter-then-rerank
+    pipeline, so 'true top-5 inside the ADC top-100 shortlist' is the
+    quality bar (rerank on 100 floats/query is free); the top-5-vs-
+    top-5 number is reported for honesty but quantization at 4x16
+    codes cannot and need not win it."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries import (
+        vector_queries as vq,
+    )
+
+    n, dims, k, shortlist = 40_000, 32, 5, 100
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dims - 1}), i -> "
+            "CASE WHEN i = CAST(id % 32 AS INT) THEN 4.0 ELSE 0.0 END"
+            " + sin(cast(id * (i + 3) as double)))"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") % 1000 == 0).localCheckpoint(
+        eager=True
+    )
+
+    def topk_sets(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    t0 = time.perf_counter()
+    truth = topk_sets(
+        brute_force_topk(
+            emb.withColumnRenamed("v", "embedding"),
+            queries.withColumnRenamed("v", "embedding"),
+            k=k,
+        ).collect()
+    )
+    t_brute = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cb1, codes = vq._pq_codebook_and_codes(spark, emb)
+    qsub = vq._pq_subvectors(queries).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    short_rows = vq._pq_adc_topk(cb1, codes, qsub, shortlist).collect()
+    t_pq = time.perf_counter() - t0
+    short = topk_sets(short_rows)
+    top5 = topk_sets([r for r in short_rows if r["rank"] <= k])
+
+    def recall(got):
+        return sum(
+            len(got.get(q, set()) & tset) / len(tset)
+            for q, tset in truth.items()
+        ) / len(truth)
+
+    r5, rshort = recall(top5), recall(short)
+
+    raw_bytes = n * dims * 8
+    # 1 byte/code at <=256 codewords; the codebook is constant-size
+    cb_rows = cb1.count()
+    pq_bytes = n * vq._PQ_SUBS + cb_rows * (dims // vq._PQ_SUBS) * 8
+    ratio = raw_bytes / pq_bytes
+
+    print(f"corpus: {n} vectors, dims={dims}; {len(truth)} queries; "
+          f"{vq._PQ_SUBS} subspaces x {vq._PQ_CODES} codes")
+    print(f"scan bytes: raw {raw_bytes:,} -> pq {pq_bytes:,} "
+          f"(codes {n * vq._PQ_SUBS:,} + codebook "
+          f"{cb_rows * (dims // vq._PQ_SUBS) * 8:,}) = {ratio:.0f}x "
+          f"compression")
+    print(f"brute force: {t_brute:.1f}s; pq build+adc: {t_pq:.1f}s")
+    print(f"adc top-{k} recall@{k}={r5:.3f} (reported; quantized "
+          f"filter, not the product)")
+    print(f"shortlist@{shortlist} recall of true top-{k}={rshort:.3f} "
+          f"(the filter-then-rerank bar)")
+    ok = rshort >= 0.85 and ratio >= 32
+    print(f"pins hold (shortlist >= 0.85, compression >= 32x): {ok}")
+    return 0 if ok else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -932,6 +1023,9 @@ def main() -> int:
     ap.add_argument("--shard-cell-knn", action="store_true",
                     help="semantic-vs-hash shard-key edge-retention "
                          "cell for q_knn_graph_sharded")
+    ap.add_argument("--pq-cell", action="store_true",
+                    help="compression + shortlist-recall cell for "
+                         "q_ann_pq (filter-then-rerank quality bar)")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
@@ -959,6 +1053,9 @@ def main() -> int:
 
     if args.shard_cell_knn:
         return run_knn_shard_cell(spark)
+
+    if args.pq_cell:
+        return run_pq_cell(spark)
 
     if args.third_step:
         rows, flagged, errors = run_third_step(spark, args.threshold)
