@@ -19,6 +19,7 @@ from gcp_healthcare_data_pipeline_spark.functions.vectors import (
 from gcp_healthcare_data_pipeline_spark.operators.similarity import (
     IVF_TARGET_CLUSTER_FLOATS,
     brute_force_topk,
+    ivf_index,
     ivf_topk,
     lsh_bucket_topk,
 )
@@ -2212,21 +2213,23 @@ def _pq_adc_topk(
     )
 
 
-_ORACLE_ANN_PQ = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), sub AS (
+def _pq_build_sql(corpus: str = "e") -> str:
+    """DuckDB twin of :func:`_pq_codebook_and_codes` over a corpus CTE
+    ``corpus`` (vec_id, v): emits sub / w / cb0 / a1 / d1 / cb1 / codes.
+    ONE definition shared by the q_ann_pq and q_ann_ivfpq oracles so
+    the codebook build can never drift between them."""
+    return f"""sub AS (
   SELECT vec_id, s AS sub,
     v[CAST(FLOOR((s - 1) * len(v) / {_PQ_SUBS}.0) AS INT) + 1 :
       CAST(FLOOR(s * len(v) / {_PQ_SUBS}.0) AS INT)] AS sv
-  FROM e, UNNEST(range(1, {_PQ_SUBS} + 1)) AS t(s)
+  FROM {corpus}, UNNEST(range(1, {_PQ_SUBS} + 1)) AS t(s)
 ), w AS (
   SELECT vec_id FROM (
     SELECT vec_id, ROW_NUMBER() OVER (
       PARTITION BY h % {_PQ_CODES} ORDER BY h, vec_id) AS rn
     FROM (SELECT vec_id,
       ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
-      FROM e) _h) _r
+      FROM {corpus}) _h) _r
   WHERE rn = 1
 ), cb0 AS (
   SELECT sub, vec_id AS code_id, sv AS cw FROM sub JOIN w USING (vec_id)
@@ -2250,7 +2253,13 @@ WITH e AS (
         ORDER BY {_km_dist_sql("t.sv", "c.cw")} ASC, c.code_id ASC) AS rn
     FROM sub t JOIN cb1 c ON c.sub = t.sub) _r
   WHERE rn = 1
-), qsub AS (
+)"""
+
+
+_ORACLE_ANN_PQ = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {_pq_build_sql()}, qsub AS (
   SELECT vec_id AS query_id, sub, sv AS qsv FROM sub WHERE vec_id % 100 = 0
 ), dtab AS (
   SELECT q.query_id, c.sub, c.code_id,
@@ -2268,6 +2277,172 @@ SELECT query_id, neighbor_id, approx_dist, CAST(rank AS INT) AS rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
     ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
+  FROM agg)
+WHERE rank <= {_K}
+"""
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN pairing at 100 TB, composing the two
+    standing structures this family already maintains: the IVF coarse
+    quantizer bounds WHICH vectors a query touches (probed clusters
+    only — the exact q_ann_ivf index build: dim-aware seed mod, Lloyd
+    round, hierarchical two-level routing), and the PQ codebooks bound
+    the BYTES per touched vector (the exact q_ann_pq build: the
+    candidate scan reads _PQ_SUBS codes, not dims doubles). Candidates
+    are ranked by ADC approximate COSINE — per-subspace dot products
+    and codeword norms are table lookups from the broadcast
+    |Q| x _PQ_SUBS x _PQ_CODES distance table, folded in sub order
+    (deterministic summation), normalized by the exact query norm and
+    the quantized candidate norm.
+
+    Execution shape: probed-cluster candidate set (never the corpus) ⋈
+    code table ⋈ broadcast lookup table — the corpus floats are touched
+    only at the two build stages; search shuffles nothing wider than
+    (query_id, neighbor_id, 4 doubles)."""
+    from pyspark.sql import Window
+
+    raw = load_tables(spark, sf_dir, "embeddings")
+    emb = raw.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
+        eager=False
+    )
+    supers, cmap, inv, assign = ivf_index(
+        raw, centroid_mod=None, lloyd_iters=1
+    )
+    cb1, codes = _pq_codebook_and_codes(spark, emb)
+    queries = raw.filter(F.col("vec_id") % 100 == 0)
+    q = assign(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("_qv"),
+        ).withColumn("_qn", norm(F.col("_qv"))),
+        "_qv", "_qn", 4, supers, cmap, super_keep=2,
+    )
+    cand = (
+        F.broadcast(q.select("query_id", "centroid_id", "_qn"))
+        .join(inv.select("neighbor_id", "centroid_id"), "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qn")
+    )
+    qsub = _pq_subvectors(
+        queries.select("vec_id", as_double("embedding").alias("v"))
+    ).select(F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv"))
+    dtab = qsub.join(F.broadcast(cb1), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        F.aggregate(
+            F.zip_with(F.col("qsv"), F.col("cw"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_dot"),
+        F.aggregate(
+            F.zip_with(F.col("cw"), F.col("cw"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_cn2"),
+    )
+    scored = cand.join(
+        codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(F.broadcast(dtab), ["query_id", "sub", "code_id"])
+    agg = (
+        scored.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("_qn").alias("_qn"),
+            F.array_sort(
+                F.collect_list(F.struct("sub", "_dot", "_cn2"))
+            ).alias("_arr"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.col("_arr"), F.lit(0.0), lambda acc, s: acc + s["_dot"]
+                )
+                / (
+                    F.col("_qn")
+                    * F.sqrt(
+                        F.aggregate(
+                            F.col("_arr"),
+                            F.lit(0.0),
+                            lambda acc, s: acc + s["_cn2"],
+                        )
+                    )
+                ),
+                6,
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "approx_cos", "rank")
+    )
+
+
+_ORACLE_ANN_IVFPQ = f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), {_ivf_build_sql(_IVF_ADAPTIVE_MOD_SQL)}, e AS (
+  SELECT neighbor_id AS vec_id, cv AS v FROM c
+), {_pq_build_sql()}, q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), q_sup AS (
+  -- query-side coarse multi-probe: 2 supers (super_keep=2 in Spark)
+  SELECT query_id, super_id FROM (
+    SELECT q.query_id, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {_cosr_sql("q.qv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM q CROSS JOIN h2sup s) _r WHERE rn <= 2
+), q_assign AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT qs.query_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+        ORDER BY {_cosr_sql("q.qv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM q_sup qs
+    JOIN q ON q.query_id = qs.query_id
+    JOIN h2cmap m ON m.super_id = qs.super_id
+  ) _r WHERE rnk <= 4
+), qsub AS (
+  SELECT vec_id AS query_id, sub, sv AS qsv
+  FROM sub WHERE vec_id % 100 = 0
+), dtab AS (
+  SELECT qs.query_id, cb.sub, cb.code_id,
+    list_sum(list_transform(range(1, len(qsv) + 1),
+      i -> qsv[i] * cw[i])) AS dot,
+    list_sum(list_transform(range(1, len(cw) + 1),
+      i -> cw[i] * cw[i])) AS cn2
+  FROM qsub qs JOIN cb1 cb ON cb.sub = qs.sub
+), cand AS (
+  SELECT qa.query_id, ca.neighbor_id
+  FROM q_assign qa JOIN c_assign ca ON ca.centroid_id = qa.centroid_id
+  WHERE qa.query_id <> ca.neighbor_id
+), qn AS (
+  SELECT query_id, SQRT(list_sum(list_transform(range(1, len(qv) + 1),
+    i -> qv[i] * qv[i]))) AS qnorm FROM q
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id, d.sub, d.dot, d.cn2
+  FROM cand
+  JOIN codes k ON k.vec_id = cand.neighbor_id
+  JOIN dtab d ON d.sub = k.sub AND d.code_id = k.code_id
+             AND d.query_id = cand.query_id
+), agg AS (
+  SELECT s.query_id, s.neighbor_id,
+    ROUND(list_sum(list(s.dot ORDER BY s.sub))
+          / (qn.qnorm * SQRT(list_sum(list(s.cn2 ORDER BY s.sub)))), 6)
+      AS approx_cos
+  FROM scored s JOIN qn ON qn.query_id = s.query_id
+  GROUP BY 1, 2, qn.qnorm
+)
+SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY approx_cos DESC, neighbor_id ASC) AS rank
   FROM agg)
 WHERE rank <= {_K}
 """
@@ -2368,10 +2543,13 @@ def _knn_graph_block(emb: DataFrame) -> DataFrame:
     )
 
 
-_ORACLE_KNN_GRAPH = f"""
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
+def _knn_graph_sql_chain() -> str:
+    """DuckDB twin of :func:`_knn_graph_block` as a CTE chain over the
+    corpus CTE ``e`` (vec_id, v): seeds, one Lloyd round, hierarchical
+    re-assignment, within-cluster pairs, final ``graph`` CTE
+    (vec_id, rank, neighbor_id, cos_sim; rank <= _KNN_K). ONE
+    definition shared by the q_knn_graph and q_label_denoise oracles."""
+    return f"""{_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
   SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
   FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
   GROUP BY 1, 2
@@ -2382,15 +2560,23 @@ WITH e AS (
          a.v AS qv, b.v AS cv
   FROM a2 a JOIN a2 b
     ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
-), scored AS (
+), gscored AS (
   SELECT src, neighbor_id, {_COS_SQL} AS cos_sim FROM pairs
-)
-SELECT src AS vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-  FROM scored)
-WHERE rank <= {_KNN_K}
+), graph AS (
+  SELECT src AS vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+      ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM gscored)
+  WHERE rank <= {_KNN_K}
+)"""
+
+
+_ORACLE_KNN_GRAPH = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {_knn_graph_sql_chain()}
+SELECT vec_id, rank, neighbor_id, cos_sim FROM graph
 """
 
 
@@ -2602,6 +2788,97 @@ WHERE rank <= {_KNN_K}
 """
 
 
+def q_label_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph label denoising — the label-quality pass a training-data
+    pipeline runs over weak/heuristic labels (Confident-Learning-style,
+    graph-vote flavor): each vector's predicted label is the majority
+    vote of its top-``_KNN_K`` graph neighbors (tie-break: higher vote
+    count, then smaller label — deterministic), and a disagreement flag
+    marks candidates for relabeling/exclusion. Consumes the SAME
+    cluster-blocked graph q_knn_graph builds (:func:`_knn_graph_block`),
+    so the pair space stays per-cluster-bounded at any scale; the label
+    join is a plain equi-join on neighbor_id (labels are corpus-sized —
+    never broadcast), and the vote is one (vec_id, label) groupBy."""
+    from pyspark.sql import Window
+
+    raw = load_tables(spark, sf_dir, "embeddings")
+    emb = raw.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
+        eager=False
+    )
+    labels = raw.select("vec_id", "label")
+    graph = _knn_graph_block(emb)
+    votes = (
+        graph.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .join(labels, "vec_id")
+        .localCheckpoint(eager=False)  # consumed by tally AND agree
+    )
+    tally = votes.groupBy("vec_id", "nlabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel").asc()
+    )
+    pred = (
+        tally.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("nlabel").alias("predicted_label"))
+    )
+    agree = votes.groupBy("vec_id").agg(
+        F.first("label").alias("label"),
+        F.count(F.lit(1)).alias("n_neighbors"),
+        F.sum((F.col("nlabel") == F.col("label")).cast("bigint")).alias(
+            "n_agree"
+        ),
+    )
+    return agree.join(pred, "vec_id").select(
+        "vec_id",
+        "label",
+        "predicted_label",
+        "n_neighbors",
+        "n_agree",
+        (F.col("predicted_label") != F.col("label")).cast("int").alias(
+            "is_relabel"
+        ),
+    )
+
+
+_ORACLE_LABEL_DENOISE = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM e0
+), {_knn_graph_sql_chain()}, votes AS (
+  SELECT g.vec_id, own.label, nb.label AS nlabel
+  FROM graph g
+  JOIN e0 nb ON nb.vec_id = g.neighbor_id
+  JOIN e0 own ON own.vec_id = g.vec_id
+), tally AS (
+  SELECT vec_id, nlabel, COUNT(*) AS n_votes FROM votes GROUP BY 1, 2
+), pred AS (
+  SELECT vec_id, nlabel AS predicted_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY n_votes DESC, nlabel ASC) AS rn
+    FROM tally) _r
+  WHERE rn = 1
+), agree AS (
+  SELECT vec_id, MIN(label) AS label,
+    CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+    CAST(SUM(CASE WHEN nlabel = label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_agree
+  FROM votes GROUP BY 1
+)
+SELECT a.vec_id, a.label, p.predicted_label, a.n_neighbors, a.n_agree,
+  CAST(p.predicted_label <> a.label AS INT) AS is_relabel
+FROM agree a JOIN pred p ON p.vec_id = a.vec_id
+"""
+
+
 _CORESET_M = 5  # representatives kept per cluster
 
 
@@ -2669,6 +2946,11 @@ QUERIES = [
         "per-ingest cost scales with the delta)",
     ),
     QuerySpec(
+        "q_label_denoise", q_label_denoise, _ORACLE_LABEL_DENOISE,
+        "ext:training (kNN-graph majority-vote label denoising over the "
+        "cluster-blocked graph)",
+    ),
+    QuerySpec(
         "q_embedding_quantize", q_embedding_quantize,
         _ORACLE_EMBEDDING_QUANTIZE,
         "ext:similarity (int8 scalar quantization manifest)",
@@ -2677,6 +2959,11 @@ QUERIES = [
         "q_ann_pq", q_ann_pq, _ORACLE_ANN_PQ,
         "ext:similarity (product-quantization ADC top-k: constant-size "
         "per-subspace codebooks, search scans codes not floats)",
+    ),
+    QuerySpec(
+        "q_ann_ivfpq", q_ann_ivfpq, _ORACLE_ANN_IVFPQ,
+        "ext:similarity (IVF-PQ: probed-cluster candidates scanned as "
+        "PQ codes via ADC cosine — the production pairing)",
     ),
     QuerySpec("q_ann_ivf", q_ann_ivf, _ORACLE_ANN_IVF, "ext:similarity IVF"),
     QuerySpec(

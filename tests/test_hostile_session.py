@@ -67,6 +67,8 @@ QUERIES = [
     "q_ann_pq",
     "q_knn_graph_incremental",
     "q_bigram_logprob",
+    "q_ann_ivfpq",
+    "q_label_denoise",
 ]
 
 

@@ -226,3 +226,73 @@ def test_bigram_logprob_orders_structured_above_shuffled(spark, tmp_path):
     assert out[0].n_seen_bigrams == 5  # every bigram repeats 5x
     assert out[100].n_seen_bigrams == 0  # shuffled order: none repeat
     assert out[0].avg_logprob > out[100].avg_logprob
+
+# ---- IVF-PQ composition ----------------------------------------------------
+
+
+def test_ivfpq_rank_one_is_same_direction(spark, tmp_path):
+    """On orthogonal direction clusters, ADC cosine to a same-direction
+    copy is ~1 and to any other direction ~0 — rank 1 must stay within
+    the query's own direction group, and output is capped at 5/query."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        q_ann_ivfpq,
+    )
+
+    dims, copies = 8, 3
+    rows = []
+    groups = {}
+    for base, direction in ((0, 0), (100, 1), (200, 2), (300, 3)):
+        ids = [base + c for c in range(copies)]
+        groups[base] = set(ids)
+        for vid in ids:
+            v = [0.0] * dims
+            v[direction] = 4.0
+            rows.append((vid, v))
+    d = _write_emb(spark, tmp_path, rows)
+    out = q_ann_ivfpq(spark, d).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == {0, 100, 200, 300}
+    for qid, rs in per_q.items():
+        assert len(rs) <= 5
+        top = min(rs, key=lambda r: r.rank)
+        assert top.neighbor_id in groups[qid] - {qid}, (
+            f"query {qid} rank-1 left its direction group: {top}"
+        )
+
+
+# ---- label denoising -------------------------------------------------------
+
+
+def test_label_denoise_flags_the_flipped_label(spark, tmp_path):
+    """Two orthogonal groups with direction-consistent labels, one
+    vector mislabeled: only the flipped vector is flagged, its
+    predicted label is the group majority, and agreement counts see
+    the flipped neighbor."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        q_label_denoise,
+    )
+
+    dims, per_group = 8, 6
+    rows = []
+    for g in range(2):
+        for c in range(per_group):
+            v = [0.0] * dims
+            v[g] = 4.0
+            vid = g * per_group + c
+            label = g if not (g == 0 and c == 0) else 1  # flip vec 0
+            rows.append((vid, v, label))
+    d = str(tmp_path / "sfl")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    out = {r.vec_id: r for r in q_label_denoise(spark, d).collect()}
+    assert len(out) == 2 * per_group
+    assert out[0].is_relabel == 1
+    assert out[0].predicted_label == 0  # the group majority
+    assert out[0].n_agree == 0  # no neighbor carries the flipped label
+    for vid, r in out.items():
+        if vid == 0:
+            continue
+        assert r.is_relabel == 0, f"clean vector {vid} flagged: {r}"
