@@ -2788,6 +2788,163 @@ WHERE rank <= {_KNN_K}
 """
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every vector,
+    the top-``_KNN_K`` most-similar vectors carrying a DIFFERENT label
+    — the semantically-close-but-differently-labeled examples a
+    contrastive or metric-learning objective needs (random negatives
+    are trivially easy; the hard ones live nearby in embedding space,
+    which is exactly why the CLUSTER-BLOCKED candidate space is the
+    right one, not just the cheap one: same k-means blocking as
+    q_knn_graph, pair space per-cluster-bounded at any scale, and by
+    construction the block holds the nearest candidates)."""
+    from pyspark.sql import Window
+
+    raw = load_tables(spark, sf_dir, "embeddings")
+    emb = raw.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
+        eager=False
+    )
+    labels = raw.select("vec_id", "label")
+    centroids = _kmeans_recompute(_kmeans_assign(emb, _seed_centroids(emb)))
+    assigned = (
+        _kmeans_assign(emb, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+        .join(labels, "vec_id")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("src_label"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    scored = (
+        a.join(b, ["centroid_id"])
+        .filter(
+            (F.col("src") != F.col("neighbor_id"))
+            & (F.col("src_label") != F.col("neg_label"))
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            "rank",
+            "neighbor_id",
+            "neg_label",
+            "cos_sim",
+        )
+    )
+
+
+_ORACLE_HARD_NEGATIVES = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), e AS (
+  SELECT vec_id, v FROM e0
+), {_knn_graph_sql_chain()}, npairs AS (
+  -- within-cluster different-label pairs (the graph CTE above goes
+  -- unreferenced and is pruned; only the shared a2 assignment is used)
+  SELECT a.vec_id AS src, b.vec_id AS neighbor_id,
+         lb.label AS neg_label, a.v AS qv, b.v AS cv
+  FROM a2 a
+  JOIN a2 b ON a.centroid_id = b.centroid_id AND a.vec_id != b.vec_id
+  JOIN e0 la ON la.vec_id = a.vec_id
+  JOIN e0 lb ON lb.vec_id = b.vec_id
+  WHERE la.label <> lb.label
+), nscored AS (
+  SELECT src, neighbor_id, neg_label, {_COS_SQL} AS cos_sim FROM npairs
+)
+SELECT src AS vec_id, CAST(rank AS INT) AS rank, neighbor_id, neg_label,
+       cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM nscored)
+WHERE rank <= {_KNN_K}
+"""
+
+
+def q_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ encoding — the PQ family's maintenance shape
+    (completing the incremental set: token screen, semantic screen,
+    graph append, IVF append, and now code append): the STANDING
+    corpus (vec_id % 10 <> 0) trains the codebooks once; each delta
+    vector is encoded against that FROZEN codebook — one constant-size
+    broadcast argmin per subspace, so per-ingest cost is
+    |batch| x _PQ_SUBS x _PQ_CODES folds and the corpus is never
+    re-read. Emits the delta's code rows with the per-subspace
+    quantization distance (the drift signal: a rising qdist
+    distribution tells the pipeline the frozen codebook no longer fits
+    the incoming data and a re-train epoch is due)."""
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    is_batch = F.col("vec_id") % 10 == 0
+    corpus = emb.filter(~is_batch)
+    batch = emb.filter(is_batch)
+    cb1, _codes = _pq_codebook_and_codes(spark, corpus)
+    bsub = _pq_subvectors(batch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("_d").asc(), F.col("code_id").asc()
+    )
+    return (
+        bsub.join(F.broadcast(cb1), "sub")
+        .withColumn("_d", _dist_between(F.col("sv"), F.col("cw")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "sub", "code_id", F.col("_d").alias("qdist"))
+    )
+
+
+_ORACLE_PQ_INCREMENTAL = f"""
+WITH e0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  -- standing corpus trains the codebook
+  SELECT vec_id, v FROM e0 WHERE vec_id % 10 <> 0
+), {_pq_build_sql()}, bsub AS (
+  -- the delta batch, split into the same subspaces
+  SELECT vec_id, s AS sub,
+    v[CAST(FLOOR((s - 1) * len(v) / {_PQ_SUBS}.0) AS INT) + 1 :
+      CAST(FLOOR(s * len(v) / {_PQ_SUBS}.0) AS INT)] AS sv
+  FROM e0, UNNEST(range(1, {_PQ_SUBS} + 1)) AS t(s)
+  WHERE vec_id % 10 = 0
+)
+SELECT vec_id, sub, code_id, qdist FROM (
+  SELECT t.vec_id, t.sub, c.code_id,
+    {_km_dist_sql("t.sv", "c.cw")} AS qdist,
+    ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+      ORDER BY {_km_dist_sql("t.sv", "c.cw")} ASC, c.code_id ASC) AS rn
+  FROM bsub t JOIN cb1 c ON c.sub = t.sub) _r
+WHERE rn = 1
+"""
+
+
 def q_label_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-graph label denoising — the label-quality pass a training-data
     pipeline runs over weak/heuristic labels (Confident-Learning-style,
@@ -2949,6 +3106,16 @@ QUERIES = [
         "q_label_denoise", q_label_denoise, _ORACLE_LABEL_DENOISE,
         "ext:training (kNN-graph majority-vote label denoising over the "
         "cluster-blocked graph)",
+    ),
+    QuerySpec(
+        "q_hard_negatives", q_hard_negatives, _ORACLE_HARD_NEGATIVES,
+        "ext:training (contrastive hard-negative mining: top-k "
+        "different-label neighbors within the k-means block)",
+    ),
+    QuerySpec(
+        "q_pq_incremental", q_pq_incremental, _ORACLE_PQ_INCREMENTAL,
+        "ext:similarity (incremental PQ encoding: delta coded against "
+        "the frozen standing codebook, per-subspace drift distance)",
     ),
     QuerySpec(
         "q_embedding_quantize", q_embedding_quantize,

@@ -69,6 +69,8 @@ QUERIES = [
     "q_bigram_logprob",
     "q_ann_ivfpq",
     "q_label_denoise",
+    "q_hard_negatives",
+    "q_pq_incremental",
 ]
 
 

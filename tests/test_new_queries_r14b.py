@@ -296,3 +296,82 @@ def test_label_denoise_flags_the_flipped_label(spark, tmp_path):
         if vid == 0:
             continue
         assert r.is_relabel == 0, f"clean vector {vid} flagged: {r}"
+
+# ---- hard negatives & incremental PQ --------------------------------------
+
+
+def test_hard_negatives_finds_mixed_label_neighbors(spark, tmp_path):
+    """One direction cluster with alternating labels: every vector's
+    hard negatives are the other-label members (cos 1.0), top-K by
+    lowest neighbor id; a pure-label corpus yields no rows."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        q_hard_negatives,
+    )
+
+    dims, n = 8, 8
+    rows = []
+    for vid in range(n):
+        v = [0.0] * dims
+        v[0] = 4.0
+        rows.append((vid, v, vid % 2))  # labels alternate 0/1
+    d = str(tmp_path / "sfh")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(d + "/embeddings.parquet")
+    out = {}
+    for r in q_hard_negatives(spark, d).collect():
+        out.setdefault(r.vec_id, []).append(r)
+    assert set(out) == set(range(n))
+    for vid, rs in out.items():
+        assert len(rs) == 3  # _KNN_K other-label members exist
+        expect = [i for i in range(n) if i % 2 != vid % 2][:3]
+        got = [r.neighbor_id for r in sorted(rs, key=lambda r: r.rank)]
+        assert got == expect, f"vec {vid}: {got} != {expect}"
+        assert all(r.cos_sim == 1.0 for r in rs)
+        assert all(r.neg_label != vid % 2 for r in rs)
+
+
+def test_pq_incremental_codes_come_from_standing_codebook(spark, tmp_path):
+    """Delta rows = |delta| x _PQ_SUBS; every code_id is a STANDING
+    corpus id (the codebook was trained without the delta); qdist >= 0;
+    and a delta vector that exactly copies a standing vector gets that
+    vector's standing code tuple."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _pq_codebook_and_codes,
+        q_pq_incremental,
+    )
+    from pyspark.sql import functions as F
+
+    dims = 8
+    rows = []
+    vid = 1
+    for direction in range(4):
+        for _ in range(4):
+            v = [0.0] * dims
+            v[direction] = 4.0
+            rows.append((vid, v))
+            vid += 1
+            if vid % 10 == 0:
+                vid += 1
+    v0 = [0.0] * dims
+    v0[0] = 4.0
+    rows.append((10, v0))  # delta copy of standing direction 0
+    d = _write_emb(spark, tmp_path, rows)
+    out = q_pq_incremental(spark, d).collect()
+    delta_ids = {r.vec_id for r in out}
+    assert delta_ids == {10}
+    assert len(out) == 1 * 4  # _PQ_SUBS rows
+    assert all(r.code_id % 10 != 0 for r in out)
+    assert all(r.qdist >= 0.0 for r in out)
+    # the standing twin (vec 1, same vector) must carry the same codes
+    emb = (
+        spark.read.parquet(d + "/embeddings.parquet")
+        .filter(F.col("vec_id") % 10 != 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    _cb, codes = _pq_codebook_and_codes(spark, emb)
+    standing = {
+        r.sub: r.code_id for r in codes.filter("vec_id = 1").collect()
+    }
+    got = {r.sub: r.code_id for r in out}
+    assert got == standing
