@@ -135,6 +135,22 @@ def _candidate_probes():
             survivors.select("centroid_id"), "centroid_id"
         ).count()
 
+    def graph_append_pairs(spark, sf_dir):
+        # the incremental graph append's candidate space: batch vector
+        # x its routed cluster's standing MEMBERS (the superset of the
+        # semantic screen's survivor space) — counted through the same
+        # helper q_knn_graph_incremental plans from
+        from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+            _incremental_standing_assigned,
+        )
+
+        batch_assigned, assigned = _incremental_standing_assigned(
+            spark, sf_dir
+        )
+        return batch_assigned.join(
+            assigned.select("centroid_id"), "centroid_id"
+        ).count()
+
     def n_emb(spark, sf_dir):
         return load_tables(spark, sf_dir, "embeddings").count()
 
@@ -186,6 +202,9 @@ def _candidate_probes():
         ),
         "semdedup_delta_screen": (
             semdedup_delta_pairs, n_emb, "q_semdedup_incremental",
+        ),
+        "graph_append_screen": (
+            graph_append_pairs, n_emb, "q_knn_graph_incremental",
         ),
     }
 
