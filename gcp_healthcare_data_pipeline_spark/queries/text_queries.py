@@ -1169,10 +1169,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u1 = vocab.select(F.col("tok").alias("w1"), F.col("ucnt").alias("c1"))
     u2 = vocab.select(F.col("tok").alias("w2"), F.col("ucnt").alias("c2"))
+    # the bigram term is trusted ONLY when w1 is inside the capped vocab:
+    # there c1 is the TRUE corpus count, so c(w1 w2) <= c(w1) guarantees
+    # p <= 1. Flooring a filtered-out c1 to 1 instead would yield
+    # probabilities > 1 (positive logs) for exactly the repetitive
+    # rare-token spam the gate exists to reject — found by review, and
+    # invisible to the oracle sweep because the oracle mirrored the bug.
     lp = F.log(
-        F.lit(0.75)
-        * F.coalesce(F.col("bcnt"), F.lit(0)).cast("double")
-        / F.coalesce(F.col("c1"), F.lit(1)).cast("double")
+        F.when(
+            F.col("c1").isNotNull(),
+            F.lit(0.75)
+            * F.coalesce(F.col("bcnt"), F.lit(0)).cast("double")
+            / F.col("c1").cast("double"),
+        ).otherwise(F.lit(0.0))
         + F.lit(0.25)
         * F.coalesce(F.col("c2"), F.lit(1)).cast("double")
         / F.col("n_total")
@@ -1215,8 +1224,10 @@ WITH d AS (
 ), scored AS (
   SELECT b.doc_id,
     CASE WHEN bc.bcnt IS NOT NULL THEN 1 ELSE 0 END AS seen,
-    ln(0.75 * CAST(COALESCE(bc.bcnt, 0) AS DOUBLE)
-         / CAST(COALESCE(v1.ucnt, 1) AS DOUBLE)
+    ln(CASE WHEN v1.ucnt IS NOT NULL
+            THEN 0.75 * CAST(COALESCE(bc.bcnt, 0) AS DOUBLE)
+                 / CAST(v1.ucnt AS DOUBLE)
+            ELSE 0.0 END
        + 0.25 * CAST(COALESCE(v2.ucnt, 1) AS DOUBLE) / n_total) AS lp
   FROM big b
   LEFT JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2

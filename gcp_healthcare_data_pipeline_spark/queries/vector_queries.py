@@ -2148,8 +2148,6 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes is the standard IVF-PQ production pairing, and the recall/
     compression trade is measured by ``tools/scaling_audit.py
     --pq-cell``."""
-    from pyspark.sql import Window
-
     emb = (
         load_tables(spark, sf_dir, "embeddings")
         .select("vec_id", as_double("embedding").alias("v"))
@@ -2475,6 +2473,22 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_graph_block(emb)
 
 
+def _blocked_assignment(emb: DataFrame) -> DataFrame:
+    """(vec_id, v, centroid_id, _n): hash-stratified seeds, one Lloyd
+    round, hierarchical re-assignment — the shared front half of every
+    cluster-blocked pair consumer (q_knn_graph's edge scan,
+    q_hard_negatives' contrastive scan). ONE definition so the blocking
+    cannot drift between them; checkpointed because every consumer
+    branches it into both sides of a pair join."""
+    centroids = _kmeans_recompute(_kmeans_assign(emb, _seed_centroids(emb)))
+    return (
+        _kmeans_assign(emb, centroids)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+
+
 def _knn_graph_block(emb: DataFrame) -> DataFrame:
     """The q_knn_graph body over any (vec_id, v) corpus: hash-stratified
     seeds, one Lloyd round, hierarchical assignment, within-cluster
@@ -2483,14 +2497,7 @@ def _knn_graph_block(emb: DataFrame) -> DataFrame:
     IDENTICAL machinery per shard."""
     from pyspark.sql import Window
 
-    centroids = _seed_centroids(emb)
-    centroids = _kmeans_recompute(_kmeans_assign(emb, centroids))
-    assigned = (
-        _kmeans_assign(emb, centroids)
-        .select("vec_id", "v", "centroid_id")
-        .withColumn("_n", norm(F.col("v")))
-        .localCheckpoint(eager=False)
-    )
+    assigned = _blocked_assignment(emb)
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("src"),
@@ -2795,9 +2802,13 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrastive or metric-learning objective needs (random negatives
     are trivially easy; the hard ones live nearby in embedding space,
     which is exactly why the CLUSTER-BLOCKED candidate space is the
-    right one, not just the cheap one: same k-means blocking as
-    q_knn_graph, pair space per-cluster-bounded at any scale, and by
-    construction the block holds the nearest candidates)."""
+    right one, not just the cheap one: the shared
+    :func:`_blocked_assignment` blocking, pair space per-cluster-bounded
+    at any scale, and by construction the block holds the nearest
+    candidates). Cosine is symmetric and so is the label-inequality
+    filter, so each unordered pair is scored ONCE (id_a < id_b — the
+    dominant fold cost halved, q_knn_graph's discipline) and mirrored
+    for the per-source rank."""
     from pyspark.sql import Window
 
     raw = load_tables(spark, sf_dir, "embeddings")
@@ -2805,33 +2816,28 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     labels = raw.select("vec_id", "label")
-    centroids = _kmeans_recompute(_kmeans_assign(emb, _seed_centroids(emb)))
-    assigned = (
-        _kmeans_assign(emb, centroids)
-        .select("vec_id", "v", "centroid_id")
-        .withColumn("_n", norm(F.col("v")))
-        .join(labels, "vec_id")
-        .localCheckpoint(eager=False)  # both sides of the pair join
+    assigned = _blocked_assignment(emb).join(labels, "vec_id").localCheckpoint(
+        eager=False  # both sides of the pair join branch it
     )
     a = assigned.select(
         "centroid_id",
-        F.col("vec_id").alias("src"),
-        F.col("label").alias("src_label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
         F.col("v").alias("_va"),
         F.col("_n").alias("_na"),
     )
     b = assigned.select(
         "centroid_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neg_label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
         F.col("v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
-    scored = (
+    half = (
         a.join(b, ["centroid_id"])
         .filter(
-            (F.col("src") != F.col("neighbor_id"))
-            & (F.col("src_label") != F.col("neg_label"))
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("label_a") != F.col("label_b"))
         )
         .withColumn(
             "cos_sim",
@@ -2842,12 +2848,27 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
+        .select("id_a", "label_a", "id_b", "label_b", "cos_sim")
+        .localCheckpoint(eager=False)  # score once; both mirror branches
+    )
+    edges = half.select(
+        F.col("id_a").alias("src"),
+        F.col("id_b").alias("neighbor_id"),
+        F.col("label_b").alias("neg_label"),
+        "cos_sim",
+    ).unionByName(
+        half.select(
+            F.col("id_b").alias("src"),
+            F.col("id_a").alias("neighbor_id"),
+            F.col("label_a").alias("neg_label"),
+            "cos_sim",
+        )
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        edges.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _KNN_K)
         .select(
             F.col("src").alias("vec_id"),
@@ -2955,10 +2976,20 @@ def q_label_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-blocked graph q_knn_graph builds (:func:`_knn_graph_block`),
     so the pair space stays per-cluster-bounded at any scale; the label
     join is a plain equi-join on neighbor_id (labels are corpus-sized —
-    never broadcast), and the vote is one (vec_id, label) groupBy."""
+    never broadcast), and the vote is one (vec_id, label) groupBy.
+
+    NULL-labeled rows are excluded up front (both engines, identically):
+    an unlabeled vector can neither vote nor be denoised, and letting
+    NULLs through would diverge cross-engine — Spark's sum() over
+    all-NULL equality checks returns NULL where the oracle's CASE
+    returns 0, and a NULL tally group sorts NULLS-FIRST in Spark's
+    ASC tie-break but NULLS-LAST in DuckDB's (review finding; latent
+    on the shipped generator, which emits no NULL labels)."""
     from pyspark.sql import Window
 
-    raw = load_tables(spark, sf_dir, "embeddings")
+    raw = load_tables(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
     emb = raw.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
         eager=False
     )
@@ -3008,6 +3039,7 @@ def q_label_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_LABEL_DENOISE = f"""
 WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+  WHERE label IS NOT NULL
 ), e AS (
   SELECT vec_id, v FROM e0
 ), {_knn_graph_sql_chain()}, votes AS (

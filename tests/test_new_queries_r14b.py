@@ -214,18 +214,25 @@ def test_bigram_logprob_orders_structured_above_shuffled(spark, tmp_path):
     """Docs whose bigrams repeat corpus-wide outscore a doc of the same
     TOKENS in an order whose bigrams never repeat — the sequence
     signal a unigram gate cannot see. Docs under 2 tokens emit no row."""
+    # 60 copies put every token's unigram count above _LM_MIN_DF (50),
+    # so the bigram term is LIVE (w1 in vocab) — with a sub-min-df
+    # vocab the gate correctly degrades to backoff-only and the two
+    # docs would tie (the regime the review-found denominator-floor
+    # fix pinned: an out-of-vocab w1 must zero the bigram term, never
+    # floor its denominator)
     common = "the cat sat on the mat"
-    rows = [(i, common) for i in range(5)]  # bigrams seen 5x >= min-df
+    rows = [(i, common) for i in range(60)]
     rows.append((100, "mat the on sat cat the"))  # same tokens, new order
     rows.append((101, "single"))  # < 2 tokens: no bigrams, no row
     d = _write_docs(spark, tmp_path, rows)
     out = {r.doc_id: r for r in q_bigram_logprob(spark, d).collect()}
     assert 101 not in out
-    assert set(out) == set(range(5)) | {100}
+    assert set(out) == set(range(60)) | {100}
     assert out[0].n_bigrams == 5
-    assert out[0].n_seen_bigrams == 5  # every bigram repeats 5x
+    assert out[0].n_seen_bigrams == 5  # every bigram repeats 60x
     assert out[100].n_seen_bigrams == 0  # shuffled order: none repeat
     assert out[0].avg_logprob > out[100].avg_logprob
+    assert out[0].avg_logprob < 0  # p <= 1 always: no positive logs
 
 # ---- IVF-PQ composition ----------------------------------------------------
 

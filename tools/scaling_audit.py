@@ -926,11 +926,9 @@ def run_pq_cell(spark):
     codes cannot and need not win it."""
     import time
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
-        brute_force_topk,
-    )
     from gcp_healthcare_data_pipeline_spark.queries import (
         vector_queries as vq,
     )
@@ -954,13 +952,25 @@ def run_pq_cell(spark):
             out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return out
 
+    # ground truth = exact EUCLIDEAN brute force — the ADC path ranks by
+    # L2, so a cosine baseline (brute_force_topk) would conflate metric
+    # disagreement with quantization loss on non-norm-equalized vectors
+    # (review finding)
     t0 = time.perf_counter()
+    qf = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("vec_id").asc()
+    )
     truth = topk_sets(
-        brute_force_topk(
-            emb.withColumnRenamed("v", "embedding"),
-            queries.withColumnRenamed("v", "embedding"),
-            k=k,
-        ).collect()
+        emb.crossJoin(F.broadcast(qf))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("_d", vq._dist_between(F.col("qv"), F.col("v")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .collect()
     )
     t_brute = time.perf_counter() - t0
 
