@@ -56,26 +56,27 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-14 rotation (r13 verdict
-# item 2): the THIRTEEN never-sampled round-14 additions — the five
+# item 2): the FOURTEEN never-sampled round-14 additions — the five
 # early-round ones (q_ann_ivf_sharded — the shard driver generalized
 # to search, the verdict's item 1 — q_audio_coreset,
 # q_semdedup_incremental, q_knn_graph_sharded — the semantic shard
 # driver for graph build — and q_ann_ivf_incremental — the
-# index-append maintenance shape) plus the eight late-round ones
+# index-append maintenance shape) plus the nine late-round ones
 # (q_ann_pq — product-quantization ADC search — q_ann_ivfpq — the
 # IVF-PQ production pairing — q_pq_incremental — the frozen-codebook delta
 # encode — q_knn_graph_incremental — the graph append; its shared standing-state refactor also touched
 # q_semdedup_incremental, which is already at head — q_label_denoise, q_hard_negatives,
-# q_text_canonical and q_bigram_logprob), then q_semdedup_sharded (its
+# q_text_canonical, q_bigram_logprob and q_stream_semdedup — the
+# incremental screen as a foreachBatch streaming body), then q_semdedup_sharded (its
 # RESULT VALUES changed this round: the test split went from a 200-row
 # budget to a fixed 3-shard count, so the r13 row is evidence for a
 # plan that no longer ships), the three non-r10 queries whose plan
 # changed to the tiny-frame rank window (q_mom_growth r13,
 # q_stable_ids / q_active_shipments r12 — results bit-identical, plans
-# new), and 33 of the 40-query r10 cohort (the oldest driver evidence
+# new), and 32 of the 40-query r10 cohort (the oldest driver evidence
 # in the registry, 4 rounds stale — includes q_bm25_search and
 # q_bpe_merges, which also took the window-helper plan change). That
-# is exactly 50 slots; the 7 r10 members displaced by the late
+# is exactly 50 slots; the 8 r10 members displaced by the late
 # additions (the lightest machinery in the cohort), the r11 continuity
 # pick and the two displaced r11 picks, then the REMAINING r11 cohort
 # (next-oldest) are listed explicitly at 51+ so any sampling overrun
@@ -96,13 +97,14 @@ _DRIVER_PRIORITY = [
     "q_hard_negatives",
     "q_text_canonical",
     "q_bigram_logprob",
+    "q_stream_semdedup",
     # result values changed this round (3-shard test split)
     "q_semdedup_sharded",
     # plan changed to tiny_frame_window (non-r10 members)
     "q_mom_growth",
     "q_stable_ids",
     "q_active_shipments",
-    # the r10 cohort (33 of 40) - oldest driver evidence
+    # the r10 cohort (32 of 40) - oldest driver evidence
     "q_ann_topk",
     "q_bm25_search",
     "q_bpe_merges",
@@ -130,18 +132,18 @@ _DRIVER_PRIORITY = [
     "q_patient_history",
     "q_provider_performance",
     "q_quality_gate",
-    "q_rarity_score",
     "q_repetition_ratio",
     "q_scd2_corrected",
     "q_scd2_customer",
     "q_scd2_sf",
     "q_scd2_two_runs",
-    # ---- 51+ : the seven r10 members displaced by the late round-14
+    # ---- 51+ : the eight r10 members displaced by the late round-14
     # additions (lightest machinery in the cohort), the r11 continuity
     # pick, the two r11 picks displaced earlier, then the remaining r11
     # cohort (next-oldest evidence), so a sampling overrun refreshes
     # oldest rows first; after these the tail is plain registry order
     "q_quarantine_documents",
+    "q_rarity_score",
     "q_rolling_fingerprint",
     "q_sql_revenue_by_segment",
     "q_text_quality",

@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
+from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+    # the streaming screen's oracle IS the batch incremental screen's:
+    # micro-batched delivery against frozen standing state changes
+    # nothing about the result (see q_stream_semdedup)
+    _ORACLE_SEMDEDUP_INCREMENTAL as _ORACLE_STREAM_SEMDEDUP,
+)
 from gcp_healthcare_data_pipeline_spark.session import event_ts_us, load_tables
 from gcp_healthcare_data_pipeline_spark.streaming.stateful import (
     running_user_profiles,
@@ -684,10 +690,103 @@ FROM customer
 """
 
 
+def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC dedup — the q_semdedup_incremental screen run
+    as a foreachBatch micro-batch handler over a delta-vector FILE
+    STREAM: the shape a continuously-ingesting training-data pipeline
+    actually deploys. The standing state (centroid table + survivor
+    set) is materialized ONCE before the stream starts (eager
+    checkpoints — a stream that recomputed it per micro-batch would be
+    the corpus-repairing anti-pattern the incremental family exists to
+    kill); each arriving micro-batch routes through the SAME standing
+    centroids and screens only against its routed clusters' survivors.
+
+    The delta lands as two id-hash files drained with
+    ``maxFilesPerTrigger=1``, so the handler demonstrably runs per
+    micro-batch; the screen is per-row independent given the frozen
+    standing state, so the union of micro-batch outputs EQUALS the
+    batch screen and the oracle is q_semdedup_incremental's, verbatim
+    (the strongest statement available: streaming delivery changes
+    nothing about the result). Screen body, survivor derivation and
+    standing assignment are the SAME functions the batch query uses
+    (vector_queries._semdedup_screen/_semdedup_survivors/
+    _incremental_standing_assigned) — one definition, zero drift."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.functions.vectors import (  # noqa: PLC0415
+        as_double,
+        norm,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa: PLC0415
+        _incremental_standing_assigned,
+        _kmeans_assign,
+        _semdedup_screen,
+        _semdedup_survivors,
+    )
+
+    _ba, assigned, centroids = _incremental_standing_assigned(spark, sf_dir)
+    centroids = centroids.localCheckpoint(eager=True)
+    survivors = _semdedup_survivors(assigned).localCheckpoint(eager=True)
+
+    work = tempfile.mkdtemp(prefix="q_stream_semdedup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    emb = load_tables(spark, sf_dir, "embeddings")
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    for tag, cond in (
+        ("even", F.col("vec_id") % 20 == 0),
+        ("odd", F.col("vec_id") % 20 != 0),
+    ):
+        stage = os.path.join(work, f"stage_{tag}")
+        delta.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+        i = 0
+        for f in sorted(os.listdir(stage)):
+            if f.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(stage, f),
+                    os.path.join(src, f"{tag}_{i}.parquet"),
+                )
+                i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+
+    sink = os.path.join(work, "sink")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+
+    def _screen_batch(bdf: DataFrame, _bid: int) -> None:
+        ba = (
+            _kmeans_assign(bdf.select("vec_id", "v"), centroids)
+            .select("vec_id", "v", "centroid_id")
+            .withColumn("_n", norm(F.col("v")))
+            .localCheckpoint(eager=False)  # consumed twice by the screen
+        )
+        _semdedup_screen(ba, survivors).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(_screen_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 QUERIES = [
     QuerySpec(
         "q_stream_scd2", q_stream_scd2, _ORACLE_STREAM_SCD2,
         "J6 ext:streaming (SCD2 MERGE under streaming delivery)",
+    ),
+    QuerySpec(
+        "q_stream_semdedup", q_stream_semdedup, _ORACLE_STREAM_SEMDEDUP,
+        "ext:streaming ext:dedup (incremental semantic screen as a "
+        "foreachBatch micro-batch body over a delta-vector file stream)",
     ),
     QuerySpec(
         "q_stream_stateful_profiles", q_stream_stateful_profiles,

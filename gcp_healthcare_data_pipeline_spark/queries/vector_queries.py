@@ -1785,17 +1785,20 @@ SELECT id_drop, duplicate_of, cos_sim, 'cross' AS stage FROM rdrops
 
 def _incremental_standing_assigned(
     spark: SparkSession, sf_dir: str
-) -> "tuple[DataFrame, DataFrame]":
-    """(batch_assigned, assigned) — the standing-state stages every
-    incremental vector query starts from: the delta/corpus split
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """(batch_assigned, assigned, centroids) — the standing-state stages
+    every incremental vector query starts from: the delta/corpus split
     (``vec_id % 10 == 0`` is the incoming batch), the STANDING centroid
     table (hash-stratified seeds + one Lloyd round over the corpus
     only), the corpus assignment, and the delta routed through the SAME
     standing centroids (|batch| x 2*sqrt(k) hierarchical folds — cost
     scales with the DELTA, the corpus is never re-paired). Shared by
-    q_semdedup_incremental (screen vs cluster survivors) and
-    q_knn_graph_incremental (edge append vs cluster members) — one
-    definition, so the two incremental shapes can never drift apart."""
+    q_semdedup_incremental (screen vs cluster survivors),
+    q_knn_graph_incremental (edge append vs cluster members) and
+    q_stream_semdedup (the same screen as a foreachBatch micro-batch
+    body, which assigns each micro-batch against the returned
+    ``centroids``) — one definition, so the incremental shapes can
+    never drift apart."""
     emb = load_tables(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -1819,7 +1822,7 @@ def _incremental_standing_assigned(
         # left join) — cut the two-crossJoin assignment lineage once
         .localCheckpoint(eager=False)
     )
-    return batch_assigned, assigned
+    return batch_assigned, assigned, centroids
 
 
 def _semdedup_incremental_parts(
@@ -1832,10 +1835,19 @@ def _semdedup_incremental_parts(
     production one; same discipline as _incremental_band_candidates).
 
     Standing state = :func:`_incremental_standing_assigned` plus the
-    corpus SURVIVOR set (within-cluster semdedup drops applied) a
-    production pipeline has already materialized before the nightly
-    delta arrives."""
-    batch_assigned, assigned = _incremental_standing_assigned(spark, sf_dir)
+    corpus SURVIVOR set (:func:`_semdedup_survivors`) a production
+    pipeline has already materialized before the nightly delta
+    arrives."""
+    batch_assigned, assigned, _cent = _incremental_standing_assigned(
+        spark, sf_dir
+    )
+    return batch_assigned, _semdedup_survivors(assigned)
+
+
+def _semdedup_survivors(assigned: DataFrame) -> DataFrame:
+    """The corpus SURVIVOR set: within-cluster semdedup drops applied to
+    a (vec_id, v, centroid_id, _n) assignment — factored so the batch
+    and streaming incremental screens share one definition."""
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("id_keep"),
@@ -1864,8 +1876,7 @@ def _semdedup_incremental_parts(
         .select(F.col("id_drop").alias("vec_id"))
         .distinct()
     )
-    survivors = assigned.join(drops, "vec_id", "left_anti")
-    return batch_assigned, survivors
+    return assigned.join(drops, "vec_id", "left_anti")
 
 
 def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1886,9 +1897,20 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     when clean) and the dup flag. Intra-delta duplicates are the batch
     pass's job (run q_semdedup / q_semdedup_sharded on the delta) —
     this query is the delta-vs-corpus screen, composable with it."""
+    batch_assigned, survivors = _semdedup_incremental_parts(spark, sf_dir)
+    return _semdedup_screen(batch_assigned, survivors)
+
+
+def _semdedup_screen(
+    batch_assigned: DataFrame, survivors: DataFrame
+) -> DataFrame:
+    """The delta-vs-survivors screen over a routed batch — factored so
+    q_stream_semdedup can run the IDENTICAL body per micro-batch. The
+    caller guarantees ``batch_assigned`` is (vec_id, v, centroid_id,
+    _n) and small (the delta side): it is broadcast onto the survivor
+    table so the standing corpus never shuffles for a screen."""
     from pyspark.sql import Window
 
-    batch_assigned, survivors = _semdedup_incremental_parts(spark, sf_dir)
     s = survivors.select(
         "centroid_id",
         F.col("vec_id").alias("id_keep"),
@@ -2733,7 +2755,9 @@ def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checkable core.)"""
     from pyspark.sql import Window
 
-    batch_assigned, assigned = _incremental_standing_assigned(spark, sf_dir)
+    batch_assigned, assigned, _cent = _incremental_standing_assigned(
+        spark, sf_dir
+    )
     s = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -31,6 +31,16 @@ sys.path.insert(0, "/root/repo")
 # breach on ordinary first-stream-of-iteration spikes (Python worker,
 # checkpoint dir, commit log) when --n is small.
 ENVELOPE_MED_S = {
+    # r14 late addition: element-wise max over its two same-day
+    # measurements (9.91 s, then 16.55 s under host contention that
+    # elevated EVERY stream ~1.3-1.7x — e.g. tumbling 2.57-recorded ->
+    # 3.16/3.25 measured), following this table's stated max-over-
+    # measurements convention. No idle-machine reading exists yet; the
+    # first idle round should tighten this. Cost shape: the standing
+    # centroid+survivor build (eager, once per call — the same work
+    # q_semdedup_incremental does) dominates; the two per-micro-batch
+    # screens are the sf-scaling part.
+    "q_stream_semdedup": 16.55,
     "q_stream_backfill": 1.75,
     "q_stream_dedup": 3.33,
     "q_stream_left_join": 7.13,
