@@ -717,17 +717,24 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gcp_healthcare_data_pipeline_spark.functions.vectors import (  # noqa: PLC0415
         as_double,
-        norm,
     )
     from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa: PLC0415
         _incremental_standing_assigned,
-        _kmeans_assign,
+        _route_batch,
         _semdedup_screen,
         _semdedup_survivors,
     )
 
-    _ba, assigned, centroids = _incremental_standing_assigned(spark, sf_dir)
+    _ba, assigned, centroids, m_frame = _incremental_standing_assigned(
+        spark, sf_dir
+    )
     centroids = centroids.localCheckpoint(eager=True)
+    # the standing super-count frame: each micro-batch routes with the
+    # SAME m the full-delta batch route uses (derived from the standing
+    # corpus — see _route_batch), so the union of micro-batch outputs
+    # equals the batch screen at ANY scale, not just where the k floor
+    # hides the difference (review finding)
+    m_frame = m_frame.localCheckpoint(eager=True)
     survivors = _semdedup_survivors(assigned).localCheckpoint(eager=True)
 
     work = tempfile.mkdtemp(prefix="q_stream_semdedup_")
@@ -760,12 +767,7 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _screen_batch(bdf: DataFrame, _bid: int) -> None:
-        ba = (
-            _kmeans_assign(bdf.select("vec_id", "v"), centroids)
-            .select("vec_id", "v", "centroid_id")
-            .withColumn("_n", norm(F.col("v")))
-            .localCheckpoint(eager=False)  # consumed twice by the screen
-        )
+        ba = _route_batch(bdf.select("vec_id", "v"), centroids, m_frame)
         _semdedup_screen(ba, survivors).write.mode("append").parquet(sink)
 
     q = (
@@ -775,7 +777,12 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    # pin the result in executor memory, then reclaim the work dir (the
+    # landed delta + checkpoint + sink would otherwise persist per call
+    # for the machine's lifetime — review finding)
+    out = spark.read.parquet(sink).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 QUERIES = [

@@ -974,7 +974,10 @@ def _km_dist_sql(a: str, b: str) -> str:
     )
 
 
-def _hier_assign_sql(cent: str, out: str, p: str, corpus: str = "e") -> str:
+def _hier_assign_sql(
+    cent: str, out: str, p: str, corpus: str = "e",
+    m_corpus: "str | None" = None,
+) -> str:
     """DuckDB twin of the hierarchical :func:`_kmeans_assign`: emits a
     CTE chain (prefix ``p`` keeps names unique per assignment pass) that
     seeds m super-centroids hash-stratified over ``cent``'s centroid_id,
@@ -982,11 +985,17 @@ def _hier_assign_sql(cent: str, out: str, p: str, corpus: str = "e") -> str:
     ``corpus`` to its nearest super, and argmins only that super's
     children. ``out`` exposes (vec_id, v, centroid_id, dist) — identical
     contract to the Spark side, bit-identical tie-breaks (rounded dist
-    asc, id asc at both levels)."""
+    asc, id asc at both levels).
+
+    ``m_corpus`` overrides the m-derivation source (default: the routed
+    ``corpus``) — the twin of :func:`_route_batch`'s ``m_frame``: delta
+    routes derive m from the STANDING corpus so routing never depends
+    on batch composition."""
+    m_corpus = corpus if m_corpus is None else m_corpus
     return f"""{p}sup AS (
   SELECT centroid_id AS super_id, c AS sc FROM (
     SELECT centroid_id, c, ROW_NUMBER() OVER (
-      PARTITION BY h % {_m_sql(corpus)} ORDER BY h, centroid_id) AS rn
+      PARTITION BY h % {_m_sql(m_corpus)} ORDER BY h, centroid_id) AS rn
     FROM (SELECT centroid_id, c,
       ('0x' || substr(md5(CAST(centroid_id AS VARCHAR)), 1, 12))::BIGINT AS h
       FROM {cent}) _h) _r
@@ -1111,22 +1120,35 @@ def _derived_m(emb: DataFrame) -> DataFrame:
     )
 
 
-def _super_centroids(centroids: DataFrame, emb: DataFrame) -> DataFrame:
+def _super_centroids(
+    centroids: DataFrame, emb: DataFrame, m_frame: "DataFrame | None" = None
+) -> DataFrame:
     """m hash-stratified super-centroids chosen FROM the centroid table
     (the shared :func:`operators.similarity.hash_stratified_winners`
     discipline, keyed on centroid_id): m id-hash buckets, one
     hash-minimal member each. Deterministic, uniform over the centroid
-    set, mirrored verbatim in the oracle's ``{p}sup`` CTE."""
+    set, mirrored verbatim in the oracle's ``{p}sup`` CTE.
+
+    ``m_frame`` overrides the m derivation (default: derived from the
+    frame being assigned) — the incremental delta routes pass the
+    STANDING corpus's m so routing is a pure function of standing
+    state, never of the arriving batch's composition (review finding:
+    a micro-batched delta would otherwise derive a different m than
+    the full delta and route differently at scale)."""
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
         hash_stratified_winners,
     )
 
     return hash_stratified_winners(
-        centroids, "centroid_id", _derived_m(emb), "_m"
+        centroids, "centroid_id",
+        _derived_m(emb) if m_frame is None else m_frame, "_m",
     ).select(F.col("centroid_id").alias("super_id"), F.col("c").alias("sc"))
 
 
-def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+def _kmeans_assign(
+    emb: DataFrame, centroids: DataFrame,
+    m_frame: "DataFrame | None" = None,
+) -> DataFrame:
     """HIERARCHICAL two-level nearest-centroid assignment (r12, replaces
     the flat broadcast argmin whose n x k cost the round-11 third-decade
     probe measured as n^2/256 — SCALING_r11.md §4):
@@ -1153,7 +1175,7 @@ def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     # skip-checkpoint mode for small-shard loops measured 2.9x SLOWER,
     # see _semdedup_drops)
     centroids = centroids.localCheckpoint(eager=False)
-    supers = _super_centroids(centroids, emb)
+    supers = _super_centroids(centroids, emb, m_frame)
 
     # self-preference tie-break: a centroid that IS a super must map to
     # itself. Two near-identical vectors can both be hash-chosen as
@@ -1783,22 +1805,46 @@ SELECT id_drop, duplicate_of, cos_sim, 'cross' AS stage FROM rdrops
 """
 
 
+def _route_batch(
+    frame: DataFrame, centroids: DataFrame, m_frame: DataFrame
+) -> DataFrame:
+    """Route a delta frame through the standing centroid table:
+    (vec_id, v, centroid_id, _n), checkpointed (every consumer branches
+    it at least twice). ``m_frame`` is the STANDING corpus's m — the
+    route is a pure function of standing state, independent of which
+    other vectors happen to arrive in the same batch (so a micro-batched
+    delta routes identically to the full one — the q_stream_semdedup
+    invariant; the IVF family's hier_quantizer already derives its
+    supers from the standing index, and this mirrors that discipline).
+    ONE definition shared by _incremental_standing_assigned and the
+    streaming foreachBatch handler — the review-found m-divergence
+    lived in exactly this fragment's duplicate."""
+    return (
+        _kmeans_assign(frame, centroids, m_frame)
+        .select("vec_id", "v", "centroid_id")
+        .withColumn("_n", norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
+
+
 def _incremental_standing_assigned(
     spark: SparkSession, sf_dir: str
-) -> "tuple[DataFrame, DataFrame, DataFrame]":
-    """(batch_assigned, assigned, centroids) — the standing-state stages
-    every incremental vector query starts from: the delta/corpus split
-    (``vec_id % 10 == 0`` is the incoming batch), the STANDING centroid
-    table (hash-stratified seeds + one Lloyd round over the corpus
-    only), the corpus assignment, and the delta routed through the SAME
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
+    """(batch_assigned, assigned, centroids, m_frame) — the
+    standing-state stages every incremental vector query starts from:
+    the delta/corpus split (``vec_id % 10 == 0`` is the incoming
+    batch), the STANDING centroid table (hash-stratified seeds + one
+    Lloyd round over the corpus only), the corpus assignment, the
+    standing super-count frame ``m_frame`` (derived from the CORPUS —
+    see :func:`_route_batch`), and the delta routed through the SAME
     standing centroids (|batch| x 2*sqrt(k) hierarchical folds — cost
     scales with the DELTA, the corpus is never re-paired). Shared by
     q_semdedup_incremental (screen vs cluster survivors),
     q_knn_graph_incremental (edge append vs cluster members) and
     q_stream_semdedup (the same screen as a foreachBatch micro-batch
-    body, which assigns each micro-batch against the returned
-    ``centroids``) — one definition, so the incremental shapes can
-    never drift apart."""
+    body, routing each micro-batch with the returned ``centroids`` +
+    ``m_frame``) — one definition, so the incremental shapes can never
+    drift apart."""
     emb = load_tables(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("v")
     )
@@ -1814,15 +1860,9 @@ def _incremental_standing_assigned(
         .withColumn("_n", norm(F.col("v")))
         .localCheckpoint(eager=False)  # both sides of the drop self-join
     )
-    batch_assigned = (
-        _kmeans_assign(batch, centroids)
-        .select("vec_id", "v", "centroid_id")
-        .withColumn("_n", norm(F.col("v")))
-        # consumed twice downstream (the screen's hits AND the final
-        # left join) — cut the two-crossJoin assignment lineage once
-        .localCheckpoint(eager=False)
-    )
-    return batch_assigned, assigned, centroids
+    m_frame = _derived_m(corpus).localCheckpoint(eager=False)
+    batch_assigned = _route_batch(batch, centroids, m_frame)
+    return batch_assigned, assigned, centroids, m_frame
 
 
 def _semdedup_incremental_parts(
@@ -1838,7 +1878,7 @@ def _semdedup_incremental_parts(
     corpus SURVIVOR set (:func:`_semdedup_survivors`) a production
     pipeline has already materialized before the nightly delta
     arrives."""
-    batch_assigned, assigned, _cent = _incremental_standing_assigned(
+    batch_assigned, assigned, _cent, _m = _incremental_standing_assigned(
         spark, sf_dir
     )
     return batch_assigned, _semdedup_survivors(assigned)
@@ -1975,7 +2015,7 @@ WITH e0 AS (
 ), surv AS (
   SELECT vec_id, v, centroid_id FROM a2
   WHERE vec_id NOT IN (SELECT id_drop FROM cdrops)
-), {_hier_assign_sql("c1", "ba", "b1", "eb")}, cand AS (
+), {_hier_assign_sql("c1", "ba", "b1", "eb", "e")}, cand AS (
   -- the delta screen: batch vector vs its routed cluster's survivors
   SELECT b.vec_id, b.centroid_id, s.vec_id AS id_keep,
          b.v AS qv, s.v AS cv
@@ -2755,7 +2795,7 @@ def q_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle-checkable core.)"""
     from pyspark.sql import Window
 
-    batch_assigned, assigned, _cent = _incremental_standing_assigned(
+    batch_assigned, assigned, _cent, _m = _incremental_standing_assigned(
         spark, sf_dir
     )
     s = assigned.select(
@@ -2803,7 +2843,7 @@ WITH e0 AS (
 ), c1 AS (
   SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
 ), {_hier_assign_sql("c1", "a2", "h2")},
-{_hier_assign_sql("c1", "ba", "b1", "eb")}, cand AS (
+{_hier_assign_sql("c1", "ba", "b1", "eb", "e")}, cand AS (
   -- delta vector vs its routed cluster's standing members
   SELECT b.vec_id, s.vec_id AS neighbor_id, b.v AS qv, s.v AS cv
   FROM ba b JOIN a2 s ON s.centroid_id = b.centroid_id

@@ -144,7 +144,7 @@ def _candidate_probes():
             _incremental_standing_assigned,
         )
 
-        batch_assigned, assigned, _cent = _incremental_standing_assigned(
+        batch_assigned, assigned, _c, _m = _incremental_standing_assigned(
             spark, sf_dir
         )
         return batch_assigned.join(
