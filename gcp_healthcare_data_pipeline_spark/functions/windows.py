@@ -31,8 +31,14 @@ def tiny_frame_window(anchor: "str | Column", *order_cols) -> WindowSpec:
     it only feeds the constant-0 hash. NEVER use this on an unbounded
     frame; silencing the warning there hides exactly the scale bug it
     exists to flag.
+
+    With no ``order_cols`` the spec is partition-only: an UNORDERED
+    whole-frame aggregate window (``sum(x).over(w)`` spans the full
+    tiny frame), NOT the ordered running-frame a default
+    ``orderBy(...)`` spec would impose — the q_psi_drift /
+    q_temperature_mix "grand total over a handful of group rows"
+    shape.
     """
     a = anchor if isinstance(anchor, Column) else F.col(anchor)
-    return Window.partitionBy(F.hash(a).bitwiseAND(F.lit(0))).orderBy(
-        *order_cols
-    )
+    spec = Window.partitionBy(F.hash(a).bitwiseAND(F.lit(0)))
+    return spec.orderBy(*order_cols) if order_cols else spec

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gcp_healthcare_data_pipeline_spark.functions.windows import tiny_frame_window
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.session import load_tables
 
@@ -253,8 +254,6 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic over that tiny frame (audit-allowlisted). Exact integer
     counts → identical doubles in both engines.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
     orders = load_tables(spark, sf_dir, "orders")
     cutoff = F.lit("1997-01-01").cast("timestamp")
     cell = orders.groupBy(
@@ -265,7 +264,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cur"
         ),
     )
-    allw = Window.partitionBy()  # |priority buckets| rows: tiny frame
+    allw = tiny_frame_window("bucket")  # |priority buckets| rows: tiny frame
     p = F.col("n_ref").cast("double") / F.sum("n_ref").over(allw)
     q = F.col("n_cur").cast("double") / F.sum("n_cur").over(allw)
     contrib = (p - q) * F.log(p / q)
@@ -355,8 +354,6 @@ def q_ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-data work is the count aggregation. Deterministic md5
     assignment → the oracle rebuilds the identical arms.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
     ev = load_tables(spark, sf_dir, "events").select(
         "user_id", "event_type"
     )
@@ -374,7 +371,7 @@ def q_ab_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("_arm") == 1).cast("bigint")).alias("n_b"),
         )
     )
-    allw = Window.partitionBy()  # |event types| rows: tiny frame
+    allw = tiny_frame_window("event_type")  # |event types| rows: tiny frame
     tot_a = F.sum("n_a").over(allw).cast("double")
     tot_b = F.sum("n_b").over(allw).cast("double")
     row_tot = (F.col("n_a") + F.col("n_b")).cast("double")

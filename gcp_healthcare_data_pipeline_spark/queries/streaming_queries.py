@@ -738,51 +738,57 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = _semdedup_survivors(assigned).localCheckpoint(eager=True)
 
     work = tempfile.mkdtemp(prefix="q_stream_semdedup_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    emb = load_tables(spark, sf_dir, "embeddings")
-    delta = emb.filter(F.col("vec_id") % 10 == 0)
-    for tag, cond in (
-        ("even", F.col("vec_id") % 20 == 0),
-        ("odd", F.col("vec_id") % 20 != 0),
-    ):
-        stage = os.path.join(work, f"stage_{tag}")
-        delta.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
-        i = 0
-        for f in sorted(os.listdir(stage)):
-            if f.endswith(".parquet"):
-                shutil.move(
-                    os.path.join(stage, f),
-                    os.path.join(src, f"{tag}_{i}.parquet"),
-                )
-                i += 1
-        shutil.rmtree(stage, ignore_errors=True)
+    # everything below can raise (stream start, foreachBatch screen,
+    # sink read) — reclaim the work dir on EVERY exit, not just the
+    # happy path (r14 ADVICE: the dir leaked per failed call)
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        emb = load_tables(spark, sf_dir, "embeddings")
+        delta = emb.filter(F.col("vec_id") % 10 == 0)
+        for tag, cond in (
+            ("even", F.col("vec_id") % 20 == 0),
+            ("odd", F.col("vec_id") % 20 != 0),
+        ):
+            stage = os.path.join(work, f"stage_{tag}")
+            delta.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                stage
+            )
+            i = 0
+            for f in sorted(os.listdir(stage)):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(stage, f),
+                        os.path.join(src, f"{tag}_{i}.parquet"),
+                    )
+                    i += 1
+            shutil.rmtree(stage, ignore_errors=True)
 
-    sink = os.path.join(work, "sink")
-    stream = (
-        spark.readStream.schema(emb.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-        .select("vec_id", as_double("embedding").alias("v"))
-    )
+        sink = os.path.join(work, "sink")
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("vec_id", as_double("embedding").alias("v"))
+        )
 
-    def _screen_batch(bdf: DataFrame, _bid: int) -> None:
-        ba = _route_batch(bdf.select("vec_id", "v"), centroids, m_frame)
-        _semdedup_screen(ba, survivors).write.mode("append").parquet(sink)
+        def _screen_batch(bdf: DataFrame, _bid: int) -> None:
+            ba = _route_batch(bdf.select("vec_id", "v"), centroids, m_frame)
+            _semdedup_screen(ba, survivors).write.mode("append").parquet(sink)
 
-    q = (
-        stream.writeStream.foreachBatch(_screen_batch)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # pin the result in executor memory, then reclaim the work dir (the
-    # landed delta + checkpoint + sink would otherwise persist per call
-    # for the machine's lifetime — review finding)
-    out = spark.read.parquet(sink).localCheckpoint(eager=True)
-    shutil.rmtree(work, ignore_errors=True)
-    return out
+        q = (
+            stream.writeStream.foreachBatch(_screen_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # pin the result in executor memory before the finally reclaims
+        # the work dir (landed delta + checkpoint + sink would otherwise
+        # persist per call for the machine's lifetime — review finding)
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 QUERIES = [

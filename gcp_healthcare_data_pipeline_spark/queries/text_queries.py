@@ -1073,12 +1073,17 @@ def q_text_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Re-ingest simulation: the corpus is unioned with a mangled copy
     (upper-cased, double-spaced, id-offset) — every canonical group
     must reunite the original with its mangled twin, so the operator's
-    value is visible in ``n_raw_variants >= 2``. Pure map-side string
-    work + one hash groupBy: the same single-shuffle shape as exact
-    dedup at any scale."""
+    value is visible in ``n_raw_variants >= 2``. The twin offset is
+    DERIVED from the corpus (max(doc_id)+1, a broadcast 1-row scalar —
+    r14 ADVICE: a fixed +200000 collides with real ids at SFs where
+    doc_id >= 200000, and the oracle mirroring the constant hid it),
+    so keeper_id = min(doc_id) is always the true original. Pure
+    map-side string work + one hash groupBy: the same single-shuffle
+    shape as exact dedup at any scale."""
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
-    mangled = docs.select(
-        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+    off = docs.agg((F.max("doc_id") + F.lit(1)).alias("_off"))  # one row
+    mangled = docs.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + F.col("_off")).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
     )
     canon = F.trim(
@@ -1102,10 +1107,12 @@ def q_text_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TEXT_CANONICAL = """
-WITH all_rows AS (
+WITH off AS (
+  SELECT MAX(doc_id) + 1 AS o FROM documents
+), all_rows AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 200000 AS doc_id,
+  SELECT doc_id + (SELECT o FROM off) AS doc_id,
          upper(regexp_replace(text, ' ', '  ', 'g')) AS text
   FROM documents
 ), c AS (

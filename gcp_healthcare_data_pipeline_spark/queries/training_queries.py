@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_healthcare_data_pipeline_spark.functions.windows import tiny_frame_window
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.session import load_tables
 
@@ -49,7 +50,7 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    allw = Window.partitionBy()  # one row per language: tiny frame
+    allw = tiny_frame_window("lang")  # one row per language: tiny frame
     rates = counts.withColumn(
         "keep_pct",
         F.floor(
@@ -561,7 +562,7 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_w", w)
         .withColumn("_scaled2", F.expr("(2 * n_docs) div _w"))
     )
-    allw = Window.partitionBy()  # the frame is one row per source: tiny
+    allw = tiny_frame_window("source")  # one row per source: tiny frame
     rates = (
         counts.withColumn("_m2", F.min("_scaled2").over(allw))
         .withColumn(

@@ -1,0 +1,140 @@
+"""q_index_roundtrip — the persisted index lifecycle (r14 verdict item 1).
+
+Two halves of the contract:
+ 1. load-then-screen EQUALS rebuild-then-screen (parquet round-trips
+    doubles bit-exactly, so the versioned store cannot change the
+    answer);
+ 2. the store itself survives hostile lifecycles — a crashed writer's
+    corrupt/aged orphan version is invisible to readers, the pointer
+    flip is atomic (readers see old-or-new, never a mix), and a stale
+    snapshot manifest keeps serving a CONSISTENT multi-table view even
+    after one table advances underneath it.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+    latest_version,
+    list_versions,
+    read_snapshot_tables,
+    read_version,
+    write_snapshot_manifest,
+    write_version,
+)
+from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+    q_index_roundtrip,
+    q_semdedup_incremental,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_roundtrip_equals_rebuild_path(spark):
+    """The gate's core claim, asserted locally: screening the delta from
+    the LOADED versioned tables is row-identical to the in-session
+    rebuild path (q_semdedup_incremental)."""
+    assert _rows(q_index_roundtrip(spark, SF_DIR)) == _rows(
+        q_semdedup_incremental(spark, SF_DIR)
+    )
+
+
+def test_roundtrip_cleans_up_workdir(spark, tmp_path):
+    """The versioned store is reclaimed after the result is pinned —
+    no per-call directory leak (the q_stream_semdedup discipline)."""
+    import glob
+    import tempfile
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "q_index_roundtrip_*")))
+    q_index_roundtrip(spark, SF_DIR).count()
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "q_index_roundtrip_*")))
+    assert after <= before
+
+
+def _state(spark, n, tag):
+    return spark.range(n).select(
+        "id", F.lit(tag).alias("tag"), (F.col("id") * 3).alias("v")
+    )
+
+
+def test_corrupt_orphan_invisible_and_swept(spark, tmp_path):
+    """A writer that crashed AFTER writing data but BEFORE the pointer
+    flip leaves a (possibly corrupt) orphan directory: readers must
+    never see it, and the next writer must sweep it."""
+    path = str(tmp_path / "centroids")
+    write_version(_state(spark, 5, "good"), path)  # committed v0
+    # simulate the crash: v1 data lands (corrupt — not even parquet),
+    # pointer never flips
+    orphan = os.path.join(path, "v=000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet at all")
+    assert latest_version(path) == 0  # pointer still names v0
+    loaded = read_version(spark, path)  # reader: committed state only
+    assert loaded.filter(F.col("tag") == "good").count() == 5
+    # next successful write sweeps the orphan and commits cleanly as v1
+    v = write_version(_state(spark, 7, "next"), path)
+    assert v == 1
+    assert read_version(spark, path).count() == 7
+    assert list_versions(path) == [0, 1]
+
+
+def test_pointer_flip_is_atomic_old_or_new_never_mix(spark, tmp_path):
+    """Across a commit, the pointer names exactly the old version until
+    the instant it names the new one — a reader that resolved the old
+    pointer keeps a fully consistent old snapshot, one that resolves
+    after sees the complete new one. (os.replace supplies the atomic
+    step; this pins that the MODULE routes every commit through it —
+    no window where the pointer is absent or names a half-written
+    version.)"""
+    path = str(tmp_path / "t")
+    write_version(_state(spark, 4, "v0"), path)
+    old_reader = read_version(spark, path)  # resolves v0 NOW
+    old_rows = _rows(old_reader)
+    write_version(_state(spark, 9, "v1"), path)
+    # the pre-commit reader still sees all of v0, none of v1
+    assert _rows(old_reader) == old_rows
+    assert {r[1] for r in old_rows} == {"v0"}
+    # a post-commit resolve sees all of v1
+    new_rows = _rows(read_version(spark, path))
+    assert len(new_rows) == 9 and {r[1] for r in new_rows} == {"v1"}
+    # and at no point is the pointer file missing or unparsable
+    assert latest_version(path) == 1
+
+
+def test_aged_manifest_serves_consistent_snapshot(spark, tmp_path):
+    """A manifest pinned before one table advanced keeps serving the
+    MATCHED pair — the aged-state read never mixes a new centroids
+    version with old survivors."""
+    root = str(tmp_path / "store")
+    vc = write_version(_state(spark, 3, "cent-run1"), os.path.join(root, "centroids"))
+    vs = write_version(_state(spark, 6, "surv-run1"), os.path.join(root, "survivors"))
+    write_snapshot_manifest(root, {"centroids": vc, "survivors": vs}, "run-000001")
+    # centroids advances (run 2 half-finished: no new manifest yet)
+    write_version(_state(spark, 8, "cent-run2"), os.path.join(root, "centroids"))
+    tabs = read_snapshot_tables(spark, root)  # resolves run-000001
+    assert {r.tag for r in tabs["centroids"].select("tag").distinct().collect()} == {
+        "cent-run1"
+    }
+    assert tabs["survivors"].count() == 6
+
+
+def test_corrupted_pointer_fails_loudly_not_silently(spark, tmp_path):
+    """A garbage pointer (torn disk, manual edit) must raise, not serve
+    an arbitrary version."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    write_version(_state(spark, 3, "x"), path)
+    with open(os.path.join(path, "_LATEST"), "w") as fh:
+        fh.write("garbage\n")
+    with pytest.raises(ValueError):
+        latest_version(path)
