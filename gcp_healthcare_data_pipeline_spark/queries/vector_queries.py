@@ -2176,6 +2176,7 @@ FROM e
 
 _PQ_SUBS = 4  # subspaces (m in the PQ literature)
 _PQ_CODES = 16  # codewords per subspace codebook
+_PQ_TRAIN = 512  # hash-strata cap on the codebook TRAINING sample
 
 
 def _pq_subvectors(emb: DataFrame) -> DataFrame:
@@ -2198,44 +2199,81 @@ def _pq_subvectors(emb: DataFrame) -> DataFrame:
 
 
 def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
-    """Nearest codeword per (vec_id, sub): broadcast the constant-size
-    codebook, rounded-distance argmin, code_id-asc tie-break — the same
+    """Nearest codeword per (vec_id, sub) — ZERO-SHUFFLE: the codebook
+    is constant-size (``_PQ_SUBS x _PQ_CODES`` rows) by construction, so
+    it collapses to ONE broadcast row holding the whole table as an
+    array of structs, and the argmin is an in-row fold over that array
+    (rounded distance asc, code_id asc — struct-min reproduces the same
     tie discipline as every assignment in the engine, mirrored in the
-    oracle's a1/codes CTEs."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("_d").asc(), F.col("code_id").asc()
+    oracle's a1/codes CTEs). The r14 plan windowed over (vec_id, sub) —
+    a corpus-wide exchange just to pick a per-row minimum; encoding
+    100 TB must be a map-only stage, and now it is."""
+    cbrow = cb.agg(
+        F.array_sort(F.collect_list(F.struct("sub", "code_id", "cw"))).alias(
+            "_cb"
+        )
+    )
+    cands = F.filter(F.col("_cb"), lambda c: c["sub"] == F.col("sub"))
+    best = F.array_min(
+        F.transform(
+            cands,
+            lambda c: F.struct(
+                _dist_between(F.col("sv"), c["cw"]).alias("_d"),
+                c["code_id"].alias("code_id"),
+            ),
+        )
     )
     return (
-        sub.join(F.broadcast(cb), "sub")
-        .withColumn("_d", _dist_between(F.col("sv"), F.col("cw")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "sv", "code_id")
+        sub.crossJoin(F.broadcast(cbrow))
+        .withColumn("_best", best)
+        .select(
+            "vec_id",
+            "sub",
+            "sv",
+            F.col("_best.code_id").alias("code_id"),
+            F.col("_best._d").alias("_qdist"),
+        )
     )
 
 
 def _pq_codebook_and_codes(
     spark: SparkSession, emb: DataFrame
 ) -> "tuple[DataFrame, DataFrame]":
-    """(cb1, codes): train the per-subspace codebooks (hash-stratified
-    seeds + one Lloyd refinement, the q_kmeans discipline applied per
-    subspace) and PQ-encode the corpus. Factored so the recall cell in
-    tools/scaling_audit.py measures the exact production build."""
+    """(cb1, codes): train the per-subspace codebooks on a BOUNDED
+    hash-stratified sample, then PQ-encode the whole corpus map-side.
+
+    Training sample = the stratified winner per ``md5-hash % _PQ_TRAIN``
+    bucket (≤ _PQ_TRAIN vectors at ANY corpus size; at dev SFs below
+    the cap it degenerates to ~the whole corpus, which is exactly what
+    a small corpus should train on). Seeds are drawn FROM the sample
+    with the same discipline at m=_PQ_CODES, so every seed codeword
+    retains at least its own subvector. One Lloyd refinement explodes
+    ONLY the sample's subvectors — r14 exploded EVERY corpus subvector
+    into the average, a corpus x subs x dims shuffle to fit a
+    constant-size codebook (r14 verdict item 3); standard practice
+    (and the 100 TB shape) is train-on-sample, encode-everything, with
+    shortlist recall measured by ``tools/scaling_audit.py --pq-cell``.
+    Factored so that cell measures the exact production build."""
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (
         hash_stratified_winners,
     )
 
     sub = _pq_subvectors(emb).localCheckpoint(eager=False)
+    mT = spark.range(1).select(F.lit(_PQ_TRAIN).cast("bigint").alias("_m"))
+    train_ids = hash_stratified_winners(
+        emb.select("vec_id"), "vec_id", mT, "_m"
+    )
+    tsub = sub.join(F.broadcast(train_ids), "vec_id").localCheckpoint(
+        eager=False  # assigned by cb0 AND averaged into cb1
+    )
     k16 = spark.range(1).select(F.lit(_PQ_CODES).cast("bigint").alias("_k"))
     # seed ids depend only on the vec_id hash, so the SAME _PQ_CODES
-    # vectors seed every subspace — one winner selection, not m
-    winners = hash_stratified_winners(emb.select("vec_id"), "vec_id", k16, "_k")
-    cb0 = sub.join(F.broadcast(winners), "vec_id").select(
+    # sample members seed every subspace — one winner selection, not m
+    winners = hash_stratified_winners(train_ids, "vec_id", k16, "_k")
+    cb0 = tsub.join(F.broadcast(winners), "vec_id").select(
         "sub", F.col("vec_id").alias("code_id"), F.col("sv").alias("cw")
     )
-    a1 = _pq_assign(sub, cb0)
+    a1 = _pq_assign(tsub, cb0)
     d1 = (
         a1.select("sub", "code_id", F.posexplode("sv").alias("pos", "val"))
         .groupBy("sub", "code_id", "pos")
@@ -2347,22 +2385,34 @@ def _pq_build_sql(corpus: str = "e") -> str:
     v[CAST(FLOOR((s - 1) * len(v) / {_PQ_SUBS}.0) AS INT) + 1 :
       CAST(FLOOR(s * len(v) / {_PQ_SUBS}.0) AS INT)] AS sv
   FROM {corpus}, UNNEST(range(1, {_PQ_SUBS} + 1)) AS t(s)
+), hh AS (
+  SELECT vec_id,
+    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM {corpus}
+), tw AS (
+  -- bounded training sample: winner per h % _PQ_TRAIN bucket
+  SELECT vec_id FROM (
+    SELECT vec_id, ROW_NUMBER() OVER (
+      PARTITION BY h % {_PQ_TRAIN} ORDER BY h, vec_id) AS rn
+    FROM hh) _r
+  WHERE rn = 1
+), tsub AS (
+  SELECT sub.* FROM sub JOIN tw USING (vec_id)
 ), w AS (
+  -- seeds drawn FROM the sample: winner per h % _PQ_CODES bucket
   SELECT vec_id FROM (
     SELECT vec_id, ROW_NUMBER() OVER (
       PARTITION BY h % {_PQ_CODES} ORDER BY h, vec_id) AS rn
-    FROM (SELECT vec_id,
-      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12))::BIGINT AS h
-      FROM {corpus}) _h) _r
+    FROM hh JOIN tw USING (vec_id)) _r
   WHERE rn = 1
 ), cb0 AS (
-  SELECT sub, vec_id AS code_id, sv AS cw FROM sub JOIN w USING (vec_id)
+  SELECT sub, vec_id AS code_id, sv AS cw FROM tsub JOIN w USING (vec_id)
 ), a1 AS (
   SELECT vec_id, sub, sv, code_id FROM (
     SELECT t.vec_id, t.sub, t.sv, c.code_id,
       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
         ORDER BY {_km_dist_sql("t.sv", "c.cw")} ASC, c.code_id ASC) AS rn
-    FROM sub t JOIN cb0 c ON c.sub = t.sub) _r
+    FROM tsub t JOIN cb0 c ON c.sub = t.sub) _r
   WHERE rn = 1
 ), d1 AS (
   SELECT sub, code_id, i AS pos, AVG(sv[i]) AS cval
@@ -3065,17 +3115,9 @@ def q_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(is_batch)
     cb1, _codes = _pq_codebook_and_codes(spark, corpus)
     bsub = _pq_subvectors(batch)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("_d").asc(), F.col("code_id").asc()
-    )
-    return (
-        bsub.join(F.broadcast(cb1), "sub")
-        .withColumn("_d", _dist_between(F.col("sv"), F.col("cw")))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "sub", "code_id", F.col("_d").alias("qdist"))
+    # the same zero-shuffle broadcast-fold argmin as the corpus encode
+    return _pq_assign(bsub, cb1).select(
+        "vec_id", "sub", "code_id", F.col("_qdist").alias("qdist")
     )
 
 
