@@ -95,7 +95,18 @@ def main() -> None:
         for name, spec in all_queries().items()
         if not name.startswith("q_pipeline_") or name == "q_pipeline_sf"
     }
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (  # noqa: E402,PLC0415
+        clear_shared_state,
+    )
+
     for name, spec in specs.items():
+        # per-query attribution is ORDER-INDEPENDENT: the dedup family's
+        # session caches would otherwise bill the shared LSH build to
+        # whichever member the registry rotation happens to order first
+        # (the r14 q_dedup_clusters "3x regression" that was really a
+        # reorder). Every entry now pays its own cold build, matching
+        # the cold-plan philosophy in the module docstring.
+        clear_shared_state()
         # per-query failure isolation: one broken query costs one error
         # row, never the whole artifact (round 4 lost its entire bench to
         # a single analysis-time failure aborting the loop)

@@ -46,6 +46,20 @@ _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LSH_PARAM_CACHE: dict[tuple[str, str], tuple[int, int, int]] = {}
 
 
+def clear_shared_state() -> None:
+    """Drop the session-scoped lazy-checkpoint caches so the NEXT dedup
+    query pays its own full build. Exists for bench.py's per-query
+    attribution: with the caches live, whichever of
+    q_dedup_minhash_lsh / q_dedup_clusters happens to run first absorbs
+    the shared LSH build (~2 s at sf0.1), so a registry reorder reads
+    as a phantom 3x regression across rounds (r14 verdict item 6).
+    Production pipelines WANT the sharing; a benchmark of independent
+    entries wants cold plans — this is the switch between the two."""
+    _SHINGLE_CACHE.clear()
+    _PAIR_CACHE.clear()
+    _LSH_PARAM_CACHE.clear()
+
+
 def _corpus_lsh_params(
     spark: SparkSession, sf_dir: str
 ) -> tuple[int, int, int]:

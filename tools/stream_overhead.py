@@ -31,28 +31,33 @@ sys.path.insert(0, "/root/repo")
 # breach on ordinary first-stream-of-iteration spikes (Python worker,
 # checkpoint dir, commit log) when --n is small.
 ENVELOPE_MED_S = {
-    # r14 late addition: element-wise max over its two same-day
-    # measurements (9.91 s, then 16.55 s under host contention that
-    # elevated EVERY stream ~1.3-1.7x — e.g. tumbling 2.57-recorded ->
-    # 3.16/3.25 measured), following this table's stated max-over-
-    # measurements convention. No idle-machine reading exists yet; the
-    # first idle round should tighten this. Cost shape: the standing
-    # centroid+survivor build (eager, once per call — the same work
-    # q_semdedup_incremental does) dominates; the two per-micro-batch
-    # screens are the sf-scaling part.
-    "q_stream_semdedup": 16.55,
-    "q_stream_backfill": 1.75,
-    "q_stream_dedup": 3.33,
-    "q_stream_left_join": 7.13,
-    "q_stream_scd2": 1.76,
-    "q_stream_session": 1.82,
-    "q_stream_sliding": 1.62,
-    "q_stream_stateful_profiles": 1.70,
-    "q_stream_static_join": 1.60,
-    "q_stream_stream_join": 6.47,
-    "q_stream_timeout_flush": 3.57,
-    "q_stream_tumbling": 2.57,
-    "q_stream_upsert": 0.95,
+    # Re-pinned round 15 (2026-08-16) on a near-idle host (bench anchor
+    # ratio 0.966 vs the pinned idle ref) after the _STATE_PARTITIONS=8
+    # drain-width change: the stream-stream joins dropped from ~7-10 s
+    # to ~4 s (32x4 join state stores -> 8x4), so every r14 number was
+    # stale and the whole table is a fresh pin of that session's --n 3
+    # medians (not max-over-measurements — the r14 values measured a
+    # different drain plan AND known contention; carrying their maxes
+    # forward would hide regressions behind a dead config's envelope).
+    # q_stream_semdedup's cost shape: the standing centroid+survivor
+    # build (eager, once per call — the same work q_semdedup_incremental
+    # does) dominates; the two per-micro-batch screens are the
+    # sf-scaling part. Its first-call-of-session reading spikes ~2x
+    # (codegen + stream machinery warm-up) — that lands in max, not
+    # median.
+    "q_stream_semdedup": 12.78,
+    "q_stream_backfill": 2.11,
+    "q_stream_dedup": 3.56,
+    "q_stream_left_join": 4.05,
+    "q_stream_scd2": 1.99,
+    "q_stream_session": 2.92,
+    "q_stream_sliding": 1.26,
+    "q_stream_stateful_profiles": 2.70,
+    "q_stream_static_join": 1.49,
+    "q_stream_stream_join": 4.07,
+    "q_stream_timeout_flush": 3.86,
+    "q_stream_tumbling": 2.21,
+    "q_stream_upsert": 1.10,
 }
 ENVELOPE_MARGIN = 1.5
 ENVELOPE_SLACK_S = 1.0
