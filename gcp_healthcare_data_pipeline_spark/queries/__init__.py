@@ -55,93 +55,38 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
-# driver-vs-oracle evidence each round. Round-14 rotation (r13 verdict
-# item 2): the FOURTEEN never-sampled round-14 additions — the five
-# early-round ones (q_ann_ivf_sharded — the shard driver generalized
-# to search, the verdict's item 1 — q_audio_coreset,
-# q_semdedup_incremental, q_knn_graph_sharded — the semantic shard
-# driver for graph build — and q_ann_ivf_incremental — the
-# index-append maintenance shape) plus the nine late-round ones
-# (q_ann_pq — product-quantization ADC search — q_ann_ivfpq — the
-# IVF-PQ production pairing — q_pq_incremental — the frozen-codebook delta
-# encode — q_knn_graph_incremental — the graph append; its shared standing-state refactor also touched
-# q_semdedup_incremental, which is already at head — q_label_denoise, q_hard_negatives,
-# q_text_canonical, q_bigram_logprob and q_stream_semdedup — the
-# incremental screen as a foreachBatch streaming body), then q_semdedup_sharded (its
-# RESULT VALUES changed this round: the test split went from a 200-row
-# budget to a fixed 3-shard count, so the r13 row is evidence for a
-# plan that no longer ships), the three non-r10 queries whose plan
-# changed to the tiny-frame rank window (q_mom_growth r13,
-# q_stable_ids / q_active_shipments r12 — results bit-identical, plans
-# new), and 32 of the 40-query r10 cohort (the oldest driver evidence
-# in the registry, 4 rounds stale — includes q_bm25_search and
-# q_bpe_merges, which also took the window-helper plan change). That
-# is exactly 50 slots; the 8 r10 members displaced by the late
-# additions (the lightest machinery in the cohort), the r11 continuity
-# pick and the two displaced r11 picks, then the REMAINING r11 cohort
-# (next-oldest) are listed explicitly at 51+ so any sampling overrun
-# refreshes oldest evidence first, and everything after it follows
-# plain registry order.
+# driver-vs-oracle evidence each round. Round-15 rotation (r14 verdict
+# item 2): head = the never-sampled round-15 addition
+# (q_index_roundtrip — the persisted index lifecycle), then the three
+# PQ-family queries whose RESULT VALUES changed this round (codebooks
+# now train on a bounded hash-stratified sample, so every code and ADC
+# distance moved; the r14 rows are evidence for a build that no longer
+# ships), then the five queries whose PLAN changed with bit-identical
+# results (q_text_canonical — corpus-derived twin offset;
+# q_temperature_mix / q_domain_mix / q_psi_drift / q_ab_chi_square —
+# the tiny-frame window spelling), then the LAST EIGHT r10-evidence
+# queries (retiring the r10 cohort entirely — 5 rounds stale), and 33
+# of the 43-query r11 cohort (the next-oldest evidence). That is
+# exactly 50 slots; the remaining 9 r11 members are listed at 51+ so
+# any sampling overrun refreshes oldest evidence first, and everything
+# after them follows plain registry order.
 _DRIVER_PRIORITY = [
     # NEW this round (never driver-sampled)
-    "q_ann_ivf_sharded",
-    "q_audio_coreset",
-    "q_semdedup_incremental",
-    "q_knn_graph_sharded",
-    "q_ann_ivf_incremental",
+    "q_index_roundtrip",
+    "q_pq_roundtrip",
+    "q_ivf_roundtrip",
+    # result values changed this round (sample-trained PQ codebooks)
     "q_ann_pq",
     "q_ann_ivfpq",
     "q_pq_incremental",
-    "q_knn_graph_incremental",
-    "q_label_denoise",
-    "q_hard_negatives",
+    # plan changed, results bit-identical (derived offset / tiny-frame
+    # window)
     "q_text_canonical",
-    "q_bigram_logprob",
-    "q_stream_semdedup",
-    # result values changed this round (3-shard test split)
-    "q_semdedup_sharded",
-    # plan changed to tiny_frame_window (non-r10 members)
-    "q_mom_growth",
-    "q_stable_ids",
-    "q_active_shipments",
-    # the r10 cohort (32 of 40) - oldest driver evidence
-    "q_ann_topk",
-    "q_bm25_search",
-    "q_bpe_merges",
-    "q_conform_union",
-    "q_corpus_curation",
-    "q_dedup_clusters",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dedup_minhash_lsh",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_department_performance",
-    "q_doc_chunking",
-    "q_embedding_neardup",
-    "q_embedding_outliers",
-    "q_events_json_props",
-    "q_fingerprint",
-    "q_heavy_hitters",
-    "q_incremental_watermark",
-    "q_jdbc_ingest",
-    "q_multimodal_audio",
-    "q_multimodal_features",
-    "q_multimodal_video",
-    "q_order_items_agg",
-    "q_patient_history",
-    "q_provider_performance",
-    "q_quality_gate",
-    "q_repetition_ratio",
-    "q_scd2_corrected",
-    "q_scd2_customer",
-    "q_scd2_sf",
-    "q_scd2_two_runs",
-    # ---- 51+ : the eight r10 members displaced by the late round-14
-    # additions (lightest machinery in the cohort), the r11 continuity
-    # pick, the two r11 picks displaced earlier, then the remaining r11
-    # cohort (next-oldest evidence), so a sampling overrun refreshes
-    # oldest rows first; after these the tail is plain registry order
+    "q_temperature_mix",
+    "q_domain_mix",
+    "q_psi_drift",
+    "q_ab_chi_square",
+    # the last eight r10-evidence queries (oldest rows in the registry)
     "q_quarantine_documents",
     "q_rarity_score",
     "q_rolling_fingerprint",
@@ -150,7 +95,7 @@ _DRIVER_PRIORITY = [
     "q_token_count",
     "q_token_count_bpe",
     "q_topk_orders",
-    # r11 continuity pick (heaviest text machinery)
+    # the r11 cohort, 33 of 43 (next-oldest evidence)
     "q_boilerplate",
     "q_dedup_substring",
     "q_fuzzy_name_match",
@@ -158,7 +103,6 @@ _DRIVER_PRIORITY = [
     "q_customer_running_total",
     "q_customers_no_orders",
     "q_dedup_passages",
-    "q_domain_mix",
     "q_events_asof_error",
     "q_events_error_rate",
     "q_events_funnel",
@@ -183,6 +127,10 @@ _DRIVER_PRIORITY = [
     "q_snapshot_diff",
     "q_stats_by_flag",
     "q_stratified_sample",
+    # ---- 51+ : the remaining 11 r11-cohort members (q_domain_mix sits
+    # in the plan-changed head section already), so a sampling
+    # overrun refreshes oldest rows first; after these the tail is
+    # plain registry order
     "q_stream_dedup",
     "q_stream_stateful_profiles",
     "q_stream_static_join",

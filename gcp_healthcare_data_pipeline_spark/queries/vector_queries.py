@@ -511,6 +511,91 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-lifecycle pattern applied to the IVF family — the
+    third (and last distinct) standing-state shape: the two-level
+    coarse quantizer (super-centroid table + centroid→super child map)
+    plus the inverted-list occupancy. Build once from the corpus,
+    COMMIT all three through ``operators/versioning.py`` under one
+    snapshot manifest (a reader must never pair run-N supers with
+    run-N-1 children — the quantizer levels are meaningless apart),
+    then run the nightly append from the LOADED tables: the delta
+    routes through the loaded quantizer via the SAME generic ``assign``
+    the search side uses, and the growth report joins against the
+    loaded occupancy. Oracle is q_ann_ivf_incremental's VERBATIM —
+    load-then-append must hash-equal build-then-append.
+
+    With q_index_roundtrip (centroids + survivors) and q_pq_roundtrip
+    (frozen codebook) this covers every distinct standing-state shape
+    the incremental family maintains; q_knn_graph_incremental's state
+    (centroids + cluster members) is shape-identical to the semdedup
+    one and composes the same way."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_index,
+    )
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_snapshot_tables,
+        write_snapshot_manifest,
+        write_version,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    is_batch = F.col("vec_id") % 10 == 0
+    supers, cmap, assigned, assign = ivf_index(
+        emb.filter(~is_batch), centroid_mod=64, lloyd_iters=1
+    )
+    occupancy = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    root = tempfile.mkdtemp(prefix="q_ivf_roundtrip_")
+    try:
+        versions = {
+            "supers": write_version(supers, os.path.join(root, "supers")),
+            "cmap": write_version(cmap, os.path.join(root, "cmap")),
+            "occupancy": write_version(
+                occupancy, os.path.join(root, "occupancy")
+            ),
+        }
+        write_snapshot_manifest(root, versions, run_id="ingest-000001")
+        loaded = read_snapshot_tables(spark, root)
+        b = emb.filter(is_batch).select(
+            F.col("vec_id").alias("neighbor_id"),
+            as_double("embedding").alias("_v"),
+        ).withColumn("_cn", norm(F.col("_v")))
+        b_assigned = assign(
+            b, "_v", "_cn", 1, loaded["supers"], loaded["cmap"]
+        )
+        app = b_assigned.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("n_appended")
+        )
+        return (
+            loaded["occupancy"]
+            .join(app, "centroid_id", "full")
+            .select(
+                "centroid_id",
+                F.coalesce("n_before", F.lit(0)).alias("n_before"),
+                F.coalesce("n_appended", F.lit(0)).alias("n_appended"),
+                F.round(
+                    F.coalesce("n_appended", F.lit(0))
+                    * F.lit(100.0)
+                    / F.expr("nullif(n_before, 0)"),
+                    4,
+                ).alias("growth_pct"),
+            )
+            # pin the (centroid-count-sized) result before the finally
+            # reclaims the versioned store
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # the Spark side pins centroid_mod=64 (the epoch policy: derive once at
 # index build, reuse per append)
 _IVF_INCREMENTAL_MOD = 64
@@ -3121,6 +3206,51 @@ def q_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-lifecycle pattern (q_index_roundtrip) applied to
+    the PQ family: train the standing codebook from the corpus, COMMIT
+    it through ``operators/versioning.py`` (immutable ``v=NNNNNN`` dir,
+    atomic ``_LATEST`` pointer), then encode the incoming delta against
+    the LOADED codebook — the exact artifact a nightly ingest reads,
+    not in-session lineage. Oracle is q_pq_incremental's VERBATIM
+    (parquet round-trips the codeword doubles bit-exactly), so
+    load-then-encode must hash-equal train-then-encode — that equality
+    is the gate. Together with q_index_roundtrip this pins the pattern
+    for every incremental family (IVF quantizer, kNN-graph centroids
+    compose identically: build → write_version → read_version → route
+    the delta); the per-ingest cost here is |batch| x _PQ_SUBS x
+    _PQ_CODES broadcast folds plus one constant-size table load."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_version,
+        write_version,
+    )
+
+    emb = load_tables(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    is_batch = F.col("vec_id") % 10 == 0
+    cb1, _codes = _pq_codebook_and_codes(spark, emb.filter(~is_batch))
+    root = tempfile.mkdtemp(prefix="q_pq_roundtrip_")
+    try:
+        write_version(cb1, os.path.join(root, "codebook"))
+        loaded_cb = read_version(spark, os.path.join(root, "codebook"))
+        return (
+            _pq_assign(_pq_subvectors(emb.filter(is_batch)), loaded_cb)
+            .select(
+                "vec_id", "sub", "code_id", F.col("_qdist").alias("qdist")
+            )
+            # pin the (delta-sized) result before the finally reclaims
+            # the versioned store
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 _ORACLE_PQ_INCREMENTAL = f"""
 WITH e0 AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -3329,6 +3459,12 @@ QUERIES = [
         "the frozen standing codebook, per-subspace drift distance)",
     ),
     QuerySpec(
+        "q_pq_roundtrip", q_pq_roundtrip, _ORACLE_PQ_INCREMENTAL,
+        "ext:similarity ext:lake (persisted codebook lifecycle: delta "
+        "encoded against the LOADED versioned codebook; hash-equal to "
+        "the train-then-encode path by construction)",
+    ),
+    QuerySpec(
         "q_embedding_quantize", q_embedding_quantize,
         _ORACLE_EMBEDDING_QUANTIZE,
         "ext:similarity (int8 scalar quantization manifest)",
@@ -3357,6 +3493,13 @@ QUERIES = [
         "ext:similarity (incremental IVF index append: delta routed "
         "through the standing quantizer; per-ingest cost scales with "
         "the delta)",
+    ),
+    QuerySpec(
+        "q_ivf_roundtrip", q_ivf_roundtrip, _ORACLE_ANN_IVF_INCREMENTAL,
+        "ext:similarity ext:lake (persisted quantizer lifecycle: "
+        "supers + child map + occupancy committed under one snapshot "
+        "manifest, delta appended from the LOADED tables; hash-equal "
+        "to the build path by construction)",
     ),
     QuerySpec(
         "q_embedding_neardup", q_embedding_neardup, _ORACLE_EMBEDDING_NEARDUP,

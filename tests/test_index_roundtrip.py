@@ -27,7 +27,11 @@ from gcp_healthcare_data_pipeline_spark.operators.versioning import (
     write_version,
 )
 from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+    q_ann_ivf_incremental,
     q_index_roundtrip,
+    q_ivf_roundtrip,
+    q_pq_incremental,
+    q_pq_roundtrip,
     q_semdedup_incremental,
 )
 
@@ -44,6 +48,25 @@ def test_roundtrip_equals_rebuild_path(spark):
     rebuild path (q_semdedup_incremental)."""
     assert _rows(q_index_roundtrip(spark, SF_DIR)) == _rows(
         q_semdedup_incremental(spark, SF_DIR)
+    )
+
+
+def test_pq_roundtrip_equals_frozen_codebook_path(spark):
+    """Same claim for the PQ family: encoding the delta against the
+    LOADED versioned codebook is row-identical to the in-session
+    train-then-encode path (q_pq_incremental)."""
+    assert _rows(q_pq_roundtrip(spark, SF_DIR)) == _rows(
+        q_pq_incremental(spark, SF_DIR)
+    )
+
+
+def test_ivf_roundtrip_equals_standing_quantizer_path(spark):
+    """Same claim for the IVF family: appending the delta through the
+    LOADED versioned quantizer (supers + child map + occupancy, one
+    snapshot manifest) is row-identical to the in-session
+    build-then-append path (q_ann_ivf_incremental)."""
+    assert _rows(q_ivf_roundtrip(spark, SF_DIR)) == _rows(
+        q_ann_ivf_incremental(spark, SF_DIR)
     )
 
 
