@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "q_index_roundtrip",
     "q_pq_roundtrip",
     "q_ivf_roundtrip",
+    "q_ann_rerank",
     # result values changed this round (sample-trained PQ codebooks)
     "q_ann_pq",
     "q_ann_ivfpq",
@@ -126,11 +127,11 @@ _DRIVER_PRIORITY = [
     "q_shuffle_export",
     "q_snapshot_diff",
     "q_stats_by_flag",
-    "q_stratified_sample",
-    # ---- 51+ : the remaining 11 r11-cohort members (q_domain_mix sits
+    # ---- 51+ : the remaining 12 r11-cohort members (q_domain_mix sits
     # in the plan-changed head section already), so a sampling
     # overrun refreshes oldest rows first; after these the tail is
     # plain registry order
+    "q_stratified_sample",
     "q_stream_dedup",
     "q_stream_stateful_profiles",
     "q_stream_static_join",

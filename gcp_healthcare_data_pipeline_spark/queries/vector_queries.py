@@ -511,6 +511,93 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DELETE_LABELS = (0, 1, 2)  # the "source pulled from corpus" event
+_COMPACT_DEAD_PCT = 40.0  # rewrite a list when this % of it is dead
+
+# the Spark side pins centroid_mod=64 (the epoch policy: derive once at
+# index build, reuse per append/delete maintenance)
+_IVF_INCREMENTAL_MOD = 64
+
+
+def q_ann_ivf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index DELETE maintenance — the half of index upkeep the
+    append family (q_ann_ivf_incremental) doesn't cover: production
+    can't rewrite inverted lists per delete batch, so deletions land
+    as a TOMBSTONE set (here: three labels pulled from the corpus —
+    the takedown/contamination event shape, which is semantically
+    CLUSTERED, so dead rows concentrate in the centroids that served
+    those labels), search filters candidates against it (one anti-join
+    on the probed candidate set — never the corpus), and a compaction
+    job rewrites ONLY the lists whose dead fraction crossed the
+    threshold.
+
+    This query emits that compaction signal: per centroid, total /
+    dead / live occupancy, the dead percentage, and the rewrite flag
+    at ``_COMPACT_DEAD_PCT``. The join is tombstones ⟕ inverted lists
+    on the id key — at 100 TB both sides are id-partitioned so the
+    exchange is the minimal keyed one, and the report is
+    |centroids|-sized. tests/test_index_roundtrip.py pins the search
+    contract (a tombstone-filtered probe returns no deleted id)."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    raw = load_tables(spark, sf_dir, "embeddings")
+    corpus = raw.filter(F.col("vec_id") % 10 != 0)
+    supers, cmap, assigned, assign = ivf_index(
+        corpus.select("vec_id", "embedding"), centroid_mod=64, lloyd_iters=1
+    )
+    tomb = corpus.filter(F.col("label").isin(*_DELETE_LABELS)).select(
+        F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("_dead")
+    )
+    rep = (
+        assigned.select("neighbor_id", "centroid_id")
+        .join(tomb, "neighbor_id", "left")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("_dead"), F.lit(0))).alias("n_dead"),
+        )
+    )
+    dead_pct = F.round(
+        F.col("n_dead") * F.lit(100.0) / F.col("n_rows"), 4
+    )
+    return rep.select(
+        "centroid_id",
+        "n_rows",
+        "n_dead",
+        (F.col("n_rows") - F.col("n_dead")).alias("n_live"),
+        dead_pct.alias("dead_pct"),
+        (dead_pct >= F.lit(_COMPACT_DEAD_PCT)).cast("int").alias(
+            "needs_compaction"
+        ),
+    )
+
+
+_ORACLE_ANN_IVF_DELETES = f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 10 <> 0
+), {_ivf_build_sql(str(_IVF_INCREMENTAL_MOD))}, tomb AS (
+  SELECT vec_id AS neighbor_id FROM embeddings
+  WHERE vec_id % 10 <> 0 AND label IN {_DELETE_LABELS}
+), rep AS (
+  SELECT a.centroid_id,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dead
+  FROM c_assign a LEFT JOIN tomb t ON t.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT centroid_id, n_rows, n_dead,
+  n_rows - n_dead AS n_live,
+  ROUND(n_dead * 100.0 / n_rows, 4) AS dead_pct,
+  CAST(ROUND(n_dead * 100.0 / n_rows, 4) >= {_COMPACT_DEAD_PCT} AS INT)
+    AS needs_compaction
+FROM rep
+"""
+
+
 def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-lifecycle pattern applied to the IVF family — the
     third (and last distinct) standing-state shape: the two-level
@@ -595,10 +682,6 @@ def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-
-# the Spark side pins centroid_mod=64 (the epoch policy: derive once at
-# index build, reuse per append)
-_IVF_INCREMENTAL_MOD = 64
 
 _ORACLE_ANN_IVF_INCREMENTAL = f"""
 WITH c AS (
@@ -2409,6 +2492,73 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_topk(cb1, codes, qsub, _K)
 
 
+_RERANK_SHORTLIST = 20  # ADC filter width feeding the exact rerank
+
+
+def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-then-rerank ANN — the production two-stage search the PQ
+    cell's framing promises, now executable end-to-end: stage 1 scans
+    CODES (the exact q_ann_pq ADC machinery) to a
+    ``_RERANK_SHORTLIST``-wide candidate list per query; stage 2 reads
+    the RAW float vectors of shortlist members ONLY and reranks by
+    exact cosine to the final top-``_K``.
+
+    Execution shape: the corpus floats are touched at build time and
+    then for |Q| x shortlist rows — never per ADC candidate (the
+    ``--pq-cell`` measures 98-99% of true top-5 surviving into a
+    100-wide shortlist at 40k vectors, i.e. ~100 float reads per query
+    instead of 40,000; dev registry width is 20). The shortlist pair
+    set is broadcast onto the corpus scan, so the big side never
+    shuffles for the rerank; emitted ``approx_dist`` preserves the
+    filter's view next to the exact ``cos_sim`` so the two stages'
+    disagreement is visible in the result itself."""
+    from pyspark.sql import Window
+
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    cb1, codes = _pq_codebook_and_codes(spark, emb)
+    qsub = _pq_subvectors(emb.filter(F.col("vec_id") % 100 == 0)).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    short = _pq_adc_topk(cb1, codes, qsub, _RERANK_SHORTLIST)
+    qv = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("_qv"))
+        .withColumn("_qn", norm(F.col("_qv")))
+    )
+    # shortlist pairs are |Q| x _RERANK_SHORTLIST — broadcast them onto
+    # the corpus scan so the raw-vector side never shuffles
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("_cv"))
+        .join(
+            F.broadcast(short.select("query_id", "neighbor_id", "approx_dist")),
+            "neighbor_id",
+        )
+        .withColumn("_cn", norm(F.col("_cv")))
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "rank", "neighbor_id", "cos_sim", "approx_dist")
+    )
+
+
 def _pq_adc_topk(
     cb1: DataFrame, codes: DataFrame, qsub: DataFrame, k: int
 ) -> DataFrame:
@@ -2537,6 +2687,48 @@ FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
     ORDER BY approx_dist ASC, neighbor_id ASC) AS rank
   FROM agg)
+WHERE rank <= {_K}
+"""
+
+
+_ORACLE_ANN_RERANK = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {_pq_build_sql()}, qsub AS (
+  SELECT vec_id AS query_id, sub, sv AS qsv FROM sub WHERE vec_id % 100 = 0
+), dtab AS (
+  SELECT q.query_id, c.sub, c.code_id,
+    list_sum(list_transform(range(1, len(qsv) + 1),
+      i -> (qsv[i] - cw[i]) * (qsv[i] - cw[i]))) AS d2
+  FROM qsub q JOIN cb1 c ON c.sub = q.sub
+), adc AS (
+  SELECT d.query_id, k.vec_id AS neighbor_id,
+    ROUND(SQRT(list_sum(list(d.d2 ORDER BY d.sub))), 6) AS approx_dist
+  FROM codes k JOIN dtab d ON d.sub = k.sub AND d.code_id = k.code_id
+  WHERE d.query_id <> k.vec_id
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, neighbor_id, approx_dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY approx_dist ASC, neighbor_id ASC) AS rn
+    FROM adc)
+  WHERE rn <= {_RERANK_SHORTLIST}
+), rr AS (
+  -- exact rerank on shortlist members only
+  SELECT s.query_id, s.neighbor_id, s.approx_dist,
+         q.v AS qv, c.v AS cv
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+), scored AS (
+  SELECT query_id, neighbor_id, approx_dist, {_COS_SQL} AS cos_sim FROM rr
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim,
+       approx_dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
 WHERE rank <= {_K}
 """
 
@@ -3475,6 +3667,11 @@ QUERIES = [
         "per-subspace codebooks, search scans codes not floats)",
     ),
     QuerySpec(
+        "q_ann_rerank", q_ann_rerank, _ORACLE_ANN_RERANK,
+        "ext:similarity (filter-then-rerank: ADC code-scan shortlist, "
+        "exact cosine over shortlist members' floats only)",
+    ),
+    QuerySpec(
         "q_ann_ivfpq", q_ann_ivfpq, _ORACLE_ANN_IVFPQ,
         "ext:similarity (IVF-PQ: probed-cluster candidates scanned as "
         "PQ codes via ADC cosine — the production pairing)",
@@ -3493,6 +3690,11 @@ QUERIES = [
         "ext:similarity (incremental IVF index append: delta routed "
         "through the standing quantizer; per-ingest cost scales with "
         "the delta)",
+    ),
+    QuerySpec(
+        "q_ann_ivf_deletes", q_ann_ivf_deletes, _ORACLE_ANN_IVF_DELETES,
+        "ext:similarity (tombstone delete maintenance: clustered label "
+        "takedown, per-list dead fraction, compaction signal)",
     ),
     QuerySpec(
         "q_ivf_roundtrip", q_ivf_roundtrip, _ORACLE_ANN_IVF_INCREMENTAL,

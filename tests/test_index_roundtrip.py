@@ -70,6 +70,54 @@ def test_ivf_roundtrip_equals_standing_quantizer_path(spark):
     )
 
 
+def test_tombstone_filtered_search_excludes_deleted(spark):
+    """The q_ann_ivf_deletes search contract: deletions are tombstones,
+    and search OVER-FETCHES (k + margin), anti-joins the tombstone set
+    (probed candidates only — never the corpus), and re-ranks to k.
+    The filtered result must contain no deleted id and still fill k
+    slots per query from live vectors."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _DELETE_LABELS,
+    )
+    from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+    raw = load_tables(spark, SF_DIR, "embeddings")
+    corpus = raw.filter(F.col("vec_id") % 10 != 0)
+    queries = corpus.filter(F.col("vec_id") % 100 == 51).limit(5)
+    tomb = corpus.filter(F.col("label").isin(*_DELETE_LABELS)).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    k = 3
+    over = ivf_topk(
+        corpus.select("vec_id", "embedding"),
+        queries.select("vec_id", "embedding"),
+        k=k + 8,  # over-fetch margin for the ~30% dead rate
+        centroid_mod=64,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    filtered = (
+        over.join(F.broadcast(tomb), "neighbor_id", "left_anti")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+    )
+    rows = filtered.collect()
+    dead = {r.neighbor_id for r in tomb.collect()}
+    assert rows, "filtered search returned nothing"
+    assert not any(r.neighbor_id in dead for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v == k for v in per_q.values()), per_q
+
+
 def test_roundtrip_cleans_up_workdir(spark, tmp_path):
     """The versioned store is reclaimed after the result is pinned —
     no per-call directory leak (the q_stream_semdedup discipline)."""
