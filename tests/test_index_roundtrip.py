@@ -118,6 +118,140 @@ def test_tombstone_filtered_search_excludes_deleted(spark):
     assert all(v == k for v in per_q.values()), per_q
 
 
+def test_list_compaction_preserves_filtered_search(spark, tmp_path):
+    """Executing the q_ann_ivf_deletes compaction signal: rewrite ONLY
+    the flagged lists (drop their dead rows), keep every other list
+    byte-identical, commit the compacted lists as the next index
+    version, and shrink the tombstone set to the dead rows of
+    UNFLAGGED lists. The invariant that makes the rewrite safe:
+    search(compacted lists, residual tombstones) must equal
+    search(original lists, full tombstones) row-for-row — compaction
+    changes storage, never results."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.functions.vectors import (
+        cosine_precomputed,
+    )
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+    )
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        read_version,
+        write_version,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
+        _COMPACT_DEAD_PCT,
+        _DELETE_LABELS,
+    )
+    from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+    raw = load_tables(spark, SF_DIR, "embeddings")
+    corpus = raw.filter(F.col("vec_id") % 10 != 0)
+    supers, cmap, inv, assign = ivf_index(
+        corpus.select("vec_id", "embedding"), centroid_mod=64, lloyd_iters=1
+    )
+    inv = inv.localCheckpoint(eager=True)  # the standing lists
+    tomb = corpus.filter(F.col("label").isin(*_DELETE_LABELS)).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    dead = inv.join(tomb, "neighbor_id").select("neighbor_id", "centroid_id")
+    pct = (
+        inv.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(
+            dead.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("d")),
+            "centroid_id",
+            "left",
+        )
+        .select(
+            "centroid_id",
+            F.round(F.coalesce("d", F.lit(0)) * 100.0 / F.col("n"), 4).alias(
+                "dead_pct"
+            ),
+        )
+    )
+    # the search-equivalence invariant is threshold-INDEPENDENT (any
+    # subset of lists may compact); production flags at
+    # _COMPACT_DEAD_PCT, but sf0.001's lists all sit below it, so the
+    # test compacts the single dirtiest list to guarantee a mixed
+    # flagged/unflagged state
+    assert _COMPACT_DEAD_PCT > 0
+    flagged = (
+        pct.orderBy(F.col("dead_pct").desc(), F.col("centroid_id").asc())
+        .limit(1)
+        .select("centroid_id")
+        .localCheckpoint(eager=True)
+    )
+    # compaction: drop dead rows from flagged lists ONLY
+    dead_in_flagged = dead.join(flagged, "centroid_id").select("neighbor_id")
+    compacted = inv.join(
+        F.broadcast(dead_in_flagged), "neighbor_id", "left_anti"
+    )
+    store = str(tmp_path / "inv")
+    write_version(inv, store)
+    v1 = write_version(compacted, store)
+    compacted = read_version(spark, store, v1)
+    # residual tombstones: dead rows living in UNFLAGGED lists
+    residual = dead.join(flagged, "centroid_id", "left_anti").select(
+        "neighbor_id"
+    )
+
+    def _search(lists, tombstones):
+        q = assign(
+            corpus.filter(F.col("vec_id") % 100 == 51)
+            .limit(5)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.expr("transform(embedding, x -> cast(x as double))").alias(
+                    "_qv"
+                ),
+            )
+            .withColumn(
+                "_qn",
+                F.sqrt(
+                    F.aggregate(
+                        "_qv", F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ),
+            ),
+            "_qv", "_qn", 2, supers, cmap,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            q.select("query_id", "centroid_id", "_qv", "_qn")
+            .join(lists, "centroid_id")
+            .join(F.broadcast(tombstones), "neighbor_id", "left_anti")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    cosine_precomputed(
+                        F.col("_qv"), F.col("_v"), F.col("_qn"), F.col("_cn")
+                    ),
+                    6,
+                ),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 3)
+            .select("query_id", "neighbor_id", "cos_sim")
+        )
+
+    before = _rows(_search(inv, tomb))
+    after = _rows(_search(compacted, residual))
+    assert before and before == after
+    # the rewrite actually removed rows, and only from flagged lists
+    n_flagged = flagged.count()
+    assert n_flagged >= 1, "fixture produced no flagged list"
+    assert compacted.count() == inv.count() - dead_in_flagged.count()
+    untouched = inv.join(flagged, "centroid_id", "left_anti")
+    assert untouched.exceptAll(
+        compacted.join(flagged, "centroid_id", "left_anti")
+    ).count() == 0
+
+
 def test_roundtrip_cleans_up_workdir(spark, tmp_path):
     """The versioned store is reclaimed after the result is pinned —
     no per-call directory leak (the q_stream_semdedup discipline)."""
