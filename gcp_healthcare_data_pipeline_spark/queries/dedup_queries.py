@@ -55,9 +55,18 @@ def clear_shared_state() -> None:
     as a phantom 3x regression across rounds (r14 verdict item 6).
     Production pipelines WANT the sharing; a benchmark of independent
     entries wants cold plans — this is the switch between the two."""
+    import gc  # noqa: PLC0415
+
     _SHINGLE_CACHE.clear()
     _PAIR_CACHE.clear()
     _LSH_PARAM_CACHE.clear()
+    # drop the py4j refs promptly: the lazily-checkpointed frames'
+    # blocks are released by Spark's ContextCleaner only once the JVM
+    # objects are unreachable, which requires the PYTHON refs to be
+    # collected first — without this, repeated clears at larger SFs
+    # stack dead checkpoint blocks in executor storage until a GC
+    # happens to run (review finding)
+    gc.collect()
 
 
 def _corpus_lsh_params(

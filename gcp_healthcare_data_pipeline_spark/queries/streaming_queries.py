@@ -10,6 +10,7 @@ tests/test_streaming.py and tests/test_stateful_streaming.py.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -48,21 +49,16 @@ from gcp_healthcare_data_pipeline_spark.streaming.windows import (
 _STATE_PARTITIONS = 8
 
 
+@contextmanager
 def _state_width(spark: SparkSession):
-    """Context manager scoping ``spark.sql.shuffle.partitions`` to
-    ``_STATE_PARTITIONS`` for the duration of a stream drain."""
-    from contextlib import contextmanager  # noqa: PLC0415
-
-    @contextmanager
-    def _scope():
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
-        try:
-            yield
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    return _scope()
+    """Scope ``spark.sql.shuffle.partitions`` to ``_STATE_PARTITIONS``
+    for the duration of a stream drain (restored on every exit)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_STATE_PARTITIONS))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _drain(

@@ -8,6 +8,8 @@ vec_id tie-breaks, so ranks are engine-stable.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -618,8 +620,6 @@ def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids + cluster members) is shape-identical to the semdedup
     one and composes the same way."""
     import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.similarity import (  # noqa: PLC0415
         ivf_index,
@@ -640,8 +640,7 @@ def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_before")
     )
-    root = tempfile.mkdtemp(prefix="q_ivf_roundtrip_")
-    try:
+    with _lifecycle_store("q_ivf_roundtrip_") as root:
         versions = {
             "supers": write_version(supers, os.path.join(root, "supers")),
             "cmap": write_version(cmap, os.path.join(root, "cmap")),
@@ -675,12 +674,10 @@ def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     4,
                 ).alias("growth_pct"),
             )
-            # pin the (centroid-count-sized) result before the finally
-            # reclaims the versioned store
+            # pin the (centroid-count-sized) result before the store is
+            # reclaimed
             .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 _ORACLE_ANN_IVF_INCREMENTAL = f"""
@@ -2109,6 +2106,24 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_screen(batch_assigned, survivors)
 
 
+@contextmanager
+def _lifecycle_store(prefix: str):
+    """mkdtemp → yield root → ALWAYS rmtree: the ONE scaffold shared by
+    the persisted-lifecycle gates (q_index_roundtrip, q_pq_roundtrip,
+    q_ivf_roundtrip), so the commit/load/cleanup sequence cannot drift
+    between them (the _route_batch one-definition discipline). Callers
+    MUST eagerly pin (``localCheckpoint(eager=True)``) anything they
+    return BEFORE the context exits — the store is reclaimed after."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield root
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED index lifecycle — r14 verdict item 1, the last step
     from "incremental-shaped query" to "incremental pipeline": build the
@@ -2132,8 +2147,6 @@ def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     to loads, the pointer flip is atomic, and an aged/corrupted
     uncommitted version never reaches a reader."""
     import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_snapshot_tables,
@@ -2146,8 +2159,7 @@ def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = _semdedup_survivors(assigned)
 
-    root = tempfile.mkdtemp(prefix="q_index_roundtrip_")
-    try:
+    with _lifecycle_store("q_index_roundtrip_") as root:
         versions = {
             "centroids": write_version(centroids, os.path.join(root, "centroids")),
             "m": write_version(m_frame, os.path.join(root, "m")),
@@ -2163,14 +2175,12 @@ def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         delta = emb.filter(F.col("vec_id") % 10 == 0)
         ba = _route_batch(delta, loaded["centroids"], loaded["m"])
-        # pin the (delta-sized) result before the finally reclaims the
-        # versioned store — the screen must fully execute off the LOADED
-        # tables, which is exactly what the eager checkpoint forces
+        # pin the (delta-sized) result before the store is reclaimed —
+        # the screen must fully execute off the LOADED tables, which is
+        # exactly what the eager checkpoint forces
         return _semdedup_screen(ba, loaded["survivors"]).localCheckpoint(
             eager=True
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def _semdedup_screen(
@@ -2539,6 +2549,11 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_cn", norm(F.col("_cv")))
         .join(F.broadcast(qv), "query_id")
+        # zero query or candidate norm → undefined cosine: DROP the pair
+        # (mirrored in the oracle's WHERE) rather than rank a NULL/NaN,
+        # where Spark and DuckDB window ordering diverge — the same
+        # guard q_ann_ivfpq carries (review finding)
+        .filter((F.col("_qn") > 0) & (F.col("_cn") > 0))
         .withColumn(
             "cos_sim",
             F.round(
@@ -2721,7 +2736,10 @@ WITH e AS (
   JOIN e q ON q.vec_id = s.query_id
   JOIN e c ON c.vec_id = s.neighbor_id
 ), scored AS (
+  -- zero-norm pairs DROPPED, mirroring the Spark _qn/_cn > 0 guard
   SELECT query_id, neighbor_id, approx_dist, {_COS_SQL} AS cos_sim FROM rr
+  WHERE list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i])) > 0
+    AND list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i])) > 0
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cos_sim,
        approx_dist
@@ -3413,8 +3431,6 @@ def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delta); the per-ingest cost here is |batch| x _PQ_SUBS x
     _PQ_CODES broadcast folds plus one constant-size table load."""
     import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_version,
@@ -3426,8 +3442,7 @@ def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_batch = F.col("vec_id") % 10 == 0
     cb1, _codes = _pq_codebook_and_codes(spark, emb.filter(~is_batch))
-    root = tempfile.mkdtemp(prefix="q_pq_roundtrip_")
-    try:
+    with _lifecycle_store("q_pq_roundtrip_") as root:
         write_version(cb1, os.path.join(root, "codebook"))
         loaded_cb = read_version(spark, os.path.join(root, "codebook"))
         return (
@@ -3435,12 +3450,9 @@ def q_pq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id", "sub", "code_id", F.col("_qdist").alias("qdist")
             )
-            # pin the (delta-sized) result before the finally reclaims
-            # the versioned store
+            # pin the (delta-sized) result before the store is reclaimed
             .localCheckpoint(eager=True)
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
 
 
 _ORACLE_PQ_INCREMENTAL = f"""
