@@ -56,9 +56,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-15 rotation (r14 verdict
-# item 2): head = the FIVE never-sampled round-15 additions (the three
-# persisted-lifecycle gates, the filter-then-rerank search, and the
-# tombstone delete maintenance), then the three PQ-family queries
+# item 2): head = the SIX never-sampled round-15 additions (the three
+# persisted-lifecycle gates, the filter-then-rerank search, the
+# tombstone delete maintenance, and the takedown reinstatement), then the three PQ-family queries
 # whose RESULT VALUES changed this round (codebooks now train on a
 # bounded hash-stratified sample, so every code and ADC distance
 # moved; the r14 rows are evidence for a build that no longer ships),
@@ -66,10 +66,10 @@ def all_queries() -> dict[str, QuerySpec]:
 # (q_text_canonical — corpus-derived twin offset; q_temperature_mix /
 # q_domain_mix / q_psi_drift / q_ab_chi_square — the tiny-frame window
 # spelling), then the LAST EIGHT r10-evidence queries (retiring the
-# r10 cohort entirely — 5 rounds stale), and 29 of the 43-query r11
+# r10 cohort entirely — 5 rounds stale), and 28 of the 43-query r11
 # cohort (the next-oldest evidence; q_domain_mix counts against the
 # cohort from the plan-changed section). That is exactly 50 slots; the
-# remaining 13 r11 members are listed at 51+ so any sampling overrun
+# remaining 14 r11 members are listed at 51+ so any sampling overrun
 # refreshes oldest evidence first, and everything after them follows
 # plain registry order.
 _DRIVER_PRIORITY = [
@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "q_ivf_roundtrip",
     "q_ann_rerank",
     "q_ann_ivf_deletes",
+    "q_dedup_reinstate",
     # result values changed this round (sample-trained PQ codebooks)
     "q_ann_pq",
     "q_ann_ivfpq",
@@ -99,7 +100,7 @@ _DRIVER_PRIORITY = [
     "q_token_count",
     "q_token_count_bpe",
     "q_topk_orders",
-    # the r11 cohort, 29 of 43 (next-oldest evidence)
+    # the r11 cohort, 28 of 43 (next-oldest evidence)
     "q_boilerplate",
     "q_dedup_substring",
     "q_fuzzy_name_match",
@@ -128,11 +129,11 @@ _DRIVER_PRIORITY = [
     "q_salted_join",
     "q_sequence_packing",
     "q_shuffle_export",
-    "q_snapshot_diff",
-    # ---- 51+ : the remaining 13 r11-cohort members (q_domain_mix sits
+    # ---- 51+ : the remaining 14 r11-cohort members (q_domain_mix sits
     # in the plan-changed head section already), so a sampling
     # overrun refreshes oldest rows first; after these the tail is
     # plain registry order
+    "q_snapshot_diff",
     "q_stats_by_flag",
     "q_stratified_sample",
     "q_stream_dedup",

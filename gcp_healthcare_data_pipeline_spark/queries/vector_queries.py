@@ -2279,6 +2279,165 @@ FROM ba LEFT JOIN best ON best.vec_id = ba.vec_id
 """
 
 
+def q_dedup_reinstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown REINSTATEMENT — the delete-maintenance shape for the
+    SEMANTIC dedup family (the survivor-set analog of
+    q_ann_ivf_deletes): when a takedown tombstones docs (labels
+    ``_DELETE_LABELS`` pulled from the corpus), any previously-dropped
+    doc whose KEEPER died must be re-adjudicated — it either re-enters
+    the corpus (reinstated) or re-attaches to the lowest LIVE lower-id
+    near-dup in its cluster (still_dup, new keeper emitted).
+
+    Correctness without recompute: the q_semdedup drop rule is
+    CLUSTER-LOCAL under frozen blocking (a doc's status depends only on
+    lower-id live docs sharing its centroid), so re-screening ONLY the
+    candidates — dropped docs with a tombstoned keeper, themselves
+    alive — against their cluster's live members is row-identical to
+    re-running dedup on the whole post-takedown corpus. Cost ∝
+    |candidates| x cluster-live, never the corpus; the standing drops
+    table would be LOADED in production (the q_index_roundtrip
+    lifecycle), rebuilt here so the oracle can mirror it."""
+    from pyspark.sql import Window
+
+    raw = load_tables(spark, sf_dir, "embeddings")
+    emb = raw.select("vec_id", as_double("embedding").alias("v"))
+    assigned = _blocked_assignment(emb)
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_keep"),
+        F.col("v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("id_drop"),
+        F.col("v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    pairs = (
+        a.join(b, ["centroid_id"])
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THR)
+        .select("id_drop", "id_keep")
+    )
+    old = pairs.groupBy("id_drop").agg(F.min("id_keep").alias("old_keeper"))
+    tomb = raw.filter(F.col("label").isin(*_DELETE_LABELS)).select("vec_id")
+    cand = (
+        old.join(
+            tomb.select(F.col("vec_id").alias("old_keeper")),
+            "old_keeper",
+            "semi",
+        )
+        .join(
+            tomb.select(F.col("vec_id").alias("id_drop")),
+            "id_drop",
+            "left_anti",
+        )
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("id_drop"), "centroid_id", "v", "_n"
+            ),
+            "id_drop",
+        )
+    )
+    live = assigned.join(tomb, "vec_id", "left_anti").select(
+        "centroid_id",
+        F.col("vec_id").alias("id_keep"),
+        F.col("v").alias("_vl"),
+        F.col("_n").alias("_nl"),
+    )
+    # candidates are the SMALL side (drops of tombstoned keepers):
+    # broadcast them onto the live cluster members
+    hits = (
+        F.broadcast(cand).join(live, "centroid_id")
+        .filter(F.col("id_keep") < F.col("id_drop"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_precomputed(
+                    F.col("_vl"), F.col("v"), F.col("_nl"), F.col("_n")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= _SEMDEDUP_THR)
+    )
+    w = Window.partitionBy("id_drop").orderBy(F.col("id_keep").asc())
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id_drop", "id_keep", "cos_sim")
+    )
+    return (
+        cand.select("id_drop", "centroid_id", "old_keeper")
+        .join(F.broadcast(best), "id_drop", "left")
+        .select(
+            F.col("id_drop").alias("vec_id"),
+            "centroid_id",
+            "old_keeper",
+            F.coalesce("id_keep", F.lit(-1)).alias("new_duplicate_of"),
+            F.coalesce("cos_sim", F.lit(-1.0)).alias("cos_sim"),
+            F.col("id_keep").isNull().cast("int").alias("reinstated"),
+        )
+    )
+
+
+_ORACLE_DEDUP_REINSTATE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {_C0_SQL}, {_hier_assign_sql("c0", "a1", "h1")}, d1 AS (
+  SELECT centroid_id, i AS pos, AVG(v[i]) AS cval
+  FROM a1, UNNEST(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+), c1 AS (
+  SELECT centroid_id, list(cval ORDER BY pos) AS c FROM d1 GROUP BY 1
+), {_hier_assign_sql("c1", "a2", "h2")}, pairs AS (
+  SELECT b.vec_id AS id_drop, a.vec_id AS id_keep
+  FROM a2 a JOIN a2 b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {_cosr_sql("a.v", "b.v")} >= {_SEMDEDUP_THR}
+), old AS (
+  SELECT id_drop, MIN(id_keep) AS old_keeper FROM pairs GROUP BY 1
+), tomb AS (
+  SELECT vec_id FROM embeddings WHERE label IN {_DELETE_LABELS}
+), cand AS (
+  SELECT o.id_drop, o.old_keeper, a2.centroid_id, a2.v
+  FROM old o
+  JOIN tomb t ON t.vec_id = o.old_keeper
+  JOIN a2 ON a2.vec_id = o.id_drop
+  WHERE o.id_drop NOT IN (SELECT vec_id FROM tomb)
+), live AS (
+  SELECT * FROM a2 WHERE vec_id NOT IN (SELECT vec_id FROM tomb)
+), hits AS (
+  SELECT c.id_drop, l.vec_id AS id_keep, {_cosr_sql("l.v", "c.v")} AS cos_sim
+  FROM cand c JOIN live l
+    ON l.centroid_id = c.centroid_id AND l.vec_id < c.id_drop
+  WHERE {_cosr_sql("l.v", "c.v")} >= {_SEMDEDUP_THR}
+), best AS (
+  SELECT id_drop, id_keep, cos_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_drop
+      ORDER BY id_keep ASC) AS rn
+    FROM hits) _r
+  WHERE rn = 1
+)
+SELECT c.id_drop AS vec_id, c.centroid_id, c.old_keeper,
+  COALESCE(b.id_keep, -1) AS new_duplicate_of,
+  COALESCE(b.cos_sim, -1.0) AS cos_sim,
+  CAST(b.id_keep IS NULL AS INT) AS reinstated
+FROM cand c LEFT JOIN best b ON b.id_drop = c.id_drop
+"""
+
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric scalar quantization of the embedding column — the
     standard 4x storage/serving compression step before ANN at scale.
@@ -3707,6 +3866,12 @@ QUERIES = [
         "q_ann_ivf_deletes", q_ann_ivf_deletes, _ORACLE_ANN_IVF_DELETES,
         "ext:similarity (tombstone delete maintenance: clustered label "
         "takedown, per-list dead fraction, compaction signal)",
+    ),
+    QuerySpec(
+        "q_dedup_reinstate", q_dedup_reinstate, _ORACLE_DEDUP_REINSTATE,
+        "ext:dedup (takedown reinstatement: dropped docs with a "
+        "tombstoned keeper re-screened against live cluster members "
+        "only — reinstated or re-attached to the lowest live keeper)",
     ),
     QuerySpec(
         "q_ivf_roundtrip", q_ivf_roundtrip, _ORACLE_ANN_IVF_INCREMENTAL,

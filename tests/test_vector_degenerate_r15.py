@@ -17,6 +17,7 @@ from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
     _ORACLE_ANN_RERANK,
     q_ann_ivf_deletes,
     q_ann_rerank,
+    q_dedup_reinstate,
     q_index_roundtrip,
     q_ivf_roundtrip,
     q_pq_roundtrip,
@@ -33,6 +34,10 @@ CASES = [
     ]),
     (q_pq_roundtrip, ["vec_id", "sub", "code_id", "qdist"]),
     (q_ivf_roundtrip, ["centroid_id", "n_before", "n_appended", "growth_pct"]),
+    (q_dedup_reinstate, [
+        "vec_id", "centroid_id", "old_keeper", "new_duplicate_of",
+        "cos_sim", "reinstated",
+    ]),
 ]
 
 
