@@ -481,10 +481,12 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroid_mod PINNED (the epoch policy this query exists around:
     # production derives the mod once at index build and reuses it for
     # every append — an adaptive mod would re-shape the index per
-    # batch); 64 gives the dev corpora a multi-centroid index (the
-    # adaptive 256 leaves sf0.001's corpus a single seed)
+    # batch); _IVF_INCREMENTAL_MOD=64 gives the dev corpora a
+    # multi-centroid index (the adaptive 256 leaves sf0.001's corpus a
+    # single seed). The oracles interpolate the same constant, so there
+    # is exactly one definition to change.
     supers, cmap, assigned, assign = ivf_index(
-        corpus, centroid_mod=64, lloyd_iters=1
+        corpus, centroid_mod=_IVF_INCREMENTAL_MOD, lloyd_iters=1
     )
     b = batch.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -515,6 +517,10 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DELETE_LABELS = (0, 1, 2)  # the "source pulled from corpus" event
 _COMPACT_DEAD_PCT = 40.0  # rewrite a list when this % of it is dead
+# q_dedup_reinstate broadcasts its candidate set (rows carry full
+# embedding vectors) only when a bounded probe shows it under this many
+# rows; a mass-takedown candidate set falls back to a shuffled join
+_REINSTATE_BROADCAST_CAP = 100_000
 
 # the Spark side pins centroid_mod=64 (the epoch policy: derive once at
 # index build, reuse per append/delete maintenance)
@@ -547,7 +553,9 @@ def q_ann_ivf_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_tables(spark, sf_dir, "embeddings")
     corpus = raw.filter(F.col("vec_id") % 10 != 0)
     supers, cmap, assigned, assign = ivf_index(
-        corpus.select("vec_id", "embedding"), centroid_mod=64, lloyd_iters=1
+        corpus.select("vec_id", "embedding"),
+        centroid_mod=_IVF_INCREMENTAL_MOD,
+        lloyd_iters=1,
     )
     tomb = corpus.filter(F.col("label").isin(*_DELETE_LABELS)).select(
         F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("_dead")
@@ -635,7 +643,9 @@ def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     is_batch = F.col("vec_id") % 10 == 0
     supers, cmap, assigned, assign = ivf_index(
-        emb.filter(~is_batch), centroid_mod=64, lloyd_iters=1
+        emb.filter(~is_batch),
+        centroid_mod=_IVF_INCREMENTAL_MOD,
+        lloyd_iters=1,
     )
     occupancy = assigned.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_before")
@@ -2124,6 +2134,71 @@ def _lifecycle_store(prefix: str):
         shutil.rmtree(root, ignore_errors=True)
 
 
+# Session-standing committed semdedup index stores, one per sf_dir
+# (testdata is immutable within a session, so the key is sufficient).
+# This is the in-session stand-in for the production warehouse the
+# lifecycle gates (q_index_roundtrip) write to: the NIGHTLY INDEX BUILD
+# is a separate job from the screens that consume it, so consumers like
+# q_stream_semdedup load the committed tables instead of re-deriving
+# centroids+survivors from the corpus per invocation (r15 verdict
+# item 1 — that rebuild was the last "repairs the corpus per call"
+# path). q_index_roundtrip itself keeps building per call: measuring
+# build+commit+load IS that query's contract.
+_SEMDEDUP_STORES: "dict[str, str]" = {}
+
+
+def clear_standing_store() -> None:
+    """Drop every session-standing semdedup store (test isolation; also
+    lets a bench run force the build back into the measured path)."""
+    import shutil  # noqa: PLC0415
+
+    for root in _SEMDEDUP_STORES.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _SEMDEDUP_STORES.clear()
+
+
+def standing_semdedup_tables(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """LOAD the committed standing semdedup state (centroids, m,
+    survivors) for ``sf_dir``, building and committing it through the
+    versioned-table lifecycle first if this session hasn't yet — the
+    exact load half q_index_roundtrip's nightly screen runs. Returned
+    frames read from immutable ``v=NNNNNN`` parquet (doubles round-trip
+    bit-exactly), so a screen off the loaded tables hash-equals one off
+    the in-session lineage."""
+    import atexit  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_snapshot_tables,
+        write_snapshot_manifest,
+        write_version,
+    )
+
+    root = _SEMDEDUP_STORES.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="semdedup_store_")
+        _ba, assigned, centroids, m_frame = _incremental_standing_assigned(
+            spark, sf_dir
+        )
+        versions = {
+            "centroids": write_version(
+                centroids, os.path.join(root, "centroids")
+            ),
+            "m": write_version(m_frame, os.path.join(root, "m")),
+            "survivors": write_version(
+                _semdedup_survivors(assigned), os.path.join(root, "survivors")
+            ),
+        }
+        write_snapshot_manifest(root, versions, run_id="nightly-000001")
+        if not _SEMDEDUP_STORES:
+            atexit.register(clear_standing_store)
+        _SEMDEDUP_STORES[sf_dir] = root
+    return read_snapshot_tables(spark, root)
+
+
 def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED index lifecycle — r14 verdict item 1, the last step
     from "incremental-shaped query" to "incremental pipeline": build the
@@ -2296,7 +2371,13 @@ def q_dedup_reinstate(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-running dedup on the whole post-takedown corpus. Cost ∝
     |candidates| x cluster-live, never the corpus; the standing drops
     table would be LOADED in production (the q_index_roundtrip
-    lifecycle), rebuilt here so the oracle can mirror it."""
+    lifecycle), rebuilt here so the oracle can mirror it.
+
+    The candidate side carries full embedding vectors, so it is only
+    broadcast when a bounded probe (``limit(N+1).count()``) confirms it
+    is small; a mass takedown that orphans a corpus-scale fraction of
+    drops falls back to the ordinary shuffled join on centroid_id
+    instead of OOMing the driver."""
     from pyspark.sql import Window
 
     raw = load_tables(spark, sf_dir, "embeddings")
@@ -2355,10 +2436,18 @@ def q_dedup_reinstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("_vl"),
         F.col("_n").alias("_nl"),
     )
-    # candidates are the SMALL side (drops of tombstoned keepers):
-    # broadcast them onto the live cluster members
+    # candidates are USUALLY the small side (drops of tombstoned
+    # keepers), but a mass takedown can make them corpus-scale and the
+    # rows carry full embedding vectors — probe with a short-circuiting
+    # limit+count and only broadcast below the cap; otherwise keep the
+    # shuffled centroid_id join (both sides already exchange on it)
+    cand_is_small = (
+        cand.limit(_REINSTATE_BROADCAST_CAP + 1).count()
+        <= _REINSTATE_BROADCAST_CAP
+    )
+    cand_side = F.broadcast(cand) if cand_is_small else cand
     hits = (
-        F.broadcast(cand).join(live, "centroid_id")
+        cand_side.join(live, "centroid_id")
         .filter(F.col("id_keep") < F.col("id_drop"))
         .withColumn(
             "cos_sim",
@@ -2377,9 +2466,12 @@ def q_dedup_reinstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("id_drop", "id_keep", "cos_sim")
     )
+    # best has at most one row per candidate, so the same probe verdict
+    # governs its broadcast
+    best_side = F.broadcast(best) if cand_is_small else best
     return (
         cand.select("id_drop", "centroid_id", "old_keeper")
-        .join(F.broadcast(best), "id_drop", "left")
+        .join(best_side, "id_drop", "left")
         .select(
             F.col("id_drop").alias("vec_id"),
             "centroid_id",

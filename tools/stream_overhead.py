@@ -31,32 +31,35 @@ sys.path.insert(0, "/root/repo")
 # breach on ordinary first-stream-of-iteration spikes (Python worker,
 # checkpoint dir, commit log) when --n is small.
 ENVELOPE_MED_S = {
-    # Re-pinned round 15 (2026-08-16) on a near-idle host (bench anchor
-    # ratio 0.966 vs the pinned idle ref) after the _STATE_PARTITIONS=8
-    # drain-width change: the stream-stream joins dropped from ~7-10 s
-    # to ~4 s (32x4 join state stores -> 8x4), so every r14 number was
-    # stale and the whole table is a fresh pin of that session's --n 3
-    # medians (not max-over-measurements — the r14 values measured a
-    # different drain plan AND known contention; carrying their maxes
-    # forward would hide regressions behind a dead config's envelope).
-    # q_stream_semdedup's cost shape: the standing centroid+survivor
-    # build (eager, once per call — the same work q_semdedup_incremental
-    # does) dominates; the two per-micro-batch screens are the
-    # sf-scaling part. Its first-call-of-session reading spikes ~2x
-    # (codegen + stream machinery warm-up) — that lands in max, not
-    # median.
-    "q_stream_semdedup": 12.78,
+    # Round-16 convention repair (ADVICE r15 low #1): the r15 re-pin
+    # took one n=3 session's medians verbatim, abandoning the
+    # element-wise-max convention even for streams whose improvement was
+    # NOT the A/B'd _STATE_PARTITIONS cause — with documented same-day
+    # contention swings up to ~1.9x, a single-session pin can
+    # false-alarm --check on a busy host. This table is the element-wise
+    # MAX of the r15 near-idle medians (anchor ratio 0.966) and the r10
+    # idle medians (the prior controlled pin), EXCEPT the two
+    # stream-stream joins, which keep the r15 values alone: their r10
+    # numbers measured the dead 32-wide state-store plan (15.9->4.1 s
+    # and 11.2->4.0 s A/B'd at identical output), so carrying those
+    # maxes forward would hide an 8-wide regression behind a dead
+    # config's envelope. q_stream_semdedup (added r14, no r10 row) was
+    # re-pinned round 16 after its foreachBatch body switched to LOADING
+    # standing state from the versioned warehouse tables instead of
+    # rebuilding centroids+survivors per invocation — the r15 12.78 s
+    # measured the rebuild plan that no longer ships.
+    "q_stream_semdedup": 4.08,
     "q_stream_backfill": 2.11,
     "q_stream_dedup": 3.56,
     "q_stream_left_join": 4.05,
     "q_stream_scd2": 1.99,
     "q_stream_session": 2.92,
-    "q_stream_sliding": 1.26,
+    "q_stream_sliding": 1.62,
     "q_stream_stateful_profiles": 2.70,
-    "q_stream_static_join": 1.49,
+    "q_stream_static_join": 1.60,
     "q_stream_stream_join": 4.07,
     "q_stream_timeout_flush": 3.86,
-    "q_stream_tumbling": 2.21,
+    "q_stream_tumbling": 2.57,
     "q_stream_upsert": 1.10,
 }
 ENVELOPE_MARGIN = 1.5
