@@ -55,84 +55,26 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
-# driver-vs-oracle evidence each round. Round-15 rotation (r14 verdict
-# item 2): head = the SIX never-sampled round-15 additions (the three
-# persisted-lifecycle gates, the filter-then-rerank search, the
-# tombstone delete maintenance, and the takedown reinstatement), then the three PQ-family queries
-# whose RESULT VALUES changed this round (codebooks now train on a
-# bounded hash-stratified sample, so every code and ADC distance
-# moved; the r14 rows are evidence for a build that no longer ships),
-# then the five queries whose PLAN changed with bit-identical results
-# (q_text_canonical — corpus-derived twin offset; q_temperature_mix /
-# q_domain_mix / q_psi_drift / q_ab_chi_square — the tiny-frame window
-# spelling), then the LAST EIGHT r10-evidence queries (retiring the
-# r10 cohort entirely — 5 rounds stale), and 28 of the 43-query r11
-# cohort (the next-oldest evidence; q_domain_mix counts against the
-# cohort from the plan-changed section). That is exactly 50 slots; the
-# remaining 14 r11 members are listed at 51+ so any sampling overrun
-# refreshes oldest evidence first, and everything after them follows
-# plain registry order.
+# driver-vs-oracle evidence each round. Round-16 rotation (r15 verdict
+# item 2): head = the ONE never-sampled round-16 addition (IVF-PQ
+# tombstone delete maintenance), then q_stream_semdedup (this round's
+# plan-changed query: its foreachBatch body now loads standing state
+# from the versioned store, results bit-identical), then the full
+# 14-query r11-evidence cohort (the oldest standing rows — retiring
+# r11 entirely, as r15 retired r10), then 34 of the 43-query r12
+# cohort (alphabetical — the next-oldest evidence). That is exactly
+# 50 slots; the remaining 9 r12 members are listed at 51+ so any
+# sampling overrun refreshes oldest evidence first, then
+# q_dedup_reinstate (plan changed this round: conditional candidate
+# broadcast, results bit-identical, r15 evidence still fresh), and
+# everything after follows plain registry order.
 _DRIVER_PRIORITY = [
     # NEW this round (never driver-sampled)
-    "q_index_roundtrip",
-    "q_pq_roundtrip",
-    "q_ivf_roundtrip",
-    "q_ann_rerank",
-    "q_ann_ivf_deletes",
-    "q_dedup_reinstate",
-    # result values changed this round (sample-trained PQ codebooks)
-    "q_ann_pq",
-    "q_ann_ivfpq",
-    "q_pq_incremental",
-    # plan changed, results bit-identical (derived offset / tiny-frame
-    # window)
-    "q_text_canonical",
-    "q_temperature_mix",
-    "q_domain_mix",
-    "q_psi_drift",
-    "q_ab_chi_square",
-    # the last eight r10-evidence queries (oldest rows in the registry)
-    "q_quarantine_documents",
-    "q_rarity_score",
-    "q_rolling_fingerprint",
-    "q_sql_revenue_by_segment",
-    "q_text_quality",
-    "q_token_count",
-    "q_token_count_bpe",
-    "q_topk_orders",
-    # the r11 cohort, 28 of 43 (next-oldest evidence)
-    "q_boilerplate",
-    "q_dedup_substring",
-    "q_fuzzy_name_match",
-    "q_contamination",
-    "q_customer_running_total",
-    "q_customers_no_orders",
-    "q_dedup_passages",
-    "q_events_asof_error",
-    "q_events_error_rate",
-    "q_events_funnel",
-    "q_events_sessionize",
-    "q_events_sliding",
-    "q_events_tumbling",
-    "q_gap_fill",
-    "q_grouping_sets",
-    "q_incremental_agg",
-    "q_length_histogram",
-    "q_ntile_quartiles",
-    "q_percentiles",
-    "q_pii_redaction",
-    "q_profile_table",
-    "q_range_join_shipping",
-    "q_retention_cohorts",
-    "q_rolling_revenue",
-    "q_salted_agg",
-    "q_salted_join",
-    "q_sequence_packing",
-    "q_shuffle_export",
-    # ---- 51+ : the remaining 14 r11-cohort members (q_domain_mix sits
-    # in the plan-changed head section already), so a sampling
-    # overrun refreshes oldest rows first; after these the tail is
-    # plain registry order
+    "q_ann_ivfpq_deletes",
+    # plan changed this round, results bit-identical (loads the
+    # standing semdedup state instead of rebuilding it)
+    "q_stream_semdedup",
+    # the full r11-evidence cohort (oldest standing rows; retire r11)
     "q_snapshot_diff",
     "q_stats_by_flag",
     "q_stratified_sample",
@@ -147,4 +89,53 @@ _DRIVER_PRIORITY = [
     "q_train_split",
     "q_unpivot_balances",
     "q_user_zscore",
+    # the r12 cohort, 34 of 43 (next-oldest evidence)
+    "q_above_avg_orders",
+    "q_ann_lsh",
+    "q_approx_distinct",
+    "q_approx_quantiles",
+    "q_cdc_apply",
+    "q_cluster_balance",
+    "q_compaction_roundtrip",
+    "q_conversion_latency",
+    "q_coreset_select",
+    "q_countmin_heavy",
+    "q_cube_sales",
+    "q_dq_checks",
+    "q_embedding_quantize",
+    "q_event_transitions",
+    "q_events_variant",
+    "q_ewma_values",
+    "q_feature_hashing",
+    "q_golden_record",
+    "q_group_split",
+    "q_hll_incremental",
+    "q_image_coreset",
+    "q_importance_weights",
+    "q_knn_graph",
+    "q_market_share",
+    "q_mart_refresh",
+    "q_oov_rate",
+    "q_pmi_collocations",
+    "q_regional_supplier_volume",
+    "q_robust_outliers",
+    "q_rolling_active_users",
+    "q_sequence_pattern",
+    "q_set_ops",
+    "q_shipping_priority",
+    "q_skew_diagnose",
+    # ---- 51+ : the remaining 9 r12-cohort members, then the
+    # plan-changed-but-fresh reinstatement query, so a sampling
+    # overrun refreshes oldest rows first; after these the tail is
+    # plain registry order
+    "q_stream_backfill",
+    "q_stream_left_join",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_timeout_flush",
+    "q_unigram_logprob",
+    "q_version_diff",
+    "q_weighted_sample",
+    "q_zorder_stats",
+    "q_dedup_reinstate",
 ]

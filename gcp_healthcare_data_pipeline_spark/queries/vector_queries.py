@@ -3177,6 +3177,115 @@ WHERE rank <= {_K}
 """
 
 
+def q_ann_ivfpq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone DELETE maintenance for the IVF-PQ composite path (r15
+    verdict item 6): production serves from IVF-PQ, where a deleted
+    vector's PQ CODES stay in its inverted list and keep matching ADC
+    scans until the list is rewritten. Deletions land as a tombstone
+    set (the q_ann_ivf_deletes event shape: three labels pulled from
+    the corpus), search over-fetches and anti-joins the tombstones on
+    the probed candidate set only (tests/test_ivfpq_deletes.py pins
+    that contract plus compaction search-safety), and a compaction job
+    rewrites ONLY the lists whose dead fraction crossed the threshold.
+
+    This query emits that compaction signal over the CODE tables — the
+    physical unit an ADC scan reads: per centroid, vector and code-row
+    occupancy (each vector carries ``_PQ_SUBS`` code rows, counted from
+    the code table so an incomplete encode surfaces as a mismatch, not
+    a silent constant), the dead fractions, and the rewrite flag at
+    ``_COMPACT_DEAD_PCT``. Joins are tombstones ⟕ inverted lists ⋈
+    per-vector code counts, all on the id key — at 100 TB every side is
+    id-partitioned so the exchange is the minimal keyed one, and the
+    report is |centroids|-sized."""
+    from gcp_healthcare_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+    )
+
+    raw = load_tables(spark, sf_dir, "embeddings")
+    corpus = raw.filter(F.col("vec_id") % 10 != 0)
+    supers, cmap, assigned, assign = ivf_index(
+        corpus.select("vec_id", "embedding"),
+        centroid_mod=_IVF_INCREMENTAL_MOD,
+        lloyd_iters=1,
+    )
+    emb = corpus.select(
+        "vec_id", as_double("embedding").alias("v")
+    ).localCheckpoint(eager=False)
+    _cb1, codes = _pq_codebook_and_codes(spark, emb)
+    tomb = corpus.filter(F.col("label").isin(*_DELETE_LABELS)).select(
+        F.col("vec_id").alias("neighbor_id"), F.lit(1).alias("_dead")
+    )
+    code_rows = (
+        codes.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    rep = (
+        assigned.select("neighbor_id", "centroid_id")
+        .join(tomb, "neighbor_id", "left")
+        .join(code_rows, "neighbor_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.coalesce(F.col("_dead"), F.lit(0))).alias("n_dead"),
+            F.sum("_nc").alias("n_code_rows"),
+            F.sum(
+                F.coalesce(F.col("_dead"), F.lit(0)) * F.col("_nc")
+            ).alias("n_dead_code_rows"),
+        )
+    )
+    dead_pct = F.round(
+        F.col("n_dead_code_rows") * F.lit(100.0) / F.col("n_code_rows"), 4
+    )
+    return rep.select(
+        "centroid_id",
+        "n_vectors",
+        "n_dead",
+        (F.col("n_vectors") - F.col("n_dead")).alias("n_live"),
+        "n_code_rows",
+        "n_dead_code_rows",
+        dead_pct.alias("dead_pct"),
+        (dead_pct >= F.lit(_COMPACT_DEAD_PCT)).cast("int").alias(
+            "needs_compaction"
+        ),
+    )
+
+
+_ORACLE_ANN_IVFPQ_DELETES = f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 10 <> 0
+), {_ivf_build_sql(str(_IVF_INCREMENTAL_MOD))}, e AS (
+  SELECT neighbor_id AS vec_id, cv AS v FROM c
+), {_pq_build_sql()}, tomb AS (
+  SELECT vec_id AS neighbor_id FROM embeddings
+  WHERE vec_id % 10 <> 0 AND label IN {_DELETE_LABELS}
+), cr AS (
+  SELECT vec_id AS neighbor_id, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM codes GROUP BY 1
+), rep AS (
+  SELECT a.centroid_id,
+    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dead,
+    CAST(SUM(cr.nc) AS BIGINT) AS n_code_rows,
+    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN cr.nc ELSE 0 END)
+         AS BIGINT) AS n_dead_code_rows
+  FROM c_assign a
+  JOIN cr ON cr.neighbor_id = a.neighbor_id
+  LEFT JOIN tomb t ON t.neighbor_id = a.neighbor_id
+  GROUP BY 1
+)
+SELECT centroid_id, n_vectors, n_dead,
+  n_vectors - n_dead AS n_live,
+  n_code_rows, n_dead_code_rows,
+  ROUND(n_dead_code_rows * 100.0 / n_code_rows, 4) AS dead_pct,
+  CAST(ROUND(n_dead_code_rows * 100.0 / n_code_rows, 4)
+       >= {_COMPACT_DEAD_PCT} AS INT) AS needs_compaction
+FROM rep
+"""
+
+
 _KNN_K = 3
 
 
@@ -3958,6 +4067,13 @@ QUERIES = [
         "q_ann_ivf_deletes", q_ann_ivf_deletes, _ORACLE_ANN_IVF_DELETES,
         "ext:similarity (tombstone delete maintenance: clustered label "
         "takedown, per-list dead fraction, compaction signal)",
+    ),
+    QuerySpec(
+        "q_ann_ivfpq_deletes", q_ann_ivfpq_deletes,
+        _ORACLE_ANN_IVFPQ_DELETES,
+        "ext:similarity (tombstone delete maintenance for the IVF-PQ "
+        "composite: dead CODE rows per inverted list, compaction "
+        "signal over the ADC scan unit)",
     ),
     QuerySpec(
         "q_dedup_reinstate", q_dedup_reinstate, _ORACLE_DEDUP_REINSTATE,
