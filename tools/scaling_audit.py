@@ -606,6 +606,207 @@ def run_third_step(spark, threshold: float):
     return rows, flagged, errors
 
 
+_TEXT_CELL_QUERIES = [
+    # the window/posting-list text-dedup families whose blow-up behavior
+    # was asserted in prose but (unlike the vector family) had no
+    # measured large-N instrument before r16 (r15 verdict item 5)
+    "q_dedup_passages",
+    "q_dedup_substring",
+    "q_boilerplate",
+]
+
+# tokens injected as a shared boilerplate block for the df-cap recall
+# probe: 10 tokens -> 8 trigram shingles, each landing in every injected
+# doc, so their document frequency == the injection count
+_BOILER_BLOCK = (
+    "terms of service apply all rights reserved contact support here"
+)
+
+
+def _build_dfcap_corpus(spark, src_sf: str, n_inject: int) -> str:
+    """sf0.1 documents plus a shared boilerplate block appended to
+    ``n_inject`` docs (df > _DF_CAP for the block's shingles — the
+    regime where the cap BINDS; the base corpus's max shingle df is 25,
+    so the cap is invisible without the injection), plus one mangled
+    near-dup twin that ALSO carries the block — a genuine dup pair whose
+    shared-shingle count straddles the cap, pinning that capping common
+    shingles does not lose it."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="sf_dfcap_")
+    atexit.register(shutil.rmtree, out, True)
+    docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
+    n_docs = docs.count()
+    stride = max(1, n_docs // n_inject)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % stride == 0,
+            F.concat("text", F.lit(" " + _BOILER_BLOCK)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+    # the near-dup twin of the lowest injected doc: same text minus its
+    # last two tokens (jaccard >> threshold), block included
+    base = injected.filter(F.col("doc_id") % stride == 0).orderBy(
+        "doc_id"
+    ).limit(1)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    twin = base.select(
+        F.lit(max_id + 1).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.split("text", " "), 1, F.size(F.split("text", " ")) - 2
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+    injected.unionByName(twin).coalesce(4).write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    for f in os.listdir(src_sf):
+        dst = os.path.join(out, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(src_sf, f), dst)
+    return out
+
+
+def run_text_cell(spark, threshold: float):
+    """The r15-verdict item-5 cell, two halves:
+
+    1. WALL-CLOCK CURVATURE for the window/posting text-dedup families
+       at 500 -> 5k -> 50k docs (sf0.01 -> sf0.1 -> 10x blow-up; the
+       blow-up's per-copy token rewrite keeps dup density constant, so
+       the step measures plan scaling, not data-property drift). Flags
+       any family whose second 10x step exceeds ``threshold``.
+    2. DF-CAP RECALL COST for the posting-list families' shared
+       ``max_df=_DF_CAP`` bound: on a corpus where the cap BINDS
+       (injected boilerplate block at df ~3x the cap), compare the
+       capped q_dedup_ngram_jaccard pipeline against the uncapped
+       ground truth — candidate-pair volume saved vs final dup pairs
+       lost. The cap's design claim is that beyond-cap shingles add
+       candidates without adding information; this cell measures it.
+    """
+    from pyspark.sql import functions as F
+
+    from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+        jaccard_from_counts,
+        pair_intersections,
+        shingle_sizes,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries import all_queries
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+        _DF_CAP,
+        _JACCARD_THRESHOLD,
+        _shared_shingles,
+    )
+
+    specs = all_queries()
+    rc = 0
+
+    # -- half 1: curvature across 500 -> 5k -> 50k docs ----------------
+    print("building 10x blow-up of sf0.1 (50k docs) ...")
+    blow1 = build_blowup(spark, BIG_SF, 10)
+    print(f"{'query':28s} {'5k docs':>9s} {'50k docs':>10s}  x(2nd step)")
+    for name in _TEXT_CELL_QUERIES:
+        spec = specs[name]
+        try:
+            spec.fn(spark, SMALL_SF).count()  # codegen warmup
+            t0 = time.perf_counter()
+            spec.fn(spark, BIG_SF).count()
+            t_base = time.perf_counter() - t0
+            # best-of-2 on both judged cells: cold reads only add time
+            t0 = time.perf_counter()
+            spec.fn(spark, BIG_SF).count()
+            t_base = min(t_base, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            spec.fn(spark, blow1).count()
+            t_blow = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            spec.fn(spark, blow1).count()
+            t_blow = min(t_blow, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            print(f"{name:28s} ERROR {type(exc).__name__}: {exc}"[:140])
+            continue
+        ratio = t_blow / max(t_base, 1e-9)
+        flag = ratio > threshold and (
+            t_base >= 0.15 or t_blow >= 0.15 * threshold
+        )
+        mark = "  <-- SUPERLINEAR" if flag else ""
+        if flag:
+            rc = 1
+        print(f"{name:28s} {t_base:8.3f}s {t_blow:9.3f}s  x{ratio:6.2f}{mark}")
+
+    # -- half 2: df-cap recall cost on a cap-binding corpus ------------
+    n_inject = 3 * _DF_CAP  # block shingle df ~150 vs cap 50
+    print(f"\nbuilding df-cap probe corpus (block df ~{n_inject}, "
+          f"cap {_DF_CAP}) ...")
+    cell = _build_dfcap_corpus(spark, BIG_SF, n_inject)
+
+    def _pipeline(max_df):
+        sh = _shared_shingles(spark, cell)
+        cand = pair_intersections(sh, min_df=2, max_df=max_df)
+        n_cand = cand.count()
+        sizes = shingle_sizes(sh)
+        na = sizes.select(
+            F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")
+        )
+        nb = sizes.select(
+            F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
+        )
+        final = (
+            cand.filter(F.col("n_shared") >= 5)
+            .join(na, "id_a")
+            .join(nb, "id_b")
+            .filter(
+                jaccard_from_counts(
+                    F.col("n_shared"), F.col("n_a"), F.col("n_b")
+                )
+                >= _JACCARD_THRESHOLD
+            )
+            .select("id_a", "id_b")
+        )
+        return n_cand, {(r.id_a, r.id_b) for r in final.collect()}
+
+    n_cand_capped, dup_capped = _pipeline(_DF_CAP)
+    n_cand_full, dup_full = _pipeline(None)
+    lost = dup_full - dup_capped
+    recall = (
+        len(dup_full & dup_capped) / len(dup_full) if dup_full else 1.0
+    )
+    saved_pct = (
+        (n_cand_full - n_cand_capped) * 100.0 / n_cand_full
+        if n_cand_full
+        else 0.0
+    )
+    print(f"candidate pairs: capped {n_cand_capped:,} vs uncapped "
+          f"{n_cand_full:,}  ({saved_pct:.1f}% fan-out saved by the cap)")
+    print(f"final dup pairs: capped {len(dup_capped)} vs uncapped "
+          f"{len(dup_full)}  recall {recall:.4f}"
+          + (f"  LOST: {sorted(lost)[:10]}" if lost else ""))
+    if recall < 0.99:
+        rc = 1
+        print("<-- df-cap recall below 0.99 on the cap-binding corpus")
+    # the probe must actually bind: uncapped candidates must exceed
+    # capped (otherwise the corpus failed to exercise the cap and the
+    # recall number is vacuous)
+    if n_cand_full <= n_cand_capped:
+        rc = 1
+        print("<-- probe corpus did not bind the cap (vacuous cell)")
+    return rc
+
+
 def run_shard_cell(spark):
     """The r12-verdict item-1 'done' cell: on ONE corpus that spans
     several shards, show (a) every per-shard centroid table bounded by
@@ -1085,6 +1286,11 @@ def main() -> int:
     ap.add_argument("--pq-cell", action="store_true",
                     help="compression + shortlist-recall cell for "
                          "q_ann_pq (filter-then-rerank quality bar)")
+    ap.add_argument("--text-cell", action="store_true",
+                    help="r15-verdict item-5 cell: wall-clock curvature "
+                         "for the window/posting text-dedup families at "
+                         "50k docs + the df-cap's measured recall cost "
+                         "on a cap-binding corpus")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
@@ -1115,6 +1321,9 @@ def main() -> int:
 
     if args.pq_cell:
         return run_pq_cell(spark)
+
+    if args.text_cell:
+        return run_text_cell(spark, args.threshold)
 
     if args.third_step:
         rows, flagged, errors = run_third_step(spark, args.threshold)
