@@ -47,8 +47,12 @@ ENVELOPE_MED_S = {
     # re-pinned round 16 after its foreachBatch body switched to LOADING
     # standing state from the versioned warehouse tables instead of
     # rebuilding centroids+survivors per invocation — the r15 12.78 s
-    # measured the rebuild plan that no longer ships.
-    "q_stream_semdedup": 4.08,
+    # measured the rebuild plan that no longer ships. Its pin is the
+    # element-wise max of the two r16 idle measurements of the LOAD
+    # plan (3.62 canonical --n 3 median; 4.27 same-day warm-call
+    # median); its first-call-of-session MAX (~18 s) is the one-time
+    # standing-store build — lands in max, never in median.
+    "q_stream_semdedup": 4.27,
     "q_stream_backfill": 2.11,
     "q_stream_dedup": 3.56,
     "q_stream_left_join": 4.05,
