@@ -145,6 +145,38 @@ def run_sweep(
     return times, errors
 
 
+def aggregate_runs(
+    samples: "dict[str, list[float]]",
+    errors_by_run: "list[dict[str, str]]",
+) -> "tuple[dict[str, float], dict[str, float], dict[str, list[float]], dict[str, str], dict[str, int]]":
+    """Pure aggregation of N sweep runs into the artifact maps
+    (unit-tested in tests/test_bench_aggregate.py): per-query MEDIANS
+    split into (timings, exempt) by the q_stream_ prefix, min/max
+    spread, hard errors (zero successful samples) and flaky counts
+    (errored in some runs, succeeded in others)."""
+    errors: dict[str, str] = {}
+    flaky: dict[str, int] = {}
+    for errs in errors_by_run:
+        for name, msg in errs.items():
+            if name in samples:
+                flaky[name] = flaky.get(name, 0) + 1
+            else:
+                errors[name] = msg
+    timings: dict[str, float] = {}
+    exempt: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name, xs in samples.items():
+        med = round(statistics.median(xs), 3)
+        spread[name] = [min(xs), max(xs)]
+        # q_stream_* each pay a FIXED Structured-Streaming drain cost
+        # (stream start, state store, availableNow commit log) that does
+        # not scale with sf — measured and reported, but kept out of the
+        # headline sf-scaling total so the metric tracks query
+        # throughput, not per-stream session setup
+        (exempt if name.startswith("q_stream_") else timings)[name] = med
+    return timings, exempt, spread, errors, flaky
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -202,27 +234,9 @@ def main() -> None:
 
     # a query is an ERROR row only if it produced no successful sample at
     # all; partial failures keep their successful samples and are flagged
-    errors: dict[str, str] = {}
-    flaky: dict[str, int] = {}
-    for errs in errors_by_run:
-        for name, msg in errs.items():
-            if name in samples:
-                flaky[name] = flaky.get(name, 0) + 1
-            else:
-                errors[name] = msg
-
-    timings: dict[str, float] = {}
-    exempt: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name, xs in samples.items():
-        med = round(statistics.median(xs), 3)
-        spread[name] = [min(xs), max(xs)]
-        # q_stream_* each pay a FIXED Structured-Streaming drain cost
-        # (stream start, state store, availableNow commit log) that does
-        # not scale with sf — measured and reported, but kept out of the
-        # headline sf-scaling total so the metric tracks query
-        # throughput, not per-stream session setup
-        (exempt if name.startswith("q_stream_") else timings)[name] = med
+    timings, exempt, spread, errors, flaky = aggregate_runs(
+        samples, errors_by_run
+    )
 
     total = round(sum(timings.values()), 3)
 
