@@ -2436,6 +2436,13 @@ def q_dedup_reinstate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("_vl"),
         F.col("_n").alias("_nl"),
     )
+    # pin the candidate set ONCE (MEMORY_AND_DISK, so a corpus-scale
+    # candidate set spills instead of OOMing): it is consumed three
+    # times below (the size probe, the screen join, the final report
+    # join) and its lineage carries the full drop self-join — unpinned,
+    # the r16 probe recomputed that lineage a third time (+3.6 s at
+    # sf0.1)
+    cand = cand.localCheckpoint(eager=True)
     # candidates are USUALLY the small side (drops of tombstoned
     # keepers), but a mass takedown can make them corpus-scale and the
     # rows carry full embedding vectors — probe with a short-circuiting
