@@ -56,14 +56,15 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-16 rotation (r15 verdict
-# item 2): head = the ONE never-sampled round-16 addition (IVF-PQ
-# tombstone delete maintenance), then q_stream_semdedup (this round's
+# item 2): head = the TWO never-sampled round-16 additions (IVF-PQ
+# tombstone delete maintenance; the Gopher intra-doc repetition
+# filters), then q_stream_semdedup (this round's
 # plan-changed query: its foreachBatch body now loads standing state
 # from the versioned store, results bit-identical), then the full
 # 14-query r11-evidence cohort (the oldest standing rows — retiring
-# r11 entirely, as r15 retired r10), then 34 of the 43-query r12
+# r11 entirely, as r15 retired r10), then 33 of the 43-query r12
 # cohort (alphabetical — the next-oldest evidence). That is exactly
-# 50 slots; the remaining 9 r12 members are listed at 51+ so any
+# 50 slots; the remaining 10 r12 members are listed at 51+ so any
 # sampling overrun refreshes oldest evidence first, then
 # q_dedup_reinstate (plan changed this round: conditional candidate
 # broadcast, results bit-identical, r15 evidence still fresh), and
@@ -71,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
 _DRIVER_PRIORITY = [
     # NEW this round (never driver-sampled)
     "q_ann_ivfpq_deletes",
+    "q_repetition_gopher",
     # plan changed this round, results bit-identical (loads the
     # standing semdedup state instead of rebuilding it)
     "q_stream_semdedup",
@@ -123,11 +125,11 @@ _DRIVER_PRIORITY = [
     "q_sequence_pattern",
     "q_set_ops",
     "q_shipping_priority",
-    "q_skew_diagnose",
-    # ---- 51+ : the remaining 9 r12-cohort members, then the
+    # ---- 51+ : the remaining 10 r12-cohort members, then the
     # plan-changed-but-fresh reinstatement query, so a sampling
     # overrun refreshes oldest rows first; after these the tail is
     # plain registry order
+    "q_skew_diagnose",
     "q_stream_backfill",
     "q_stream_left_join",
     "q_stream_session",

@@ -107,6 +107,150 @@ FROM m
 """
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", table A1 — adapted from character-mass
+# to token-occurrence fractions since the corpus has no newlines and
+# the tokenizer is whitespace): a doc is dropped when its most common
+# bigram covers > 20% of bigram occurrences, when > 10% of its 10-gram
+# occurrences are repeats of an earlier one, or when > 30% of its
+# disjoint 5-word passages duplicate an earlier passage (the
+# duplicate-line-fraction analog).
+_REP_TOP_BIGRAM_MAX = 0.20
+_REP_DUP_10GRAM_MAX = 0.10
+_REP_DUP_PASSAGE_MAX = 0.30
+_REP_PASSAGE_W = 5
+
+
+def _rep_grams_sql(g: int) -> str:
+    """Stride-1 g-gram strings of the split column `ws`, empty array
+    for docs shorter than g (sequence(1,0) would DESCEND in Spark)."""
+    return (
+        f"CASE WHEN size(ws) >= {g} THEN "
+        f"transform(sequence(1, size(ws) - {g} + 1), "
+        f"i -> concat_ws(' ', slice(ws, i, {g}))) "
+        f"ELSE array() END"
+    )
+
+
+def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition filters — the Gopher repetition-rule
+    family (Rae et al. 2021 §A1.1), the standard public quality gate
+    the text family lacked: cross-document dedup (q_dedup_*) removes
+    corpus-level copies, but a single document that repeats ITSELF
+    (scraper loops, boilerplate stutter, keyword stuffing) passes every
+    cross-doc screen and still poisons a training mix.
+
+    Per doc: the token-occurrence share of the most frequent bigram,
+    the fraction of 10-gram occurrences that repeat an earlier one, the
+    fraction of disjoint 5-word passages duplicating an earlier passage
+    (the duplicate-line analog), and the keep flag at the documented
+    thresholds.
+
+    Plan shape — the 100 TB ideal for a text filter: every metric is a
+    per-row HOF over the token array (grams via transform+slice; the
+    top-bigram count via sort + one linear run-length fold, O(L log L)
+    per row), so the WHOLE query is one Project over the parquet scan —
+    zero exchanges, zero candidate space, embarrassingly parallel. The
+    oracle recomputes the mode with unnest+GROUP BY; values match
+    because both count the same multiset."""
+    docs = load_tables(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    bg = _rep_grams_sql(2)
+    tg = _rep_grams_sql(10)
+    ps = (
+        f"transform(sequence(0, cast(ceil(size(ws) / {_REP_PASSAGE_W}.0) "
+        f"as int) - 1), i -> concat_ws(' ', "
+        f"slice(ws, i * {_REP_PASSAGE_W} + 1, {_REP_PASSAGE_W})))"
+    )
+    # most-frequent-bigram count: sort the gram array, then a single
+    # linear fold tracking the current and best run length — no explode,
+    # no shuffle, deterministic
+    top_bg = f"""aggregate(array_sort({bg}),
+      named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+      (acc, x) -> named_struct('prev', x,
+        'run', CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END,
+        'best', GREATEST(acc.best,
+          CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1 END)),
+      acc -> acc.best)"""
+
+    def frac(num: str, den: str) -> F.Column:
+        return F.round(
+            F.when(F.expr(den) > 0, F.expr(num) / F.expr(den)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        )
+
+    top_bigram_frac = frac(f"cast({top_bg} as double)", f"size({bg})")
+    dup_10gram_frac = frac(
+        f"cast(size({tg}) - size(array_distinct({tg})) as double)",
+        f"size({tg})",
+    )
+    dup_passage_frac = frac(
+        f"cast(size({ps}) - size(array_distinct({ps})) as double)",
+        f"size({ps})",
+    )
+    keep = (
+        (top_bigram_frac <= _REP_TOP_BIGRAM_MAX)
+        & (dup_10gram_frac <= _REP_DUP_10GRAM_MAX)
+        & (dup_passage_frac <= _REP_DUP_PASSAGE_MAX)
+    )
+    return docs.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_10gram_frac.alias("dup_10gram_frac"),
+        dup_passage_frac.alias("dup_passage_frac"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+_ORACLE_REPETITION_GOPHER = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+    CASE WHEN len(ws) >= 2 THEN list_transform(range(1, len(ws)),
+      i -> array_to_string(ws[i : i + 1], ' '))
+      ELSE []::VARCHAR[] END AS bg,
+    CASE WHEN len(ws) >= 10 THEN list_transform(range(1, len(ws) - 8),
+      i -> array_to_string(ws[i : i + 9], ' '))
+      ELSE []::VARCHAR[] END AS tg,
+    list_transform(range(0, CAST(ceil(len(ws) / {_REP_PASSAGE_W}.0)
+        AS BIGINT)),
+      i -> array_to_string(
+        ws[i * {_REP_PASSAGE_W} + 1 : i * {_REP_PASSAGE_W}
+           + {_REP_PASSAGE_W}], ' ')) AS ps
+  FROM d
+), bx AS (
+  SELECT doc_id, UNNEST(bg) AS b FROM g
+), topb AS (
+  SELECT doc_id, MAX(c) AS top_n FROM (
+    SELECT doc_id, b, COUNT(*) AS c FROM bx GROUP BY 1, 2
+  ) GROUP BY 1
+), m AS (
+  SELECT g.doc_id, g.n_tokens,
+    CASE WHEN len(bg) > 0
+      THEN ROUND(COALESCE(t.top_n, 0) * 1.0 / len(bg), 6)
+      ELSE 0.0 END AS top_bigram_frac,
+    CASE WHEN len(tg) > 0
+      THEN ROUND((len(tg) - len(list_distinct(tg))) * 1.0 / len(tg), 6)
+      ELSE 0.0 END AS dup_10gram_frac,
+    CASE WHEN len(ps) > 0
+      THEN ROUND((len(ps) - len(list_distinct(ps))) * 1.0 / len(ps), 6)
+      ELSE 0.0 END AS dup_passage_frac
+  FROM g LEFT JOIN topb t ON t.doc_id = g.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  top_bigram_frac, dup_10gram_frac, dup_passage_frac,
+  CAST(top_bigram_frac <= {_REP_TOP_BIGRAM_MAX}
+   AND dup_10gram_frac <= {_REP_DUP_10GRAM_MAX}
+   AND dup_passage_frac <= {_REP_DUP_PASSAGE_MAX} AS INT) AS keep
+FROM m
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID with deterministic argmax tie-break."""
     docs = load_tables(spark, sf_dir, "documents")
@@ -1292,6 +1436,13 @@ QUERIES = [
         _ORACLE_ROLLING_FINGERPRINT, "ext:text",
     ),
     QuerySpec("q_text_quality", q_text_quality, _ORACLE_TEXT_QUALITY, "ext:text"),
+    QuerySpec(
+        "q_repetition_gopher", q_repetition_gopher,
+        _ORACLE_REPETITION_GOPHER,
+        "ext:text (Gopher intra-doc repetition filters: top-bigram "
+        "share, duplicate 10-gram fraction, duplicate passage "
+        "fraction — one Project over the scan, zero exchanges)",
+    ),
     QuerySpec("q_lang_id", q_lang_id, _ORACLE_LANG_ID, "ext:text"),
     QuerySpec(
         "q_lang_confusion", q_lang_confusion, _ORACLE_LANG_CONFUSION,
