@@ -74,7 +74,14 @@ def _drain(
             .start()
         )
         q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}")
+    # copy the drained rows out of the memory sink and DROP its table:
+    # the sink registration is permanent otherwise, so a long session
+    # (the 600-cell --all-sf sweep) accumulates one pinned result table
+    # per drain until the heap dies — the checkpoint blocks, unlike the
+    # sink table, are released when the returned frame is GC'd
+    out = spark.sql(f"SELECT * FROM {name}").localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def q_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,7 +67,11 @@ def main() -> int:
 
     specs = all_queries()
     names = args.names or list(specs)
-    spark = get_spark("check")
+    # an --all-sf sweep runs 600+ query cells in ONE JVM; PySpark's 1g
+    # driver default sits at the heap edge there (a GCLocker allocation
+    # stall killed the gateway 440 cells into a sweep) — honored only
+    # when this is the process's first session, which it is for the CLI
+    spark = get_spark("check", extra_conf={"spark.driver.memory": "8g"})
 
     sf_dirs = (
         [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
