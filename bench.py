@@ -88,6 +88,7 @@ def _vector_warmup(spark, sf_dir: str) -> None:
     from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa: PLC0415
         _kmeans_assign,
         _seed_centroids,
+        standing_semdedup_tables,
     )
 
     tiny = (
@@ -102,6 +103,12 @@ def _vector_warmup(spark, sf_dir: str) -> None:
         read_version(spark, root, v).count()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    # pre-build the session-standing stores (one-time nightly-index
+    # builds) so EVERY timed sample of their consumers measures the
+    # production load+screen plan — without this, run 0's
+    # q_stream_semdedup sample paid the ~18 s store build and --runs < 3
+    # silently reported build+load as the load number (r16 ADVICE)
+    standing_semdedup_tables(spark, sf_dir)
 
 
 def run_sweep(

@@ -34,6 +34,11 @@ from gcp_healthcare_data_pipeline_spark.session import load_tables
 
 _JACCARD_THRESHOLD = 0.6
 _DF_CAP = 50  # n-gram inverted-index document-frequency cap
+# pairs must share at least this many rare shingles to be scored; the
+# df-cap recall probe (tools/scaling_audit.py --text-cell) re-builds the
+# same pipeline and MUST use this constant, never a literal — otherwise
+# the probe silently measures a different pipeline when this changes
+_MIN_SHARED_SHINGLES = 5
 
 # Both near-dup paths (minhash-LSH and n-gram inverted index) start from
 # the same shingled corpus; compute + checkpoint it once per (session,
@@ -263,7 +268,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shared_shingles(spark, sf_dir)
     pairs = pair_intersections(sh, min_df=2, max_df=_DF_CAP).filter(
-        F.col("n_shared") >= 5
+        F.col("n_shared") >= _MIN_SHARED_SHINGLES
     )
     sizes = shingle_sizes(sh)
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -303,7 +308,7 @@ WITH d AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-  HAVING COUNT(*) >= 5
+  HAVING COUNT(*) >= {_MIN_SHARED_SHINGLES}
 ), sizes AS (
   SELECT doc_id, len(shingles) AS n_sh FROM sh
 )
@@ -502,7 +507,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     session shingle cache."""
     sh = _shared_shingles(spark, sf_dir)
     pairs = pair_intersections(sh, min_df=2, max_df=_DF_CAP).filter(
-        F.col("n_shared") >= 5
+        F.col("n_shared") >= _MIN_SHARED_SHINGLES
     )
     sizes = shingle_sizes(sh)
     na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -540,7 +545,7 @@ WITH d AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
   FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-  HAVING COUNT(*) >= 5
+  HAVING COUNT(*) >= {_MIN_SHARED_SHINGLES}
 ), sizes AS (
   SELECT doc_id, len(shingles) AS n_sh FROM sh
 )

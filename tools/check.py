@@ -72,6 +72,18 @@ def main() -> int:
     # stall killed the gateway 440 cells into a sweep) — honored only
     # when this is the process's first session, which it is for the CLI
     spark = get_spark("check", extra_conf={"spark.driver.memory": "8g"})
+    # extra_conf only takes effect when THIS process launched the JVM;
+    # if a session pre-existed (check.py imported into a test process)
+    # the 8g ask is silently ignored and the GCLocker heap-death risk
+    # returns ~440 cells into a sweep — surface it instead
+    got = spark.conf.get("spark.driver.memory", "<unset>")
+    if got != "8g":
+        print(
+            f"WARNING: spark.driver.memory is {got!r}, not '8g' — a "
+            "pre-existing JVM ignored extra_conf; long --all-sf sweeps "
+            "may OOM the driver",
+            file=sys.stderr,
+        )
 
     sf_dirs = (
         [f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]

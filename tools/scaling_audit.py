@@ -654,19 +654,27 @@ def _build_dfcap_corpus(spark, src_sf: str, n_inject: int) -> str:
         "lang",
         "source",
     ).withColumn("n_chars", F.length("text"))
-    # the near-dup twin of the lowest injected doc: same text minus its
-    # last two tokens (jaccard >> threshold), block included
-    base = injected.filter(F.col("doc_id") % stride == 0).orderBy(
+    # the near-dup twin of the lowest injected doc: its ORIGINAL text
+    # minus the last two tokens, then the FULL block appended (jaccard
+    # >> threshold). Truncating the original — not the post-injection
+    # text — keeps every block token (and so every block shingle) in
+    # the twin, which is the "block included" property the df-cap
+    # recall claim rests on (r16 ADVICE: the old order clipped
+    # 'support here' off the block).
+    base = docs.filter(F.col("doc_id") % stride == 0).orderBy(
         "doc_id"
     ).limit(1)
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     twin = base.select(
         F.lit(max_id + 1).alias("doc_id"),
-        F.array_join(
-            F.slice(
-                F.split("text", " "), 1, F.size(F.split("text", " ")) - 2
+        F.concat(
+            F.array_join(
+                F.slice(
+                    F.split("text", " "), 1, F.size(F.split("text", " ")) - 2
+                ),
+                " ",
             ),
-            " ",
+            F.lit(" " + _BOILER_BLOCK),
         ).alias("text"),
         "lang",
         "source",
@@ -708,6 +716,7 @@ def run_text_cell(spark, threshold: float):
     from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
         _DF_CAP,
         _JACCARD_THRESHOLD,
+        _MIN_SHARED_SHINGLES,
         _shared_shingles,
     )
 
@@ -769,7 +778,7 @@ def run_text_cell(spark, threshold: float):
                 F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")
             )
             final = (
-                cand.filter(F.col("n_shared") >= 5)
+                cand.filter(F.col("n_shared") >= _MIN_SHARED_SHINGLES)
                 .join(na, "id_a")
                 .join(nb, "id_b")
                 .filter(
