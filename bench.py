@@ -109,6 +109,11 @@ def _vector_warmup(spark, sf_dir: str) -> None:
     # q_stream_semdedup sample paid the ~18 s store build and --runs < 3
     # silently reported build+load as the load number (r16 ADVICE)
     standing_semdedup_tables(spark, sf_dir)
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (  # noqa: PLC0415
+        standing_dedup_tables,
+    )
+
+    standing_dedup_tables(spark, sf_dir)
 
 
 def run_sweep(

@@ -388,10 +388,13 @@ def _incremental_band_candidates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(doc_id, corpus_id): distinct asymmetric batch-vs-corpus LSH
-    band-join candidates (batch = ``doc_id % 10 == 0``) — THE candidate
-    space for q_dedup_incremental AND the ``tools/scaling_audit.py
-    --pairs`` gate; one definition, so the audited pair space can never
-    drift from the production one."""
+    band-join candidates (batch = ``doc_id % 10 == 0``) — the candidate
+    space the ``tools/scaling_audit.py --pairs`` gate measures. Since
+    r17, q_dedup_incremental sources the SAME candidate space from the
+    loaded standing band table (``_dedup_screen``); the band-key
+    construction is shared (``band_keys`` + ``_corpus_lsh_params``), so
+    the audited pair space still matches the production one row-for-row
+    (pinned in tests/test_dedup_roundtrip.py)."""
     is_batch = F.col("doc_id") % 10 == 0
     sh = _shared_shingles(spark, sf_dir)
     r, nb, k = _corpus_lsh_params(spark, sf_dir)
@@ -407,40 +410,193 @@ def _incremental_band_candidates(
     )
 
 
-def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delta dedup: screen an incoming BATCH (doc_id % 10 = 0) against
-    the existing CORPUS (the rest) without re-deduping the corpus.
+# ------------------------------------------------------------------
+# Persisted standing-state lifecycle for the TEXT dedup family
+# (r16 verdict item 1 — the text-side mirror of the vector family's
+# q_index_roundtrip / standing_semdedup_tables lifecycle).
+#
+# At 100 TB the corpus MinHash BAND TABLE *is* the index: rebuilding the
+# corpus hash profile + band keys + shingle arrays per ingest batch is
+# the recompute sin the vector lifecycle fixed in r15. The standing
+# state is committed as versioned tables (operators/versioning.py:
+# immutable v=NNNNNN dirs, atomic _LATEST pointer flips, one snapshot
+# manifest), with one text-specific twist: the manifest pins a LIST of
+# SEGMENT versions per table, so the maintenance half appends an ingest
+# batch's rows as a NEW SEGMENT (write cost ∝ |batch|) instead of
+# rewriting corpus-scale tables per ingest. Readers union the pinned
+# segments; the hash profile is aggregated at read time (per-segment
+# partial counts summed in the screen's groupBy), the text analog of an
+# LSM merge-on-read. A compaction job may later fold segments into one
+# (operators/compaction.py holds the generic machinery); correctness
+# never depends on it.
+# ------------------------------------------------------------------
 
-    The production pattern for a growing 100 TB corpus: the batch side
-    of every join is the small delta, so per-ingest cost scales with
-    |batch|, not |corpus| — exact matches via a hash join on md5(text),
-    near-dups via an ASYMMETRIC batch-vs-corpus LSH band join (never a
-    corpus self-join), exact-Jaccard verified on candidates only.
-    """
-    is_batch = F.col("doc_id") % 10 == 0
-    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
-    # exact: corpus text-hash profile joined onto batch hashes
-    ch = (
-        docs.filter(~is_batch)
-        .groupBy(F.md5("text").alias("h"))
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+_DEDUP_STATE_TABLES = ("hash_profile", "bands", "shingles")
+# session-standing committed text-dedup index stores, one per sf_dir —
+# the in-session stand-in for the production warehouse the nightly
+# corpus-index build writes to (mirror of vector_queries._SEMDEDUP_STORES)
+_DEDUP_STORES: "dict[str, str]" = {}
+
+
+def _dedup_state_frames(
+    docs: DataFrame, params: tuple[int, int, int]
+) -> "dict[str, DataFrame]":
+    """The three corpus-side standing tables for ``docs`` under a PINNED
+    LSH epoch shape (r, nb, k): ``hash_profile`` (h, n_exact) partial
+    md5-count rows, ``bands`` (corpus_id, band_key) LSH band keys,
+    ``shingles`` (corpus_id, shingles). One definition feeds the nightly
+    build, the roundtrip gate and the segment-append maintenance, so the
+    persisted shape can never drift from the in-session one."""
+    r, nb, k = params
+    profile = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_exact")
     )
+    sh = with_shingles(docs.select("doc_id", "text"), "text", n=3).select(
+        F.col("doc_id").alias("corpus_id"), "shingles"
+    )
+    sig = minhash_signatures(sh, "corpus_id", "shingles", k=k)
+    bands = band_keys(sig, "corpus_id", "sig", nb, r)
+    return {"hash_profile": profile, "bands": bands, "shingles": sh}
+
+
+def _commit_dedup_segments(
+    frames: "dict[str, DataFrame]", root: str, run_id: str
+) -> None:
+    """Append one SEGMENT per standing table and commit a manifest whose
+    ``versions`` values are the full live-segment LISTS. ``retain=1 +
+    pinned`` makes write_version keep exactly the live segments: old
+    segments stay (they are still pinned), snapshots-as-segments never
+    prune each other."""
+    import os  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_snapshot_manifest,
+        write_snapshot_manifest,
+        write_version,
+    )
+
+    try:
+        live = read_snapshot_manifest(root)["versions"]
+    except (FileNotFoundError, OSError):
+        live = {t: [] for t in _DEDUP_STATE_TABLES}
+    versions = {}
+    for table in _DEDUP_STATE_TABLES:
+        pinned = set(live.get(table, []))
+        v = write_version(
+            frames[table], os.path.join(root, table), retain=1, pinned=pinned
+        )
+        versions[table] = sorted(pinned | {v})
+    write_snapshot_manifest(root, versions, run_id=run_id)
+
+
+def _read_dedup_segments(
+    spark: SparkSession, root: str, run_id: "str | None" = None
+) -> "dict[str, DataFrame]":
+    """Load the manifest-pinned live segments of every standing table as
+    one unioned DataFrame per table — the text-family segment-list
+    analog of ``versioning.read_snapshot_tables``."""
+    import functools  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_snapshot_manifest,
+        read_version,
+    )
+
+    manifest = read_snapshot_manifest(root, run_id)
+    out = {}
+    for table, vs in manifest["versions"].items():
+        frames = [
+            read_version(spark, os.path.join(root, table), v) for v in vs
+        ]
+        out[table] = functools.reduce(DataFrame.unionByName, frames)
+    return out
+
+
+def clear_standing_dedup_store() -> None:
+    """Drop every session-standing text-dedup store (test isolation /
+    forcing the nightly build back into a measured path)."""
+    import shutil  # noqa: PLC0415
+
+    for root in _DEDUP_STORES.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _DEDUP_STORES.clear()
+
+
+def standing_dedup_tables(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """LOAD the committed standing text-dedup state (hash profile, band
+    table, shingle table over the corpus = ``doc_id % 10 != 0``) for
+    ``sf_dir``, building and committing it through the versioned-table
+    lifecycle first if this session hasn't yet — the nightly-index cost
+    model: the corpus is scanned when the index is built, never per
+    screen. md5 hex strings, band keys and shingle string-arrays
+    round-trip parquet exactly, so a screen off the loaded tables
+    hash-equals one off the in-session lineage."""
+    import atexit  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    root = _DEDUP_STORES.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="dedup_store_")
+        docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+        frames = _dedup_state_frames(
+            docs.filter(F.col("doc_id") % 10 != 0),
+            _corpus_lsh_params(spark, sf_dir),
+        )
+        _commit_dedup_segments(frames, root, run_id="nightly-000001")
+        if not _DEDUP_STORES:
+            atexit.register(clear_standing_dedup_store)
+        _DEDUP_STORES[sf_dir] = root
+    return _read_dedup_segments(spark, root)
+
+
+def _dedup_screen(
+    spark: SparkSession, sf_dir: str, state: "dict[str, DataFrame]"
+) -> DataFrame:
+    """Screen the incoming BATCH (doc_id % 10 == 0) against the standing
+    corpus tables — the per-ingest hot path, cost ∝ |batch|: the batch's
+    hashes/signatures/band keys are computed fresh (delta-sized), exact
+    matches via a hash join onto the profile (per-segment partial counts
+    summed per batch doc), near-dups via the ASYMMETRIC batch-vs-corpus
+    band join (never a corpus self-join), exact-Jaccard verified on
+    candidates only. One definition shared by q_dedup_incremental
+    (loads the session-standing store) and q_dedup_roundtrip (loads a
+    freshly committed one) — zero drift."""
+    r, nb, k = _corpus_lsh_params(spark, sf_dir)
+    batch = (
+        load_tables(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    # exact: batch hashes joined onto the (possibly multi-segment)
+    # profile; SUM of partial counts per doc_id = total corpus count
+    # (doc_id is unique in the batch, so the groupBy is per batch doc)
     exact = (
-        docs.filter(is_batch)
-        .select("doc_id", F.md5("text").alias("h"))
-        .join(ch, "h", "left")
-        .select("doc_id", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(state["hash_profile"], "h", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("n_exact"), F.lit(0)).alias("n_exact"))
     )
-    # near: the shared asymmetric band-join candidate space
-    sh = _shared_shingles(spark, sf_dir)
-    cand = _incremental_band_candidates(spark, sf_dir)
-    a = sh.select(F.col("doc_id"), F.col("shingles").alias("sh_a"))
-    b = sh.select(
-        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    # near: batch band keys vs the standing band table
+    bsh = with_shingles(batch, "text", n=3).select("doc_id", "shingles")
+    bsig = minhash_signatures(bsh, "doc_id", "shingles", k=k)
+    bkeys = band_keys(bsig, "doc_id", "sig", nb, r)
+    cand = (
+        bkeys.join(state["bands"], "band_key")
+        .select("doc_id", "corpus_id")
+        .distinct()
     )
     near = (
-        cand.join(a, "doc_id")
-        .join(b, "corpus_id")
+        cand.join(bsh.select("doc_id", F.col("shingles").alias("sh_a")), "doc_id")
+        .join(
+            state["shingles"].select(
+                "corpus_id", F.col("shingles").alias("sh_b")
+            ),
+            "corpus_id",
+        )
         .select(
             "doc_id", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("j")
         )
@@ -456,6 +612,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_exact") > 0) | F.col("best_jaccard").isNotNull()
         ).cast("int").alias("is_dup"),
     )
+
+
+def append_dedup_delta(
+    spark: SparkSession, sf_dir: str, root: str, run_id: str
+) -> None:
+    """The MAINTENANCE half of an ingest: commit the (screened) batch's
+    standing rows — partial hash counts, band keys, shingles — as a new
+    SEGMENT of each table under the SAME epoch band shape, plus one new
+    snapshot manifest. Write cost ∝ |batch|; the corpus segments are
+    never rewritten. After this, the loaded state aggregates to exactly
+    the state a full rebuild over corpus ∪ batch would produce
+    (tests/test_dedup_roundtrip.py pins that equality)."""
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = _dedup_state_frames(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        _corpus_lsh_params(spark, sf_dir),
+    )
+    _commit_dedup_segments(frames, root, run_id=run_id)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup: screen an incoming BATCH (doc_id % 10 = 0) against
+    the existing CORPUS (the rest) WITHOUT touching the corpus — the
+    standing hash profile / band table / shingle table are LOADED from
+    the committed versioned store (built once per session by
+    ``standing_dedup_tables``, the nightly-index cost model), so
+    per-ingest cost scales with |batch|, not |corpus| (r16 verdict
+    item 1; until r17 this query re-derived all three corpus-side
+    structures per invocation)."""
+    return _dedup_screen(spark, sf_dir, standing_dedup_tables(spark, sf_dir))
+
+
+def q_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-lifecycle GATE for the text dedup family — the
+    mirror of the vector family's q_index_roundtrip: build the standing
+    corpus state (hash profile, band table, shingle table), COMMIT it
+    through the versioned-table lifecycle (immutable segment dirs,
+    atomic pointer flips, one snapshot manifest), then screen the
+    incoming batch FROM THE LOADED TABLES — never the in-session
+    lineage. The oracle is q_dedup_incremental's VERBATIM: strings and
+    string-arrays round-trip parquet exactly, so load-then-screen must
+    hash-equal rebuild-then-screen — that equality IS the gate. What
+    changes is the cost model, not the answer: this query deliberately
+    measures build+commit+load+screen (the nightly build's bill);
+    q_dedup_incremental measures the production per-ingest half."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa: PLC0415
+        _lifecycle_store,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = _dedup_state_frames(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        _corpus_lsh_params(spark, sf_dir),
+    )
+    with _lifecycle_store("q_dedup_roundtrip_") as root:
+        _commit_dedup_segments(frames, root, run_id="ingest-000001")
+        loaded = _read_dedup_segments(spark, root)
+        # pin the (batch-sized) result before the store is reclaimed —
+        # the screen must fully execute off the LOADED tables, which is
+        # exactly what the eager checkpoint forces
+        return _dedup_screen(spark, sf_dir, loaded).localCheckpoint(
+            eager=True
+        )
 
 
 _ORACLE_DEDUP_INCREMENTAL = f"""
@@ -797,7 +1016,13 @@ QUERIES = [
     ),
     QuerySpec(
         "q_dedup_incremental", q_dedup_incremental, _ORACLE_DEDUP_INCREMENTAL,
-        "ext:dedup (delta batch vs corpus, asymmetric band join)",
+        "ext:dedup (delta batch screened from the LOADED standing corpus "
+        "index; asymmetric band join)",
+    ),
+    QuerySpec(
+        "q_dedup_roundtrip", q_dedup_roundtrip, _ORACLE_DEDUP_INCREMENTAL,
+        "ext:dedup (persisted corpus-index lifecycle: build + commit + "
+        "load + screen)",
     ),
     QuerySpec(
         "q_dedup_containment", q_dedup_containment, _ORACLE_DEDUP_CONTAINMENT,

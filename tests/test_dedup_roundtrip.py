@@ -1,0 +1,229 @@
+"""q_dedup_roundtrip + standing_dedup_tables — the persisted
+standing-state lifecycle for the TEXT dedup family (r16 verdict item 1),
+mirroring tests/test_index_roundtrip.py and tests/test_standing_store.py
+for the vector family.
+
+Contract pinned here:
+ 1. load-then-screen EQUALS rebuild-then-screen (strings and
+    string-arrays round-trip parquet exactly);
+ 2. the standing store builds+commits ONCE per (session, sf_dir) and
+    subsequent calls only LOAD;
+ 3. the maintenance half (append_dedup_delta) commits the batch as a
+    NEW SEGMENT whose aggregated view equals a full rebuild over
+    corpus ∪ batch — per-ingest write cost ∝ |batch|, never a corpus
+    rewrite;
+ 4. hostile lifecycles: a crashed writer's corrupt orphan segment is
+    invisible to loads and swept by the next append; an aged manifest
+    keeps serving its consistent segment list after the store advances;
+ 5. the audited candidate space (_incremental_band_candidates) still
+    matches the production loaded-band-table space row-for-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+    _DEDUP_STORES,
+    _commit_dedup_segments,
+    _corpus_lsh_params,
+    _dedup_screen,
+    _dedup_state_frames,
+    _incremental_band_candidates,
+    _read_dedup_segments,
+    append_dedup_delta,
+    clear_standing_dedup_store,
+    q_dedup_incremental,
+    q_dedup_roundtrip,
+    standing_dedup_tables,
+)
+from gcp_healthcare_data_pipeline_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        tuple(tuple(x) if isinstance(x, list) else x for x in row)
+        for row in df.collect()
+    )
+
+
+def _rebuild_state(spark, sf_dir, pred):
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup_state_frames(
+        docs.filter(pred), _corpus_lsh_params(spark, sf_dir)
+    )
+
+
+def _profile_view(df):
+    """Segment-insensitive view of the hash profile (partial counts
+    summed per hash) — the aggregation the screen itself performs."""
+    return df.groupBy("h").agg(F.sum("n_exact").alias("n_exact"))
+
+
+def test_roundtrip_equals_rebuild_path(spark):
+    """The gate's core claim: screening the batch from the LOADED
+    versioned segments is row-identical to screening from the
+    in-session corpus-state lineage."""
+    rebuilt = _rebuild_state(spark, SF_DIR, F.col("doc_id") % 10 != 0)
+    assert _rows(q_dedup_roundtrip(spark, SF_DIR)) == _rows(
+        _dedup_screen(spark, SF_DIR, rebuilt)
+    )
+
+
+def test_store_builds_once_then_loads(spark):
+    clear_standing_dedup_store()
+    assert SF_DIR not in _DEDUP_STORES
+    loaded = standing_dedup_tables(spark, SF_DIR)
+    assert set(loaded) == {"hash_profile", "bands", "shingles"}
+    root = _DEDUP_STORES[SF_DIR]
+    again = standing_dedup_tables(spark, SF_DIR)
+    assert _DEDUP_STORES[SF_DIR] == root
+    for table in ("hash_profile", "bands", "shingles"):
+        vdirs = [
+            d
+            for d in os.listdir(os.path.join(root, table))
+            if d.startswith("v=")
+        ]
+        assert len(vdirs) == 1, (table, vdirs)
+    assert set(again) == {"hash_profile", "bands", "shingles"}
+
+
+def test_incremental_screens_from_loaded_store(spark):
+    """q_dedup_incremental (the production per-ingest path) equals the
+    roundtrip gate — both screen the same batch against the same
+    committed corpus state."""
+    assert _rows(q_dedup_incremental(spark, SF_DIR)) == _rows(
+        q_dedup_roundtrip(spark, SF_DIR)
+    )
+
+
+def test_append_delta_segments_equal_full_rebuild(spark, tmp_path):
+    """The maintenance half: after appending the batch as a new segment,
+    the loaded multi-segment state aggregates to exactly the state a
+    full rebuild over corpus ∪ batch would produce."""
+    root = str(tmp_path / "store")
+    corpus_frames = _rebuild_state(spark, SF_DIR, F.col("doc_id") % 10 != 0)
+    _commit_dedup_segments(corpus_frames, root, run_id="nightly-000001")
+    append_dedup_delta(spark, SF_DIR, root, run_id="ingest-000002")
+
+    loaded = _read_dedup_segments(spark, root)
+    full = _rebuild_state(spark, SF_DIR, F.lit(True))
+    assert _rows(_profile_view(loaded["hash_profile"])) == _rows(
+        _profile_view(full["hash_profile"])
+    )
+    assert _rows(loaded["bands"]) == _rows(full["bands"])
+    assert _rows(loaded["shingles"]) == _rows(full["shingles"])
+    # segment discipline: two live segments per table, corpus segment
+    # untouched (never rewritten)
+    for table in ("hash_profile", "bands", "shingles"):
+        vdirs = sorted(
+            d
+            for d in os.listdir(os.path.join(root, table))
+            if d.startswith("v=")
+        )
+        assert vdirs == ["v=000000", "v=000001"], (table, vdirs)
+
+
+def test_corrupt_orphan_segment_invisible_and_swept(spark, tmp_path):
+    """A writer that crashed AFTER writing a segment but BEFORE the
+    pointer flip leaves a corrupt orphan: loads must never see it, and
+    the next append must sweep it and commit cleanly."""
+    root = str(tmp_path / "store")
+    corpus_frames = _rebuild_state(spark, SF_DIR, F.col("doc_id") % 10 != 0)
+    _commit_dedup_segments(corpus_frames, root, run_id="nightly-000001")
+    # simulate the crash on the bands table: v1 data lands (not even
+    # parquet), pointer and manifest never advance
+    orphan = os.path.join(root, "bands", "v=000001")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "w") as fh:
+        fh.write("not parquet at all")
+    loaded = _read_dedup_segments(spark, root)
+    rebuilt = corpus_frames["bands"]
+    assert _rows(loaded["bands"]) == _rows(rebuilt)
+    # the next append sweeps the orphan and commits as a fresh v1
+    append_dedup_delta(spark, SF_DIR, root, run_id="ingest-000002")
+    full = _rebuild_state(spark, SF_DIR, F.lit(True))
+    assert _rows(_read_dedup_segments(spark, root)["bands"]) == _rows(
+        full["bands"]
+    )
+
+
+def test_aged_manifest_serves_consistent_segment_list(spark, tmp_path):
+    """A reader holding the pre-append manifest keeps seeing exactly the
+    corpus segments — never a half-appended state."""
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        read_snapshot_manifest,
+    )
+
+    root = str(tmp_path / "store")
+    corpus_frames = _rebuild_state(spark, SF_DIR, F.col("doc_id") % 10 != 0)
+    _commit_dedup_segments(corpus_frames, root, run_id="nightly-000001")
+    old_rows = _rows(_read_dedup_segments(spark, root)["bands"])
+    append_dedup_delta(spark, SF_DIR, root, run_id="ingest-000002")
+    # the aged manifest still resolves only its own segment list
+    aged = _read_dedup_segments(spark, root, run_id="nightly-000001")
+    assert _rows(aged["bands"]) == old_rows
+    # and the current manifest sees both segments
+    cur = read_snapshot_manifest(root)
+    assert cur["versions"]["bands"] == [0, 1]
+
+
+def test_audited_candidate_space_matches_production(spark):
+    """The --pairs audit gate (_incremental_band_candidates, in-session
+    lineage) must produce the same distinct (doc_id, corpus_id) pairs as
+    the loaded standing band table joined against fresh batch keys."""
+    from gcp_healthcare_data_pipeline_spark.operators.dedup import (
+        band_keys,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    r, nb, k = _corpus_lsh_params(spark, SF_DIR)
+    state = standing_dedup_tables(spark, SF_DIR)
+    batch = (
+        load_tables(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    bsh = with_shingles(batch, "text", n=3).select("doc_id", "shingles")
+    bkeys = band_keys(
+        minhash_signatures(bsh, "doc_id", "shingles", k=k), "doc_id", "sig",
+        nb, r,
+    )
+    production = (
+        bkeys.join(state["bands"], "band_key")
+        .select("doc_id", "corpus_id")
+        .distinct()
+    )
+    assert _rows(production) == _rows(
+        _incremental_band_candidates(spark, SF_DIR)
+    )
+
+
+def test_roundtrip_cleans_up_workdir(spark):
+    """The per-call versioned store is reclaimed after the result is
+    pinned — no directory leak (the q_index_roundtrip discipline)."""
+    import glob
+    import tempfile
+
+    before = set(
+        glob.glob(os.path.join(tempfile.gettempdir(), "q_dedup_roundtrip_*"))
+    )
+    q_dedup_roundtrip(spark, SF_DIR).count()
+    after = set(
+        glob.glob(os.path.join(tempfile.gettempdir(), "q_dedup_roundtrip_*"))
+    )
+    assert after <= before
+
+
+def test_clear_reclaims_store_dirs(spark):
+    standing_dedup_tables(spark, SF_DIR)
+    root = _DEDUP_STORES[SF_DIR]
+    assert os.path.isdir(root)
+    clear_standing_dedup_store()
+    assert not _DEDUP_STORES
+    assert not os.path.isdir(root)
