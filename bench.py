@@ -88,6 +88,7 @@ def _vector_warmup(spark, sf_dir: str) -> None:
     from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa: PLC0415
         _kmeans_assign,
         _seed_centroids,
+        standing_ivfpq_tables,
         standing_semdedup_tables,
     )
 
@@ -109,6 +110,7 @@ def _vector_warmup(spark, sf_dir: str) -> None:
     # q_stream_semdedup sample paid the ~18 s store build and --runs < 3
     # silently reported build+load as the load number (r16 ADVICE)
     standing_semdedup_tables(spark, sf_dir)
+    standing_ivfpq_tables(spark, sf_dir)
     from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (  # noqa: PLC0415
         standing_dedup_tables,
     )

@@ -264,6 +264,90 @@ def _assert_unique_ids(df: DataFrame, col: str, who: str) -> DataFrame:
     )
 
 
+def ivf_assign(
+    df: DataFrame, vec: str, nrm: str, keep: int,
+    supers: DataFrame, cmap: DataFrame, super_keep: int = 1,
+) -> DataFrame:
+    """Two-level max-cosine assignment: route to the ``super_keep``
+    nearest supers (n x msup folds), then argmax only those supers'
+    children (n x super_keep*nlist/msup on average). Corpus vectors
+    route to 1 super (the cost-critical side); the tiny query side
+    routes to 2 (coarse multi-probe — recovers the recall the
+    one-super approximation gives up, at negligible cost).
+    Tie-breaks at both levels: rounded cosine desc, id asc —
+    mirrored in the oracle.
+
+    keep-1 argmaxes run as ``groupBy(id).agg(min(struct(-sim, id)))``
+    — lexicographic struct min IS (sim desc, id asc), negation of a
+    rounded double is exact, and the aggregate partial-combines
+    map-side so the exchange carries one pre-reduced row per vector
+    instead of the full fan-out a window sort would shuffle.
+    ``first(carry)`` is deterministic: ids are unique in ``df``, so
+    every row in a group carries the same payload. Top-N keeps
+    (query probing) still use the window."""
+    idc = df.columns[0]
+    carry = [c for c in df.columns if c != idc]
+
+    def argbest1(scored: DataFrame, sim: str, out_id: str) -> DataFrame:
+        # two IEEE hazards vs the row_number window this replaces:
+        # - 0.0 - sim (not unary minus): 0.0-(+-0.0) = +0.0, so a
+        #   zero-signed similarity cannot order differently;
+        # - nanvl(sim, +inf): both engines sort NaN FIRST under
+        #   DESC (NaN > any double), but struct-min would AVOID a
+        #   NaN key — mapping NaN to +inf makes its negated key
+        #   -inf, which wins the min exactly like the window.
+        key = F.lit(0.0) - F.nanvl(F.col(sim), F.lit(float("inf")))
+        return (
+            scored.groupBy(idc)
+            .agg(
+                F.min(
+                    F.struct(key.alias("_neg"), F.col(out_id))
+                ).alias("_w"),
+                *[F.first(c).alias(c) for c in carry],
+            )
+            .select(idc, *carry, F.col(f"_w.{out_id}").alias(out_id))
+        )
+
+    sroutes = df.crossJoin(F.broadcast(supers)).withColumn(
+        "_ssim",
+        F.round(
+            cosine_precomputed(
+                F.col(vec), F.col("_sv"), F.col(nrm), F.col("_sn")
+            ),
+            6,
+        ),
+    )
+    if super_keep == 1:
+        routed = argbest1(sroutes, "_ssim", "super_id")
+    else:
+        wsv = Window.partitionBy(idc).orderBy(
+            F.col("_ssim").desc(), F.col("super_id").asc()
+        )
+        routed = (
+            sroutes.withColumn("_srn", F.row_number().over(wsv))
+            .filter(F.col("_srn") <= super_keep)
+            .drop("_sv", "_sn", "_ssim", "_srn")
+        )
+    cjoined = routed.join(F.broadcast(cmap), "super_id").withColumn(
+        "_csim",
+        F.round(
+            cosine_precomputed(
+                F.col(vec), F.col("_cv"), F.col(nrm), F.col("_ccn")
+            ),
+            6,
+        ),
+    )
+    if keep == 1:
+        return argbest1(cjoined, "_csim", "centroid_id")
+    w = Window.partitionBy(idc).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        cjoined.withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= keep)
+        .drop("_cv", "_ccn", "_csim", "_crank", "super_id")
+    )
+
 def ivf_index(
     corpus: DataFrame,
     centroid_mod: int | None = 31,
@@ -461,89 +545,7 @@ def ivf_index(
         )
         return supers, cmap
 
-    def assign(
-        df: DataFrame, vec: str, nrm: str, keep: int,
-        supers: DataFrame, cmap: DataFrame, super_keep: int = 1,
-    ) -> DataFrame:
-        """Two-level max-cosine assignment: route to the ``super_keep``
-        nearest supers (n x msup folds), then argmax only those supers'
-        children (n x super_keep*nlist/msup on average). Corpus vectors
-        route to 1 super (the cost-critical side); the tiny query side
-        routes to 2 (coarse multi-probe — recovers the recall the
-        one-super approximation gives up, at negligible cost).
-        Tie-breaks at both levels: rounded cosine desc, id asc —
-        mirrored in the oracle.
-
-        keep-1 argmaxes run as ``groupBy(id).agg(min(struct(-sim, id)))``
-        — lexicographic struct min IS (sim desc, id asc), negation of a
-        rounded double is exact, and the aggregate partial-combines
-        map-side so the exchange carries one pre-reduced row per vector
-        instead of the full fan-out a window sort would shuffle.
-        ``first(carry)`` is deterministic: ids are unique in ``df``, so
-        every row in a group carries the same payload. Top-N keeps
-        (query probing) still use the window."""
-        idc = df.columns[0]
-        carry = [c for c in df.columns if c != idc]
-
-        def argbest1(scored: DataFrame, sim: str, out_id: str) -> DataFrame:
-            # two IEEE hazards vs the row_number window this replaces:
-            # - 0.0 - sim (not unary minus): 0.0-(+-0.0) = +0.0, so a
-            #   zero-signed similarity cannot order differently;
-            # - nanvl(sim, +inf): both engines sort NaN FIRST under
-            #   DESC (NaN > any double), but struct-min would AVOID a
-            #   NaN key — mapping NaN to +inf makes its negated key
-            #   -inf, which wins the min exactly like the window.
-            key = F.lit(0.0) - F.nanvl(F.col(sim), F.lit(float("inf")))
-            return (
-                scored.groupBy(idc)
-                .agg(
-                    F.min(
-                        F.struct(key.alias("_neg"), F.col(out_id))
-                    ).alias("_w"),
-                    *[F.first(c).alias(c) for c in carry],
-                )
-                .select(idc, *carry, F.col(f"_w.{out_id}").alias(out_id))
-            )
-
-        sroutes = df.crossJoin(F.broadcast(supers)).withColumn(
-            "_ssim",
-            F.round(
-                cosine_precomputed(
-                    F.col(vec), F.col("_sv"), F.col(nrm), F.col("_sn")
-                ),
-                6,
-            ),
-        )
-        if super_keep == 1:
-            routed = argbest1(sroutes, "_ssim", "super_id")
-        else:
-            wsv = Window.partitionBy(idc).orderBy(
-                F.col("_ssim").desc(), F.col("super_id").asc()
-            )
-            routed = (
-                sroutes.withColumn("_srn", F.row_number().over(wsv))
-                .filter(F.col("_srn") <= super_keep)
-                .drop("_sv", "_sn", "_ssim", "_srn")
-            )
-        cjoined = routed.join(F.broadcast(cmap), "super_id").withColumn(
-            "_csim",
-            F.round(
-                cosine_precomputed(
-                    F.col(vec), F.col("_cv"), F.col(nrm), F.col("_ccn")
-                ),
-                6,
-            ),
-        )
-        if keep == 1:
-            return argbest1(cjoined, "_csim", "centroid_id")
-        w = Window.partitionBy(idc).orderBy(
-            F.col("_csim").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            cjoined.withColumn("_crank", F.row_number().over(w))
-            .filter(F.col("_crank") <= keep)
-            .drop("_cv", "_ccn", "_csim", "_crank", "super_id")
-        )
+    assign = ivf_assign
 
     for _ in range(lloyd_iters):
         supers, cmap = hier_quantizer(cents)

@@ -21,6 +21,7 @@ from gcp_healthcare_data_pipeline_spark.functions.vectors import (
 from gcp_healthcare_data_pipeline_spark.operators.similarity import (
     IVF_TARGET_CLUSTER_FLOATS,
     brute_force_topk,
+    ivf_assign,
     ivf_index,
     ivf_topk,
     lsh_bucket_topk,
@@ -3293,6 +3294,289 @@ FROM rep
 """
 
 
+# Session-standing committed IVF-PQ serving stores, one per sf_dir —
+# the nightly index artifact q_ann_ivfpq_serve reads (mirror of
+# _SEMDEDUP_STORES / dedup_queries._DEDUP_STORES). q_ann_ivfpq keeps
+# building per call: measuring build+search IS that query's contract;
+# this store is the other half of the cost model — the production READ
+# path serves from loaded tables.
+_IVFPQ_STORES: "dict[str, str]" = {}
+
+_IVFPQ_STATE_TABLES = (
+    "supers", "cmap", "inv", "codebook", "codes", "tombstones",
+)
+
+
+def clear_standing_ivfpq_store() -> None:
+    """Drop every session-standing IVF-PQ serving store (test isolation;
+    also lets a bench run force the build back into a measured path)."""
+    import shutil  # noqa: PLC0415
+
+    for root in _IVFPQ_STORES.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _IVFPQ_STORES.clear()
+
+
+def _ivfpq_standing_frames(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """The six standing IVF-PQ serving tables over the corpus
+    (vec_id % 10 != 0, the delete-family corpus): the two-level coarse
+    quantizer (supers + child map), the inverted-list membership, the
+    PQ codebook and code table, and the tombstone set (the takedown
+    ledger q_ann_ivfpq_deletes maintains). ONE definition feeds the
+    committed store and the in-session equality twin
+    (tests/test_ivfpq_serve.py), so the persisted shape can never drift
+    from the build path's."""
+    raw = load_tables(spark, sf_dir, "embeddings")
+    corpus = raw.filter(F.col("vec_id") % 10 != 0)
+    supers, cmap, inv, _assign = ivf_index(
+        corpus.select("vec_id", "embedding"),
+        centroid_mod=_IVF_INCREMENTAL_MOD,
+        lloyd_iters=1,
+    )
+    emb = corpus.select(
+        "vec_id", as_double("embedding").alias("v")
+    ).localCheckpoint(eager=False)
+    cb1, codes = _pq_codebook_and_codes(spark, emb)
+    tomb = corpus.filter(F.col("label").isin(*_DELETE_LABELS)).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    return {
+        "supers": supers,
+        "cmap": cmap,
+        # the serve path never touches corpus floats: membership only
+        "inv": inv.select("neighbor_id", "centroid_id"),
+        "codebook": cb1,
+        "codes": codes,
+        "tombstones": tomb,
+    }
+
+
+def standing_ivfpq_tables(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """LOAD the committed standing IVF-PQ serving state for ``sf_dir``,
+    building and committing it through the versioned-table lifecycle
+    (one snapshot manifest — a reader must never pair run-N codes with
+    run-N-1 codebooks) first if this session hasn't yet. Codeword
+    doubles round-trip parquet bit-exactly, so a search off the loaded
+    tables hash-equals one off the in-session lineage."""
+    import atexit  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_snapshot_tables,
+        write_snapshot_manifest,
+        write_version,
+    )
+
+    root = _IVFPQ_STORES.get(sf_dir)
+    if root is None or not os.path.isdir(root):
+        root = tempfile.mkdtemp(prefix="ivfpq_store_")
+        frames = _ivfpq_standing_frames(spark, sf_dir)
+        versions = {
+            name: write_version(frames[name], os.path.join(root, name))
+            for name in _IVFPQ_STATE_TABLES
+        }
+        write_snapshot_manifest(root, versions, run_id="nightly-000001")
+        if not _IVFPQ_STORES:
+            atexit.register(clear_standing_ivfpq_store)
+        _IVFPQ_STORES[sf_dir] = root
+    return read_snapshot_tables(spark, root)
+
+
+def _ivfpq_adc_serve(
+    spark: SparkSession, sf_dir: str, state: "dict[str, DataFrame]"
+) -> DataFrame:
+    """Tombstone-aware ADC search over STANDING IVF-PQ tables — the
+    production read path: queries (vec_id % 100 = 0; disjoint from the
+    corpus by construction) route through the loaded two-level
+    quantizer (``ivf_assign`` — the identical routing the build path
+    used), probe their clusters' loaded inverted lists, anti-join the
+    broadcast tombstone set on the PROBED candidates only (never the
+    corpus), and rank by the same ADC approximate cosine as q_ann_ivfpq
+    (broadcast |Q| x subs x codes lookup table, sub-ordered fold,
+    zero-denominator pairs dropped). Plan shape: parquet scans of the
+    standing tables + broadcast joins — the corpus floats are never
+    read and nothing wider than (query_id, neighbor_id, 4 doubles)
+    shuffles."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    queries = (
+        load_tables(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=False)  # routed AND subvector-split
+    )
+    q = ivf_assign(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("_qv")
+        ).withColumn("_qn", norm(F.col("_qv"))),
+        "_qv", "_qn", 4, state["supers"], state["cmap"], super_keep=2,
+    )
+    cand = (
+        F.broadcast(q.select("query_id", "centroid_id", "_qn"))
+        .join(state["inv"], "centroid_id")
+        .join(F.broadcast(state["tombstones"]), "neighbor_id", "left_anti")
+        .select("query_id", "neighbor_id", "_qn")
+    )
+    qsub = _pq_subvectors(queries).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qsv")
+    )
+    dtab = qsub.join(F.broadcast(state["codebook"]), "sub").select(
+        "query_id",
+        "sub",
+        "code_id",
+        F.aggregate(
+            F.zip_with(F.col("qsv"), F.col("cw"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_dot"),
+        F.aggregate(
+            F.zip_with(F.col("cw"), F.col("cw"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_cn2"),
+    )
+    scored = cand.join(
+        state["codes"].withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id",
+    ).join(F.broadcast(dtab), ["query_id", "sub", "code_id"])
+    agg = (
+        scored.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("_qn").alias("_qn"),
+            F.array_sort(
+                F.collect_list(F.struct("sub", "_dot", "_cn2"))
+            ).alias("_arr"),
+        )
+        .withColumn(
+            "_den",
+            F.col("_qn")
+            * F.sqrt(
+                F.aggregate(
+                    F.col("_arr"),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_cn2"],
+                )
+            ),
+        )
+        .filter(F.col("_den") > 0)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.col("_arr"), F.lit(0.0), lambda acc, s: acc + s["_dot"]
+                )
+                / F.col("_den"),
+                6,
+            ).alias("approx_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "approx_cos", "rank")
+    )
+
+
+def q_ann_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOADED-INDEX serving twin of q_ann_ivfpq (r16 verdict
+    item 6): q_ann_ivfpq and q_ann_ivfpq_deletes measure index BUILD +
+    search per invocation — the gate's contract, not the production
+    read path. This query serves from the committed standing tables
+    (``standing_ivfpq_tables``: quantizer + inverted lists + codebook +
+    codes + tombstones under one snapshot manifest, built once per
+    session — the nightly cost model) and runs the tombstone-aware ADC
+    search off them: per-invocation cost is the standing-table loads
+    plus |Q|-bounded broadcast work. tests/test_ivfpq_serve.py pins
+    that the served results are row-identical to the same search run
+    on the in-session build lineage."""
+    return _ivfpq_adc_serve(spark, sf_dir, standing_ivfpq_tables(spark, sf_dir))
+
+
+_ORACLE_ANN_IVFPQ_SERVE = f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 10 <> 0
+), {_ivf_build_sql(str(_IVF_INCREMENTAL_MOD))}, e AS (
+  SELECT neighbor_id AS vec_id, cv AS v FROM c
+), {_pq_build_sql()}, tomb AS (
+  SELECT vec_id AS neighbor_id FROM embeddings
+  WHERE vec_id % 10 <> 0 AND label IN {_DELETE_LABELS}
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+), q_sup AS (
+  -- query-side coarse multi-probe: 2 supers (super_keep=2 in Spark)
+  SELECT query_id, super_id FROM (
+    SELECT q.query_id, s.super_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {_cosr_sql("q.qv", "s.sv")} DESC, s.super_id ASC) AS rn
+    FROM q CROSS JOIN h2sup s) _r WHERE rn <= 2
+), q_assign AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT qs.query_id, m.centroid_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.query_id
+        ORDER BY {_cosr_sql("q.qv", "m.qv")} DESC, m.centroid_id ASC) AS rnk
+    FROM q_sup qs
+    JOIN q ON q.query_id = qs.query_id
+    JOIN h2cmap m ON m.super_id = qs.super_id
+  ) _r WHERE rnk <= 4
+), qsub AS (
+  -- queries are not corpus members: split into the same subspaces
+  -- directly (the _pq_subvectors twin, as in the pq_incremental oracle)
+  SELECT query_id, s AS sub,
+    qv[CAST(FLOOR((s - 1) * len(qv) / {_PQ_SUBS}.0) AS INT) + 1 :
+       CAST(FLOOR(s * len(qv) / {_PQ_SUBS}.0) AS INT)] AS qsv
+  FROM q, UNNEST(range(1, {_PQ_SUBS} + 1)) AS t(s)
+), dtab AS (
+  SELECT qs.query_id, cb.sub, cb.code_id,
+    list_sum(list_transform(range(1, len(qsv) + 1),
+      i -> qsv[i] * cw[i])) AS dot,
+    list_sum(list_transform(range(1, len(cw) + 1),
+      i -> cw[i] * cw[i])) AS cn2
+  FROM qsub qs JOIN cb1 cb ON cb.sub = qs.sub
+), cand AS (
+  -- probed lists, tombstones anti-joined on the candidates only
+  SELECT qa.query_id, ca.neighbor_id
+  FROM q_assign qa JOIN c_assign ca ON ca.centroid_id = qa.centroid_id
+  WHERE NOT EXISTS (SELECT 1 FROM tomb t
+                    WHERE t.neighbor_id = ca.neighbor_id)
+), qn AS (
+  SELECT query_id, SQRT(list_sum(list_transform(range(1, len(qv) + 1),
+    i -> qv[i] * qv[i]))) AS qnorm FROM q
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id, d.sub, d.dot, d.cn2
+  FROM cand
+  JOIN codes k ON k.vec_id = cand.neighbor_id
+  JOIN dtab d ON d.sub = k.sub AND d.code_id = k.code_id
+             AND d.query_id = cand.query_id
+), agg AS (
+  -- zero-denominator pairs DROPPED, mirroring the Spark _den > 0 guard
+  SELECT s.query_id, s.neighbor_id,
+    ROUND(list_sum(list(s.dot ORDER BY s.sub))
+          / (qn.qnorm * SQRT(list_sum(list(s.cn2 ORDER BY s.sub)))), 6)
+      AS approx_cos
+  FROM scored s JOIN qn ON qn.query_id = s.query_id
+  GROUP BY 1, 2, qn.qnorm
+  HAVING qn.qnorm * SQRT(list_sum(list(s.cn2 ORDER BY s.sub))) > 0
+)
+SELECT query_id, neighbor_id, approx_cos, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+    ORDER BY approx_cos DESC, neighbor_id ASC) AS rank
+  FROM agg)
+WHERE rank <= {_K}
+"""
+
+
 _KNN_K = 3
 
 
@@ -4081,6 +4365,11 @@ QUERIES = [
         "ext:similarity (tombstone delete maintenance for the IVF-PQ "
         "composite: dead CODE rows per inverted list, compaction "
         "signal over the ADC scan unit)",
+    ),
+    QuerySpec(
+        "q_ann_ivfpq_serve", q_ann_ivfpq_serve, _ORACLE_ANN_IVFPQ_SERVE,
+        "ext:similarity (production IVF-PQ read path: tombstone-aware "
+        "ADC search served from the LOADED standing index tables)",
     ),
     QuerySpec(
         "q_dedup_reinstate", q_dedup_reinstate, _ORACLE_DEDUP_REINSTATE,
