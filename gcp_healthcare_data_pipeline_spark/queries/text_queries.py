@@ -156,6 +156,13 @@ def q_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("ws")
     )
+    return gopher_repetition_metrics(docs)
+
+
+def gopher_repetition_metrics(docs: DataFrame) -> DataFrame:
+    """The q_repetition_gopher body over any (doc_id, ws) frame —
+    factored so the composed curation pipeline (q_curation_pipeline)
+    can gate its survivor set with the IDENTICAL per-row metrics."""
     bg = _rep_grams_sql(2)
     tg = _rep_grams_sql(10)
     ps = (
