@@ -55,80 +55,26 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
-# driver-vs-oracle evidence each round. Round-16 rotation (r15 verdict
-# item 2): head = the TWO never-sampled round-16 additions (IVF-PQ
-# tombstone delete maintenance; the Gopher intra-doc repetition
-# filters), then q_stream_semdedup (this round's
-# plan-changed query: its foreachBatch body now loads standing state
-# from the versioned store, results bit-identical), then the full
-# 14-query r11-evidence cohort (the oldest standing rows — retiring
-# r11 entirely, as r15 retired r10), then 33 of the 43-query r12
-# cohort (alphabetical — the next-oldest evidence). That is exactly
-# 50 slots; the remaining 10 r12 members are listed at 51+ so any
-# sampling overrun refreshes oldest evidence first, then
-# q_dedup_reinstate (plan changed this round: conditional candidate
-# broadcast, results bit-identical, r15 evidence still fresh), and
-# everything after follows plain registry order.
+# driver-vs-oracle evidence each round. Round-17 rotation (r16 verdict
+# item 3): head = the THREE never-sampled round-17 additions (the text
+# dedup lifecycle gate, the composed curation pipeline, the IVF-PQ
+# loaded-index serving twin), then q_dedup_incremental (plan changed
+# this round: its screen now loads the committed standing corpus index,
+# results bit-identical), then the full 10-query r12-evidence cohort
+# (the oldest standing rows — retiring r12 entirely, as r16 retired
+# r11), then 36 of the 47-query r13 cohort (alphabetical — the
+# next-oldest evidence). That is exactly 50 slots; the remaining 11 r13
+# members are listed at 51+ so any sampling overrun refreshes oldest
+# evidence first, and everything after follows plain registry order.
 _DRIVER_PRIORITY = [
     # NEW this round (never driver-sampled)
-    "q_ann_ivfpq_deletes",
-    "q_repetition_gopher",
+    "q_dedup_roundtrip",
+    "q_curation_pipeline",
+    "q_ann_ivfpq_serve",
     # plan changed this round, results bit-identical (loads the
-    # standing semdedup state instead of rebuilding it)
-    "q_stream_semdedup",
-    # the full r11-evidence cohort (oldest standing rows; retire r11)
-    "q_snapshot_diff",
-    "q_stats_by_flag",
-    "q_stratified_sample",
-    "q_stream_dedup",
-    "q_stream_stateful_profiles",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_stream_tumbling",
-    "q_stream_upsert",
-    "q_tfidf_topterms",
-    "q_token_budget",
-    "q_train_split",
-    "q_unpivot_balances",
-    "q_user_zscore",
-    # the r12 cohort, 34 of 43 (next-oldest evidence)
-    "q_above_avg_orders",
-    "q_ann_lsh",
-    "q_approx_distinct",
-    "q_approx_quantiles",
-    "q_cdc_apply",
-    "q_cluster_balance",
-    "q_compaction_roundtrip",
-    "q_conversion_latency",
-    "q_coreset_select",
-    "q_countmin_heavy",
-    "q_cube_sales",
-    "q_dq_checks",
-    "q_embedding_quantize",
-    "q_event_transitions",
-    "q_events_variant",
-    "q_ewma_values",
-    "q_feature_hashing",
-    "q_golden_record",
-    "q_group_split",
-    "q_hll_incremental",
-    "q_image_coreset",
-    "q_importance_weights",
-    "q_knn_graph",
-    "q_market_share",
-    "q_mart_refresh",
-    "q_oov_rate",
-    "q_pmi_collocations",
-    "q_regional_supplier_volume",
-    "q_robust_outliers",
-    "q_rolling_active_users",
-    "q_sequence_pattern",
-    "q_set_ops",
-    "q_shipping_priority",
-    # ---- 51+ : the remaining 10 r12-cohort members, then the
-    # plan-changed-but-fresh reinstatement query, so a sampling
-    # overrun refreshes oldest rows first; after these the tail is
-    # plain registry order
+    # standing text-dedup corpus index instead of rebuilding it)
+    "q_dedup_incremental",
+    # the full r12-evidence cohort (oldest standing rows; retire r12)
     "q_skew_diagnose",
     "q_stream_backfill",
     "q_stream_left_join",
@@ -139,5 +85,55 @@ _DRIVER_PRIORITY = [
     "q_version_diff",
     "q_weighted_sample",
     "q_zorder_stats",
-    "q_dedup_reinstate",
+    # the r13 cohort, 36 of 47 (next-oldest evidence, alphabetical)
+    "q_ann_ivf",
+    "q_basket_affinity",
+    "q_catalog_coverage",
+    "q_charge_summary",
+    "q_customer_order_dist",
+    "q_dedup_exact",
+    "q_disjunct_revenue",
+    "q_dominant_suppliers",
+    "q_dormant_rich_customers",
+    "q_fanout_profile",
+    "q_forecast_revenue",
+    "q_group_regression",
+    "q_important_parts",
+    "q_kmeans",
+    "q_lang_confusion",
+    "q_lang_id",
+    "q_large_volume_customers",
+    "q_min_cost_supplier",
+    "q_multimodal_decode",
+    "q_nation_trade",
+    "q_part_supplier_counts",
+    "q_parts_ordered",
+    "q_pipeline_department_performance",
+    "q_pipeline_financial_metrics",
+    "q_pipeline_patient_history",
+    "q_pipeline_payor_performance",
+    "q_pipeline_provider_charge_summary",
+    "q_pipeline_provider_performance",
+    "q_pipeline_sf",
+    "q_pivot_order_status",
+    "q_pricing_summary",
+    "q_priority_late_exists",
+    "q_product_profit",
+    "q_promo_revenue_share",
+    "q_rate_spikes",
+    "q_returned_item_loss",
+    # ---- 51+ : the remaining 11 r13-cohort members, so a sampling
+    # overrun refreshes oldest rows first; after these the tail is
+    # plain registry order
+    "q_revenue_gini",
+    "q_rollup_sales",
+    "q_semdedup",
+    "q_shipmode_priority",
+    "q_small_quantity_revenue",
+    "q_source_overlap",
+    "q_stream_scd2",
+    "q_supplier_hhi",
+    "q_top_supplier",
+    "q_video_coreset",
+    "q_waiting_suppliers",
 ]
