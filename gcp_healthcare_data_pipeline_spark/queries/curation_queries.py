@@ -401,6 +401,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast vocab/rate tables, shard-local packing windows. Nothing
     new is invented here; the gate pins that the COMPOSITION preserves
     each stage's semantics."""
+    frames = _curation_stage_frames(spark, sf_dir)
+    return _curation_ledger(frames)
+
+
+def _curation_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> "list[tuple[str, DataFrame]]":
+    """The pipeline's stage frames, in order: ('ingest', d0) through
+    ('temperature_mix', s10), then the two manifest frames ('packing',
+    packs) and ('export', shards). Factored from q_curation_pipeline so
+    tools/curation_profile.py can time each stage's MARGINAL cost (the
+    SCALING note's which-stage-dominates question) against the exact
+    production frames."""
     from gcp_healthcare_data_pipeline_spark.operators.dedup import (  # noqa: PLC0415
         band_keys as _band_keys,
     )
@@ -593,28 +606,35 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     shards = s10.select((pos % _N_SHARDS).alias("_sh")).distinct()
 
+    return [
+        ("ingest", d0), ("heldout_split", s1), ("exact_dedup", s2),
+        ("canonical_dedup", s3), ("minhash_lsh", s4), ("semdedup", s5),
+        ("gopher_repetition", s6), ("quality_gate", s7), ("lm_gate", s8),
+        ("contamination", s9), ("temperature_mix", s10),
+        ("packing", packs), ("export", shards),
+    ]
+
+
+def _curation_ledger(frames: "list[tuple[str, DataFrame]]") -> DataFrame:
+    """(stage_idx, stage, rows_in, rows_out) from the stage frames:
+    rows_in of stage k = rows_out of stage k-1 (the two manifest stages
+    both consume the final survivor set). Counts are 1-row lazily
+    checkpointed aggregates crossJoined pairwise — tiny frames only."""
+
     def cnt(df: DataFrame) -> DataFrame:
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("_n")
         ).localCheckpoint(eager=False)
 
-    c0 = cnt(d0)
-    entries = [
-        (0, "ingest", c0, c0),
-        (1, "heldout_split", c0, cnt(s1)),
-    ]
-    flow = [
-        ("exact_dedup", s2), ("canonical_dedup", s3), ("minhash_lsh", s4),
-        ("semdedup", s5), ("gopher_repetition", s6), ("quality_gate", s7),
-        ("lm_gate", s8), ("contamination", s9), ("temperature_mix", s10),
-    ]
-    prev = entries[-1][3]
-    for i, (name, frame) in enumerate(flow, start=2):
-        cur = cnt(frame)
+    counts = [(name, cnt(df)) for name, df in frames]
+    c0 = counts[0][1]
+    entries = [(0, "ingest", c0, c0)]
+    prev = c0
+    for i, (name, cur) in enumerate(counts[1:-2], start=1):
         entries.append((i, name, prev, cur))
         prev = cur
-    entries.append((11, "packing", prev, cnt(packs)))
-    entries.append((12, "export", prev, cnt(shards)))
+    entries.append((11, counts[-2][0], prev, counts[-2][1]))
+    entries.append((12, counts[-1][0], prev, counts[-1][1]))
 
     ledger = None
     for idx, name, cin, cout in entries:

@@ -1258,6 +1258,188 @@ def run_pq_cell(spark):
     return 0 if ok else 1
 
 
+_ANALYTICS_CELL_QUERIES = [
+    # the ~12 most expensive join/agg analytics queries (r16 verdict
+    # item 4): the TPC-H-shape set + the two sf-scaling composite gates
+    "q_pricing_summary",
+    "q_returned_item_loss",
+    "q_top_supplier",
+    "q_min_cost_supplier",
+    "q_waiting_suppliers",
+    "q_dominant_suppliers",
+    "q_regional_supplier_volume",
+    "q_market_share",
+    "q_shipping_priority",
+    "q_basket_affinity",
+    "q_pipeline_sf",
+    "q_scd2_sf",
+]
+
+
+def _build_analytics_blowup(spark, src_sf: str, copies: int = 10) -> str:
+    """Consistent ``copies``x STAR blow-up (sf0.1 -> sf≈1): every fact
+    AND dimension key is offset per copy — lineitem/orders keep their
+    join fan-in (each order copy finds exactly its lineitem copy),
+    customer/part/supplier grow with the facts (the TPC-H scaling
+    model), and per-key group sizes / per-pair supports are preserved
+    (a fact-only blow-up would 10x every dimension key's fan-out and
+    measure data-property drift, not plan scaling). region/nation stay
+    fixed (25 nations at any SF — the permanently-broadcastable dims).
+    Non-star tables are symlinked unchanged."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="sf_star_")
+    atexit.register(shutil.rmtree, out, True)
+
+    def span(df, key):
+        return df.agg(F.max(key)).collect()[0][0] + 1
+
+    li = spark.read.parquet(os.path.join(src_sf, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(src_sf, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(src_sf, "customer.parquet"))
+    pa = spark.read.parquet(os.path.join(src_sf, "part.parquet"))
+    su = spark.read.parquet(os.path.join(src_sf, "supplier.parquet"))
+    ok, pk, sk, ck = (
+        span(od, "o_orderkey"), span(pa, "p_partkey"),
+        span(su, "s_suppkey"), span(cu, "c_custkey"),
+    )
+
+    def blow(df, offsets):
+        parts = [
+            df.select(
+                *[
+                    (F.col(c) + F.lit(i * offsets[c])).alias(c)
+                    if c in offsets
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            for i in range(copies)
+        ]
+        o = parts[0]
+        for p in parts[1:]:
+            o = o.unionByName(p)
+        return o
+
+    blow(li, {"l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk}).write.parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+    blow(od, {"o_orderkey": ok, "o_custkey": ck}).write.parquet(
+        os.path.join(out, "orders.parquet")
+    )
+    blow(cu, {"c_custkey": ck}).write.parquet(
+        os.path.join(out, "customer.parquet")
+    )
+    blow(pa, {"p_partkey": pk}).write.parquet(
+        os.path.join(out, "part.parquet")
+    )
+    blow(su, {"s_suppkey": sk}).write.parquet(
+        os.path.join(out, "supplier.parquet")
+    )
+    for f in os.listdir(src_sf):
+        dst = os.path.join(out, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(src_sf, f), dst)
+    return out
+
+
+def _plan_profile(df) -> dict:
+    """Join-strategy + pushdown counts from the EXECUTED plan (AQE
+    final), the artifact that shows a size-triggered strategy flip."""
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    return {
+        "bcast": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "pushed": sum(
+            plan.count(f"PushedFilters: [{p}")
+            for p in ("Is", "And", "Gr", "EqualTo", "Not", "Or", "LessThan")
+        ),
+        "cartesian": plan.count("CartesianProduct"),
+    }
+
+
+def run_analytics_cell(spark, threshold: float, copies: int = 10):
+    """The r16-verdict item-4 cell: second-decade wall-clock curvature
+    for the join-heavy analytics set. Blows lineitem/orders (and their
+    dimensions, consistently) up ``copies``x from sf0.1 (sf≈1), times
+    the ~12 most expensive join/agg queries at both cells (best-of-2,
+    codegen warmed at sf0.01), and records each cell's EXECUTED plan
+    profile — broadcast/sort-merge/shuffled-hash join counts and
+    pushed-filter scans — so an AQE strategy flip at the bigger cell is
+    a printed observation, not a guess. Flags any query whose 10x step
+    exceeds ``threshold`` (superlinear with margin)."""
+    from gcp_healthcare_data_pipeline_spark.queries import all_queries
+
+    specs = all_queries()
+    print(f"building {copies}x star blow-up of sf0.1 (sf≈1) ...")
+    cell = _build_analytics_blowup(spark, BIG_SF, copies)
+    rc = 0
+    print(
+        f"{'query':28s} {'sf0.1':>8s} {'sf≈1':>9s} {'x':>6s}  "
+        "plan sf0.1 -> sf≈1 (bcast/smj/shj, pushed)"
+    )
+    for name in _ANALYTICS_CELL_QUERIES:
+        spec = specs[name]
+        try:
+            spec.fn(spark, SMALL_SF).count()  # codegen warmup
+            t_base, prof_base = None, None
+            for _ in range(2):
+                df = spec.fn(spark, BIG_SF)
+                t0 = time.perf_counter()
+                df.count()
+                dt = time.perf_counter() - t0
+                if t_base is None or dt < t_base:
+                    t_base, prof_base = dt, _plan_profile(df)
+            t_blow, prof_blow = None, None
+            for _ in range(2):
+                df = spec.fn(spark, cell)
+                t0 = time.perf_counter()
+                df.count()
+                dt = time.perf_counter() - t0
+                if t_blow is None or dt < t_blow:
+                    t_blow, prof_blow = dt, _plan_profile(df)
+        except Exception as exc:  # noqa: BLE001
+            rc = 1
+            print(f"{name:28s} ERROR {type(exc).__name__}: {exc}"[:160])
+            continue
+        ratio = t_blow / max(t_base, 1e-9)
+        flag = ratio > threshold and (
+            t_base >= 0.15 or t_blow >= 0.15 * threshold
+        )
+        cart = prof_blow["cartesian"] > 0
+        if flag or cart:
+            rc = 1
+        marks = []
+        if flag:
+            marks.append("SUPERLINEAR")
+        if cart:
+            marks.append("CARTESIAN")
+        flip = (
+            ""
+            if (prof_base["bcast"], prof_base["smj"], prof_base["shj"])
+            == (prof_blow["bcast"], prof_blow["smj"], prof_blow["shj"])
+            else "  <-- JOIN-STRATEGY FLIP"
+        )
+        mark = ("  !! " + ",".join(marks)) if marks else ""
+        print(
+            f"{name:28s} {t_base:7.3f}s {t_blow:8.3f}s x{ratio:5.2f}  "
+            f"{prof_base['bcast']}/{prof_base['smj']}/{prof_base['shj']},"
+            f"p{prof_base['pushed']} -> "
+            f"{prof_blow['bcast']}/{prof_blow['smj']}/{prof_blow['shj']},"
+            f"p{prof_blow['pushed']}{flip}{mark}"
+        )
+    return rc
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -1304,6 +1486,11 @@ def main() -> int:
                          "for the window/posting text-dedup families at "
                          "50k docs + the df-cap's measured recall cost "
                          "on a cap-binding corpus")
+    ap.add_argument("--analytics-cell", action="store_true",
+                    help="r16-verdict item-4 cell: 10x star blow-up of "
+                         "sf0.1 (sf≈1), wall-clock curvature + executed-"
+                         "plan join-strategy/pushdown profile for the "
+                         "join-heavy analytics set")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
@@ -1337,6 +1524,9 @@ def main() -> int:
 
     if args.text_cell:
         return run_text_cell(spark, args.threshold)
+
+    if args.analytics_cell:
+        return run_analytics_cell(spark, args.threshold, args.copies)
 
     if args.third_step:
         rows, flagged, errors = run_third_step(spark, args.threshold)
