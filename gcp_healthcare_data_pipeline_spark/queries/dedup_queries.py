@@ -632,6 +632,48 @@ def append_dedup_delta(
     _commit_dedup_segments(frames, root, run_id=run_id)
 
 
+def compact_dedup_segments(
+    spark: SparkSession, root: str, run_id: str
+) -> None:
+    """Fold all live segments of every standing table into ONE segment
+    (the merge phase of the merge-on-read design): the hash profile's
+    per-segment partial counts are summed per hash, band and shingle
+    rows are concatenated, and a new manifest pins only the merged
+    segment. The pre-compaction segments are left on disk through this
+    commit (pinned — a reader holding the previous manifest keeps a
+    consistent view) and are swept by the NEXT append, whose pin set no
+    longer contains them — exactly one commit of reader grace, the same
+    sweep-on-next-write discipline the orphan path uses. Screens read
+    identical state before and after (tests/test_dedup_roundtrip.py)."""
+    import os  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_snapshot_manifest,
+        write_snapshot_manifest,
+        write_version,
+    )
+
+    live = read_snapshot_manifest(root)["versions"]
+    frames = _read_dedup_segments(spark, root)
+    merged = {
+        "hash_profile": frames["hash_profile"]
+        .groupBy("h")
+        .agg(F.sum("n_exact").cast("bigint").alias("n_exact")),
+        "bands": frames["bands"],
+        "shingles": frames["shingles"],
+    }
+    versions = {}
+    for table in _DEDUP_STATE_TABLES:
+        v = write_version(
+            merged[table],
+            os.path.join(root, table),
+            retain=1,
+            pinned=set(live.get(table, [])),
+        )
+        versions[table] = [v]
+    write_snapshot_manifest(root, versions, run_id=run_id)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta dedup: screen an incoming BATCH (doc_id % 10 = 0) against
     the existing CORPUS (the rest) WITHOUT touching the corpus — the

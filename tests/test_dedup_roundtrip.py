@@ -128,6 +128,45 @@ def test_append_delta_segments_equal_full_rebuild(spark, tmp_path):
         assert vdirs == ["v=000000", "v=000001"], (table, vdirs)
 
 
+def test_compaction_preserves_screen_and_sweeps_on_next_append(
+    spark, tmp_path
+):
+    """The merge phase of merge-on-read: compaction folds the live
+    segments into one, screens read identical state before and after,
+    the previous segments survive the compaction commit itself (reader
+    grace via the aged manifest), and the NEXT append sweeps them."""
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (
+        read_snapshot_manifest,
+    )
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+        compact_dedup_segments,
+    )
+
+    root = str(tmp_path / "store")
+    corpus_frames = _rebuild_state(spark, SF_DIR, F.col("doc_id") % 10 != 0)
+    _commit_dedup_segments(corpus_frames, root, run_id="nightly-000001")
+    append_dedup_delta(spark, SF_DIR, root, run_id="ingest-000002")
+    before = _rows(_dedup_screen(spark, SF_DIR, _read_dedup_segments(spark, root)))
+
+    compact_dedup_segments(spark, root, run_id="compact-000003")
+    m = read_snapshot_manifest(root)
+    assert all(len(vs) == 1 for vs in m["versions"].values()), m["versions"]
+    after = _rows(_dedup_screen(spark, SF_DIR, _read_dedup_segments(spark, root)))
+    assert before == after
+    # grace window: the pre-compaction segments are still on disk and
+    # the aged manifest still serves them
+    assert sorted(
+        d for d in os.listdir(os.path.join(root, "bands")) if d.startswith("v=")
+    ) == ["v=000000", "v=000001", "v=000002"]
+    aged = _read_dedup_segments(spark, root, run_id="nightly-000001")
+    assert _rows(aged["bands"]) == _rows(corpus_frames["bands"])
+    # the NEXT append sweeps the compacted-away segments
+    append_dedup_delta(spark, SF_DIR, root, run_id="ingest-000004")
+    assert sorted(
+        d for d in os.listdir(os.path.join(root, "bands")) if d.startswith("v=")
+    ) == ["v=000002", "v=000003"]
+
+
 def test_corrupt_orphan_segment_invisible_and_swept(spark, tmp_path):
     """A writer that crashed AFTER writing a segment but BEFORE the
     pointer flip leaves a corrupt orphan: loads must never see it, and

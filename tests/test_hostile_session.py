@@ -71,6 +71,14 @@ QUERIES = [
     "q_label_denoise",
     "q_hard_negatives",
     "q_pq_incremental",
+    # round-17 additions: the text-dedup lifecycle gate (loaded band
+    # table must reproduce the banding math under ANSI/non-UTC), the
+    # loaded-index ADC serving twin, and the 13-stage curation
+    # composite (banding + hierarchical assignment + LN quality/LM
+    # gates all in one flow)
+    "q_dedup_roundtrip",
+    "q_ann_ivfpq_serve",
+    "q_curation_pipeline",
 ]
 
 
