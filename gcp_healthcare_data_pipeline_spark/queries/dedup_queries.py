@@ -563,14 +563,30 @@ def _dedup_screen(
     summed per batch doc), near-dups via the ASYMMETRIC batch-vs-corpus
     band join (never a corpus self-join), exact-Jaccard verified on
     candidates only. One definition shared by q_dedup_incremental
-    (loads the session-standing store) and q_dedup_roundtrip (loads a
-    freshly committed one) — zero drift."""
-    r, nb, k = _corpus_lsh_params(spark, sf_dir)
+    (loads the session-standing store), q_dedup_roundtrip (loads a
+    freshly committed one) and q_stream_text_dedup (runs the body per
+    micro-batch via ``_screen_frame``) — zero drift."""
     batch = (
         load_tables(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 10 == 0)
     )
+    return _screen_frame(batch, state, _corpus_lsh_params(spark, sf_dir))
+
+
+def _screen_frame(
+    batch: DataFrame,
+    state: "dict[str, DataFrame]",
+    params: "tuple[int, int, int]",
+) -> DataFrame:
+    """The screen BODY over an arbitrary ``(doc_id, text)`` batch frame
+    under a pinned LSH epoch shape ``(r, nb, k)``. Per-row independent
+    given the frozen standing state — each batch doc's exact count and
+    best corpus Jaccard depend only on that doc and the corpus tables —
+    so a union of disjoint sub-batch screens equals the whole-batch
+    screen, the property q_stream_text_dedup's micro-batch delivery
+    rests on."""
+    r, nb, k = params
     # exact: batch hashes joined onto the (possibly multi-segment)
     # profile; SUM of partial counts per doc_id = total corpus count
     # (doc_id is unique in the batch, so the groupBy is per batch doc)

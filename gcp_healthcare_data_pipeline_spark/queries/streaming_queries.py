@@ -15,6 +15,11 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+    # same contract as the semdedup alias below: the streaming text
+    # screen's oracle IS the batch incremental screen's, verbatim
+    _ORACLE_DEDUP_INCREMENTAL as _ORACLE_STREAM_TEXT_DEDUP,
+)
 from gcp_healthcare_data_pipeline_spark.queries.registry import QuerySpec
 from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (
     # the streaming screen's oracle IS the batch incremental screen's:
@@ -841,6 +846,111 @@ def q_stream_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TEXT dedup — the q_dedup_incremental screen run as a
+    foreachBatch micro-batch handler over a delta-document FILE STREAM:
+    the continuously-ingesting twin of the r17 text-dedup lifecycle,
+    mirroring what q_stream_semdedup is to the vector family. The
+    standing state (md5 hash profile, MinHash band table, corpus
+    shingle table) is LOADED from the session's committed versioned
+    segment store (dedup_queries.standing_dedup_tables — the same
+    nightly load half q_dedup_roundtrip gates), never re-derived inside
+    the stream; the LSH epoch shape is pinned once before the stream
+    starts, so every micro-batch bands with the corpus's (r, nb, k).
+
+    The delta lands as two id-hash files drained with
+    ``maxFilesPerTrigger=1``, so the handler demonstrably runs per
+    micro-batch; the screen body (dedup_queries._screen_frame) is
+    per-row independent given the frozen standing state, so the union
+    of micro-batch outputs EQUALS the batch screen and the oracle is
+    q_dedup_incremental's, verbatim. Screen body, epoch params and
+    standing state are the SAME definitions the batch queries use —
+    one definition, zero drift."""
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (  # noqa: PLC0415
+        _corpus_lsh_params,
+        _screen_frame,
+        standing_dedup_tables,
+    )
+
+    loaded = standing_dedup_tables(spark, sf_dir)
+    # pin the loaded tables in executor memory once before the stream
+    # (hash profile ~|corpus| tiny rows, band table nb·|corpus|): an
+    # eager checkpoint spares every micro-batch the file-source
+    # re-resolution — each per-batch plan starts from an in-memory scan
+    state = {
+        name: frame.localCheckpoint(eager=True)
+        for name, frame in loaded.items()
+    }
+    # epoch shape pinned BEFORE the stream: a production screen bands
+    # with the shape the standing index was built under (the EPOCH
+    # POLICY in operators.dedup.lsh_params), never a per-batch rederive
+    params = _corpus_lsh_params(spark, sf_dir)
+
+    work = tempfile.mkdtemp(prefix="q_stream_text_dedup_")
+    # everything below can raise (stream start, foreachBatch screen,
+    # sink read) — reclaim the work dir on EVERY exit
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        docs = load_tables(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        # land the two micro-batch files in ONE job: partitionBy splits
+        # the delta into _mb dirs (the partition column stays in the
+        # directory name, so the landed files keep the (doc_id, text)
+        # schema the stream declares)
+        stage = os.path.join(work, "stage")
+        (
+            delta.withColumn("_mb", F.col("doc_id") % 20 == 0)
+            .repartition(1)
+            .write.mode("overwrite")
+            .partitionBy("_mb")
+            .parquet(stage)
+        )
+        for tag, sub in (("even", "_mb=true"), ("odd", "_mb=false")):
+            i = 0
+            subdir = os.path.join(stage, sub)
+            for f in sorted(os.listdir(subdir)):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(subdir, f),
+                        os.path.join(src, f"{tag}_{i}.parquet"),
+                    )
+                    i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+
+        sink = os.path.join(work, "sink")
+        stream = (
+            spark.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("doc_id", "text")
+        )
+
+        def _screen_batch(bdf: DataFrame, _bid: int) -> None:
+            _screen_frame(bdf, state, params).write.mode("append").parquet(
+                sink
+            )
+
+        with _state_width(spark):
+            q = (
+                stream.writeStream.foreachBatch(_screen_batch)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        # pin the result before the finally reclaims the work dir
+        return spark.read.parquet(sink).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = [
     QuerySpec(
         "q_stream_scd2", q_stream_scd2, _ORACLE_STREAM_SCD2,
@@ -850,6 +960,13 @@ QUERIES = [
         "q_stream_semdedup", q_stream_semdedup, _ORACLE_STREAM_SEMDEDUP,
         "ext:streaming ext:dedup (incremental semantic screen as a "
         "foreachBatch micro-batch body over a delta-vector file stream)",
+    ),
+    QuerySpec(
+        "q_stream_text_dedup", q_stream_text_dedup,
+        _ORACLE_STREAM_TEXT_DEDUP,
+        "ext:streaming ext:dedup (incremental text screen — md5 exact + "
+        "MinHash-LSH near — as a foreachBatch micro-batch body against "
+        "the loaded standing segment store)",
     ),
     QuerySpec(
         "q_stream_stateful_profiles", q_stream_stateful_profiles,

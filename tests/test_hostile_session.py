@@ -79,6 +79,7 @@ QUERIES = [
     "q_dedup_roundtrip",
     "q_ann_ivfpq_serve",
     "q_curation_pipeline",
+    "q_stream_text_dedup",
 ]
 
 
