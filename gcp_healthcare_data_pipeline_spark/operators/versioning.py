@@ -98,7 +98,8 @@ def write_version(
 
 
 def write_snapshot_manifest(
-    root: str, versions: dict[str, int], run_id: str
+    root: str, versions: dict[str, int], run_id: str,
+    meta: dict | None = None,
 ) -> str:
     """Pin a CONSISTENT multi-table snapshot: one manifest mapping every
     table to the version id committed by this run, plus an atomic
@@ -106,14 +107,25 @@ def write_snapshot_manifest(
     a reader joining two marts mid-refresh could still see table A from
     run N and table B from run N-1 — the manifest closes that gap
     (the multi-table-transaction idea behind lakehouse catalog commits).
+
+    ``meta``: optional JSON-serializable table-group metadata stored in
+    the manifest — derivation-time parameters that must TRAVEL WITH the
+    persisted state rather than be re-derived at read time (the text
+    dedup store pins its LSH epoch shape here: re-deriving from the
+    current corpus size would silently change the banding once the
+    corpus crosses a decade boundary, invalidating every persisted
+    band row — the EPOCH POLICY in ``operators.dedup.lsh_params``).
     """
     import json
 
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
     mpath = os.path.join(root, "_manifests", f"{run_id}.json")
     tmp = mpath + ".tmp"
+    doc = {"run_id": run_id, "versions": versions}
+    if meta is not None:
+        doc["meta"] = meta
     with open(tmp, "w") as fh:
-        json.dump({"run_id": run_id, "versions": versions}, fh)
+        json.dump(doc, fh)
     os.replace(tmp, mpath)
     cur_tmp = os.path.join(root, "_CURRENT.tmp")
     with open(cur_tmp, "w") as fh:

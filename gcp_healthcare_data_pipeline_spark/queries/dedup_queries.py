@@ -460,13 +460,19 @@ def _dedup_state_frames(
 
 
 def _commit_dedup_segments(
-    frames: "dict[str, DataFrame]", root: str, run_id: str
+    frames: "dict[str, DataFrame]", root: str, run_id: str,
+    meta: "dict | None" = None,
 ) -> None:
     """Append one SEGMENT per standing table and commit a manifest whose
     ``versions`` values are the full live-segment LISTS. ``retain=1 +
     pinned`` makes write_version keep exactly the live segments: old
     segments stay (they are still pinned), snapshots-as-segments never
-    prune each other."""
+    prune each other.
+
+    ``meta`` (creation only): manifest metadata — the store's pinned LSH
+    epoch shape. Append commits leave it ``None`` and the previous
+    manifest's meta is CARRIED FORWARD, so the epoch pinned at store
+    creation travels with the index through every append/compaction."""
     import os  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
@@ -476,9 +482,12 @@ def _commit_dedup_segments(
     )
 
     try:
-        live = read_snapshot_manifest(root)["versions"]
+        prev = read_snapshot_manifest(root)
     except (FileNotFoundError, OSError):
-        live = {t: [] for t in _DEDUP_STATE_TABLES}
+        prev = {"versions": {t: [] for t in _DEDUP_STATE_TABLES}}
+    live = prev["versions"]
+    if meta is None:
+        meta = prev.get("meta")
     versions = {}
     for table in _DEDUP_STATE_TABLES:
         pinned = set(live.get(table, []))
@@ -486,7 +495,7 @@ def _commit_dedup_segments(
             frames[table], os.path.join(root, table), retain=1, pinned=pinned
         )
         versions[table] = sorted(pinned | {v})
-    write_snapshot_manifest(root, versions, run_id=run_id)
+    write_snapshot_manifest(root, versions, run_id=run_id, meta=meta)
 
 
 def _read_dedup_segments(
@@ -523,17 +532,14 @@ def clear_standing_dedup_store() -> None:
     _DEDUP_STORES.clear()
 
 
-def standing_dedup_tables(
-    spark: SparkSession, sf_dir: str
-) -> "dict[str, DataFrame]":
-    """LOAD the committed standing text-dedup state (hash profile, band
-    table, shingle table over the corpus = ``doc_id % 10 != 0``) for
+def _standing_dedup_root(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the session-standing committed text-dedup store for
     ``sf_dir``, building and committing it through the versioned-table
     lifecycle first if this session hasn't yet — the nightly-index cost
     model: the corpus is scanned when the index is built, never per
-    screen. md5 hex strings, band keys and shingle string-arrays
-    round-trip parquet exactly, so a screen off the loaded tables
-    hash-equals one off the in-session lineage."""
+    screen. The LSH epoch shape derived at build time is pinned in the
+    manifest meta (EPOCH POLICY: it travels with the index; readers
+    never re-derive it from the current corpus size)."""
     import atexit  # noqa: PLC0415
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -542,15 +548,45 @@ def standing_dedup_tables(
     if root is None or not os.path.isdir(root):
         root = tempfile.mkdtemp(prefix="dedup_store_")
         docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+        params = _corpus_lsh_params(spark, sf_dir)
         frames = _dedup_state_frames(
-            docs.filter(F.col("doc_id") % 10 != 0),
-            _corpus_lsh_params(spark, sf_dir),
+            docs.filter(F.col("doc_id") % 10 != 0), params
         )
-        _commit_dedup_segments(frames, root, run_id="nightly-000001")
+        _commit_dedup_segments(
+            frames, root, run_id="nightly-000001",
+            meta={"lsh": list(params)},
+        )
         if not _DEDUP_STORES:
             atexit.register(clear_standing_dedup_store)
         _DEDUP_STORES[sf_dir] = root
-    return _read_dedup_segments(spark, root)
+    return root
+
+
+def standing_dedup_tables(
+    spark: SparkSession, sf_dir: str
+) -> "dict[str, DataFrame]":
+    """LOAD the committed standing text-dedup state (hash profile, band
+    table, shingle table over the corpus = ``doc_id % 10 != 0``) for
+    ``sf_dir``, building it first if this session hasn't yet. md5 hex
+    strings, band keys and shingle string-arrays round-trip parquet
+    exactly, so a screen off the loaded tables hash-equals one off the
+    in-session lineage."""
+    return _read_dedup_segments(spark, _standing_dedup_root(spark, sf_dir))
+
+
+def dedup_store_epoch(root: str) -> "tuple[int, int, int] | None":
+    """The LSH epoch shape ``(r, nb, k)`` pinned in the store's current
+    manifest at creation — the shape every screen and every appended
+    segment must band with, REGARDLESS of how far the corpus has grown
+    since (re-deriving from the current size would silently change the
+    banding and orphan every persisted band row). ``None`` for
+    pre-epoch stores (callers fall back to the derived shape)."""
+    from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
+        read_snapshot_manifest,
+    )
+
+    lsh = read_snapshot_manifest(root).get("meta", {}).get("lsh")
+    return None if lsh is None else (int(lsh[0]), int(lsh[1]), int(lsh[2]))
 
 
 def _dedup_screen(
@@ -639,11 +675,14 @@ def append_dedup_delta(
     snapshot manifest. Write cost ∝ |batch|; the corpus segments are
     never rewritten. After this, the loaded state aggregates to exactly
     the state a full rebuild over corpus ∪ batch would produce
-    (tests/test_dedup_roundtrip.py pins that equality)."""
+    (tests/test_dedup_roundtrip.py pins that equality). The batch bands
+    with the STORE's pinned epoch shape, never a freshly-derived one —
+    appending segments banded under a different shape would make them
+    invisible to every screen using the store's epoch."""
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
     frames = _dedup_state_frames(
         docs.filter(F.col("doc_id") % 10 == 0),
-        _corpus_lsh_params(spark, sf_dir),
+        dedup_store_epoch(root) or _corpus_lsh_params(spark, sf_dir),
     )
     _commit_dedup_segments(frames, root, run_id=run_id)
 
@@ -669,7 +708,8 @@ def compact_dedup_segments(
         write_version,
     )
 
-    live = read_snapshot_manifest(root)["versions"]
+    prev = read_snapshot_manifest(root)
+    live = prev["versions"]
     frames = _read_dedup_segments(spark, root)
     merged = {
         "hash_profile": frames["hash_profile"]
@@ -687,7 +727,9 @@ def compact_dedup_segments(
             pinned=set(live.get(table, [])),
         )
         versions[table] = [v]
-    write_snapshot_manifest(root, versions, run_id=run_id)
+    write_snapshot_manifest(
+        root, versions, run_id=run_id, meta=prev.get("meta")
+    )
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,8 +740,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``standing_dedup_tables``, the nightly-index cost model), so
     per-ingest cost scales with |batch|, not |corpus| (r16 verdict
     item 1; until r17 this query re-derived all three corpus-side
-    structures per invocation)."""
-    return _dedup_screen(spark, sf_dir, standing_dedup_tables(spark, sf_dir))
+    structures per invocation). The batch bands with the EPOCH shape
+    pinned in the store's manifest — the shape the standing index was
+    built under — not one re-derived from the current corpus size."""
+    root = _standing_dedup_root(spark, sf_dir)
+    batch = (
+        load_tables(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return _screen_frame(
+        batch,
+        _read_dedup_segments(spark, root),
+        dedup_store_epoch(root) or _corpus_lsh_params(spark, sf_dir),
+    )
 
 
 def q_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,19 +774,25 @@ def q_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    params = _corpus_lsh_params(spark, sf_dir)
     frames = _dedup_state_frames(
-        docs.filter(F.col("doc_id") % 10 != 0),
-        _corpus_lsh_params(spark, sf_dir),
+        docs.filter(F.col("doc_id") % 10 != 0), params
     )
     with _lifecycle_store("q_dedup_roundtrip_") as root:
-        _commit_dedup_segments(frames, root, run_id="ingest-000001")
-        loaded = _read_dedup_segments(spark, root)
-        # pin the (batch-sized) result before the store is reclaimed —
-        # the screen must fully execute off the LOADED tables, which is
-        # exactly what the eager checkpoint forces
-        return _dedup_screen(spark, sf_dir, loaded).localCheckpoint(
-            eager=True
+        _commit_dedup_segments(
+            frames, root, run_id="ingest-000001",
+            meta={"lsh": list(params)},
         )
+        loaded = _read_dedup_segments(spark, root)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        # screen under the epoch shape READ BACK from the committed
+        # manifest (not the in-session derivation — the full roundtrip),
+        # and pin the (batch-sized) result before the store is
+        # reclaimed: the screen must fully execute off the LOADED
+        # tables, which is exactly what the eager checkpoint forces
+        return _screen_frame(
+            batch, loaded, dedup_store_epoch(root)
+        ).localCheckpoint(eager=True)
 
 
 _ORACLE_DEDUP_INCREMENTAL = f"""

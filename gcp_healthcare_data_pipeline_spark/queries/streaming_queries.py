@@ -872,11 +872,14 @@ def q_stream_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (  # noqa: PLC0415
         _corpus_lsh_params,
+        _read_dedup_segments,
         _screen_frame,
-        standing_dedup_tables,
+        _standing_dedup_root,
+        dedup_store_epoch,
     )
 
-    loaded = standing_dedup_tables(spark, sf_dir)
+    root = _standing_dedup_root(spark, sf_dir)
+    loaded = _read_dedup_segments(spark, root)
     # pin the loaded tables in executor memory once before the stream
     # (hash profile ~|corpus| tiny rows, band table nb·|corpus|): an
     # eager checkpoint spares every micro-batch the file-source
@@ -885,10 +888,11 @@ def q_stream_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         name: frame.localCheckpoint(eager=True)
         for name, frame in loaded.items()
     }
-    # epoch shape pinned BEFORE the stream: a production screen bands
-    # with the shape the standing index was built under (the EPOCH
-    # POLICY in operators.dedup.lsh_params), never a per-batch rederive
-    params = _corpus_lsh_params(spark, sf_dir)
+    # epoch shape read from the STORE's manifest before the stream: a
+    # production screen bands with the shape the standing index was
+    # built under (the EPOCH POLICY in operators.dedup.lsh_params),
+    # never a per-batch rederive from the current corpus size
+    params = dedup_store_epoch(root) or _corpus_lsh_params(spark, sf_dir)
 
     work = tempfile.mkdtemp(prefix="q_stream_text_dedup_")
     # everything below can raise (stream start, foreachBatch screen,

@@ -266,3 +266,76 @@ def test_clear_reclaims_store_dirs(spark):
     clear_standing_dedup_store()
     assert not _DEDUP_STORES
     assert not os.path.isdir(root)
+
+
+def test_epoch_shape_travels_with_the_store(spark, tmp_path):
+    """EPOCH POLICY, end to end: a store built when the corpus was one
+    decade smaller keeps screening with ITS OWN pinned band shape after
+    the corpus grows — never the shape a fresh derivation over the
+    grown corpus would produce (which would orphan every persisted band
+    row). The divergence regime is asserted, not assumed."""
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+        _screen_frame,
+        _standing_dedup_root,
+        clear_shared_state,
+        dedup_store_epoch,
+    )
+
+    src = "/root/testdata/sf0.1"  # 5000 docs -> derived shape (3, 10, 30)
+    d = str(tmp_path / "grown")
+    os.makedirs(d)
+    docs = load_tables(spark, src, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    small = docs.orderBy("doc_id").limit(500)
+    small.write.parquet(os.path.join(d, "documents.parquet"))
+
+    root = _standing_dedup_root(spark, d)  # build: epoch pinned at n=500
+    stored = dedup_store_epoch(root)
+    assert stored == _corpus_lsh_params(spark, d)
+
+    # the corpus GROWS a full decade in place; a fresh session derives
+    # a different shape from the new size
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    clear_shared_state()  # drop the param cache = a new session's view
+    grown = _corpus_lsh_params(spark, d)
+    assert grown != stored, (
+        f"corpus growth no longer changes the derived shape "
+        f"({stored} vs {grown}) — resize the fixture"
+    )
+
+    # the screen still bands with the STORED epoch: row-identical to an
+    # in-session screen of the grown batch against the small corpus
+    # under the pinned shape
+    state = _dedup_state_frames(
+        small.select("doc_id", "text").filter(F.col("doc_id") % 10 != 0),
+        stored,
+    )
+    batch = (
+        load_tables(spark, d, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    assert _rows(q_dedup_incremental(spark, d)) == _rows(
+        _screen_frame(batch, state, stored)
+    )
+
+    # the maintenance half bands the appended delta under the stored
+    # epoch too: post-append state aggregates to a full rebuild over
+    # corpus ∪ batch under the PINNED shape
+    append_dedup_delta(spark, d, root, run_id="ingest-000002")
+    appended_docs = load_tables(spark, d, "documents").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") % 10 == 0)
+    merged_plus = _dedup_state_frames(
+        small.select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 != 0)
+        .unionByName(appended_docs),
+        stored,
+    )
+    loaded = _read_dedup_segments(spark, root)
+    assert _rows(_profile_view(loaded["hash_profile"])) == _rows(
+        _profile_view(merged_plus["hash_profile"])
+    )
+    assert _rows(loaded["bands"]) == _rows(merged_plus["bands"])
+    assert dedup_store_epoch(root) == stored  # meta carried forward
