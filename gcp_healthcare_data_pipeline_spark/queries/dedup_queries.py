@@ -795,6 +795,43 @@ def q_dedup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
+def q_dedup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE phase of the segment store, oracle-gated: commit the
+    corpus as TWO segments (a nightly build then an ingest append —
+    the multi-segment state a week of ingests accumulates), COMPACT
+    them into one merged segment per table (partial hash counts summed,
+    band/shingle rows concatenated, epoch meta carried forward), then
+    screen the batch from the COMPACTED store. The oracle is
+    q_dedup_incremental's VERBATIM — compaction changes the physical
+    segment layout, never the aggregated state a screen reads: that
+    invariance IS the gate. Cost model: this query deliberately
+    measures split-build + compact + load + screen (the weekly
+    maintenance bill); the screen itself reads exactly one segment per
+    table afterwards, the layout the merge exists to restore."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa: PLC0415
+        _lifecycle_store,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    params = _corpus_lsh_params(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    with _lifecycle_store("q_dedup_compaction_") as root:
+        _commit_dedup_segments(
+            _dedup_state_frames(corpus.filter(F.col("doc_id") % 3 == 0), params),
+            root, run_id="nightly-000001", meta={"lsh": list(params)},
+        )
+        _commit_dedup_segments(
+            _dedup_state_frames(corpus.filter(F.col("doc_id") % 3 != 0), params),
+            root, run_id="ingest-000002",
+        )
+        compact_dedup_segments(spark, root, run_id="compact-000003")
+        loaded = _read_dedup_segments(spark, root)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        return _screen_frame(
+            batch, loaded, dedup_store_epoch(root)
+        ).localCheckpoint(eager=True)
+
+
 _ORACLE_DEDUP_INCREMENTAL = f"""
 WITH d AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
@@ -1141,6 +1178,12 @@ QUERIES = [
         "q_dedup_roundtrip", q_dedup_roundtrip, _ORACLE_DEDUP_INCREMENTAL,
         "ext:dedup (persisted corpus-index lifecycle: build + commit + "
         "load + screen)",
+    ),
+    QuerySpec(
+        "q_dedup_compaction", q_dedup_compaction, _ORACLE_DEDUP_INCREMENTAL,
+        "ext:dedup (segment-store merge phase: two-segment build + "
+        "compact + load + screen; compaction never changes the "
+        "aggregated state)",
     ),
     QuerySpec(
         "q_dedup_containment", q_dedup_containment, _ORACLE_DEDUP_CONTAINMENT,

@@ -80,6 +80,7 @@ QUERIES = [
     "q_ann_ivfpq_serve",
     "q_curation_pipeline",
     "q_stream_text_dedup",
+    "q_dedup_compaction",
 ]
 
 
