@@ -53,6 +53,16 @@ ENVELOPE_MED_S = {
     # median); its first-call-of-session MAX (~18 s) is the one-time
     # standing-store build — lands in max, never in median.
     "q_stream_semdedup": 4.27,
+    # q_stream_text_dedup (added r17): the text-family streaming screen,
+    # same load-plan contract as q_stream_semdedup — foreachBatch body
+    # screens against the standing segment store loaded from the
+    # versioned warehouse tables; the first call of a session pays the
+    # one-time store build (~18 s max), which lands in max, never in
+    # median. Pin = element-wise max of the two r17 idle measurements
+    # of the load plan (4.20 canonical --n 3 median, anchor-idle host;
+    # 3.52 median-of-3 in BENCH_LOCAL_r17 with the store pre-built in
+    # warm-up).
+    "q_stream_text_dedup": 4.20,
     "q_stream_backfill": 2.11,
     "q_stream_dedup": 3.56,
     "q_stream_left_join": 4.05,
