@@ -56,16 +56,16 @@ def all_queries() -> dict[str, QuerySpec]:
 # The driver's correctness gate emits rows for the FIRST 50 registry
 # entries only, so display order decides which queries get hard
 # driver-vs-oracle evidence each round. Round-17 rotation (r16 verdict
-# item 3): head = the FIVE never-sampled round-17 additions (the text
+# item 3): head = the SIX never-sampled round-17 additions (the text
 # dedup lifecycle gate, the composed curation pipeline, the IVF-PQ
 # loaded-index serving twin, the streaming text-dedup screen, the
-# segment-store compaction gate), then
+# segment-store compaction gate, the takedown gate), then
 # q_dedup_incremental (plan changed this round: its screen now loads
 # the committed standing corpus index, results bit-identical), then
 # the full 10-query r12-evidence cohort
 # (the oldest standing rows — retiring r12 entirely, as r16 retired
-# r11), then 34 of the 47-query r13 cohort (alphabetical — the
-# next-oldest evidence). That is exactly 50 slots; the remaining 13 r13
+# r11), then 33 of the 47-query r13 cohort (alphabetical — the
+# next-oldest evidence). That is exactly 50 slots; the remaining 14 r13
 # members are listed at 51+ so any sampling overrun refreshes oldest
 # evidence first, and everything after follows plain registry order.
 _DRIVER_PRIORITY = [
@@ -75,6 +75,7 @@ _DRIVER_PRIORITY = [
     "q_ann_ivfpq_serve",
     "q_stream_text_dedup",
     "q_dedup_compaction",
+    "q_dedup_takedown",
     # plan changed this round, results bit-identical (loads the
     # standing text-dedup corpus index instead of rebuilding it)
     "q_dedup_incremental",
@@ -89,7 +90,7 @@ _DRIVER_PRIORITY = [
     "q_version_diff",
     "q_weighted_sample",
     "q_zorder_stats",
-    # the r13 cohort, 34 of 47 (next-oldest evidence, alphabetical)
+    # the r13 cohort, 33 of 47 (next-oldest evidence, alphabetical)
     "q_ann_ivf",
     "q_basket_affinity",
     "q_catalog_coverage",
@@ -123,10 +124,10 @@ _DRIVER_PRIORITY = [
     "q_pricing_summary",
     "q_priority_late_exists",
     "q_product_profit",
-    "q_promo_revenue_share",
-    # ---- 51+ : the remaining 13 r13-cohort members, so a sampling
+    # ---- 51+ : the remaining 14 r13-cohort members, so a sampling
     # overrun refreshes oldest rows first; after these the tail is
     # plain registry order
+    "q_promo_revenue_share",
     "q_rate_spikes",
     "q_returned_item_loss",
     "q_revenue_gini",

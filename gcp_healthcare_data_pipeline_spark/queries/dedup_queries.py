@@ -472,7 +472,12 @@ def _commit_dedup_segments(
     ``meta`` (creation only): manifest metadata — the store's pinned LSH
     epoch shape. Append commits leave it ``None`` and the previous
     manifest's meta is CARRIED FORWARD, so the epoch pinned at store
-    creation travels with the index through every append/compaction."""
+    creation travels with the index through every append/compaction.
+
+    A commit writes segments only for the tables in ``frames``; every
+    other live table's segment list is carried forward untouched — a
+    retraction commit, for example, touches only ``hash_profile`` and
+    ``tombstones``."""
     import os  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
@@ -484,15 +489,15 @@ def _commit_dedup_segments(
     try:
         prev = read_snapshot_manifest(root)
     except (FileNotFoundError, OSError):
-        prev = {"versions": {t: [] for t in _DEDUP_STATE_TABLES}}
+        prev = {"versions": {}}
     live = prev["versions"]
     if meta is None:
         meta = prev.get("meta")
-    versions = {}
-    for table in _DEDUP_STATE_TABLES:
+    versions = {t: sorted(vs) for t, vs in live.items() if t not in frames}
+    for table, frame in frames.items():
         pinned = set(live.get(table, []))
         v = write_version(
-            frames[table], os.path.join(root, table), retain=1, pinned=pinned
+            frame, os.path.join(root, table), retain=1, pinned=pinned
         )
         versions[table] = sorted(pinned | {v})
     write_snapshot_manifest(root, versions, run_id=run_id, meta=meta)
@@ -621,8 +626,21 @@ def _screen_frame(
     best corpus Jaccard depend only on that doc and the corpus tables —
     so a union of disjoint sub-batch screens equals the whole-batch
     screen, the property q_stream_text_dedup's micro-batch delivery
-    rests on."""
+    rests on.
+
+    Merge-on-read delete semantics: when the state carries a
+    ``tombstones`` table (corpus_ids retracted by a takedown —
+    ``retract_dedup_docs``), the band and shingle tables are anti-joined
+    against it here, and the hash profile's NEGATED retraction partials
+    cancel inside the existing per-hash SUM — retracted docs stop
+    matching without any segment rewrite. The physical purge happens at
+    the next compaction."""
     r, nb, k = params
+    state = dict(state)
+    tomb = state.pop("tombstones", None)
+    if tomb is not None:
+        for t in ("bands", "shingles"):
+            state[t] = state[t].join(tomb, "corpus_id", "left_anti")
     # exact: batch hashes joined onto the (possibly multi-segment)
     # profile; SUM of partial counts per doc_id = total corpus count
     # (doc_id is unique in the batch, so the groupBy is per batch doc)
@@ -687,6 +705,36 @@ def append_dedup_delta(
     _commit_dedup_segments(frames, root, run_id=run_id)
 
 
+def retract_dedup_docs(
+    removed: DataFrame, root: str, run_id: str
+) -> None:
+    """The TAKEDOWN half of the lifecycle (right-to-be-forgotten /
+    license-revocation over the corpus index), LSM-style: commit ONE
+    retraction segment — the removed docs' hash partials NEGATED (they
+    cancel inside the screen's per-hash SUM) plus their corpus_ids as
+    ``tombstones`` rows (anti-joined against the band/shingle tables at
+    screen time) — and touch nothing else. Retract cost ∝ |removed|;
+    no corpus segment is rewritten, mirroring the vector family's
+    tombstone deletes (q_ann_ivf_deletes). The retracted docs stop
+    matching IMMEDIATELY (merge-on-read); the physical purge of their
+    derived rows happens at the next ``compact_dedup_segments``, which
+    folds tombstones out of the merged segments and drops the
+    ``tombstones`` table from the manifest.
+
+    ``removed``: the retracted docs as ``(doc_id, text)`` — text is
+    needed to negate the hash partials; at 100 TB this is the takedown
+    batch itself, never a corpus scan. Epoch meta carries forward
+    (retraction never changes the band shape — EPOCH POLICY)."""
+    profile_neg = removed.groupBy(F.md5("text").alias("h")).agg(
+        (-F.count(F.lit(1))).cast("bigint").alias("n_exact")
+    )
+    tomb = removed.select(F.col("doc_id").alias("corpus_id")).distinct()
+    _commit_dedup_segments(
+        {"hash_profile": profile_neg, "tombstones": tomb},
+        root, run_id=run_id,
+    )
+
+
 def compact_dedup_segments(
     spark: SparkSession, root: str, run_id: str
 ) -> None:
@@ -699,7 +747,16 @@ def compact_dedup_segments(
     consistent view) and are swept by the NEXT append, whose pin set no
     longer contains them — exactly one commit of reader grace, the same
     sweep-on-next-write discipline the orphan path uses. Screens read
-    identical state before and after (tests/test_dedup_roundtrip.py)."""
+    identical state before and after (tests/test_dedup_roundtrip.py).
+
+    Compaction is also where takedowns become PHYSICAL: tombstoned
+    corpus_ids are anti-joined out of the merged band/shingle segments,
+    retraction partials cancel out of the hash profile (fully-retracted
+    hashes drop entirely), and the ``tombstones`` table leaves the
+    manifest — after a compaction the retracted docs' derived rows no
+    longer exist on disk under the current manifest, the purge a
+    takedown obligation actually requires (aged manifests still serve
+    the pre-compaction view for exactly one commit of reader grace)."""
     import os  # noqa: PLC0415
 
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
@@ -711,12 +768,18 @@ def compact_dedup_segments(
     prev = read_snapshot_manifest(root)
     live = prev["versions"]
     frames = _read_dedup_segments(spark, root)
+    tomb = frames.pop("tombstones", None)
+    bands, shingles = frames["bands"], frames["shingles"]
+    if tomb is not None:
+        bands = bands.join(tomb, "corpus_id", "left_anti")
+        shingles = shingles.join(tomb, "corpus_id", "left_anti")
     merged = {
         "hash_profile": frames["hash_profile"]
         .groupBy("h")
-        .agg(F.sum("n_exact").cast("bigint").alias("n_exact")),
-        "bands": frames["bands"],
-        "shingles": frames["shingles"],
+        .agg(F.sum("n_exact").cast("bigint").alias("n_exact"))
+        .filter(F.col("n_exact") != 0),
+        "bands": bands,
+        "shingles": shingles,
     }
     versions = {}
     for table in _DEDUP_STATE_TABLES:
@@ -832,12 +895,55 @@ def q_dedup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
 
 
-_ORACLE_DEDUP_INCREMENTAL = f"""
+def q_dedup_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TAKEDOWN half of the lifecycle, oracle-gated: build+commit
+    the corpus store, RETRACT the ``doc_id % 7 = 0`` slice of the
+    corpus (one retraction segment: negated hash partials + corpus_id
+    tombstones, cost ∝ |removed|, no corpus rewrite — the text-family
+    mirror of the vector tombstone deletes), then screen the batch from
+    the loaded store. The oracle recomputes the screen over the SHRUNK
+    corpus from scratch: merge-on-read retraction must be
+    indistinguishable from a corpus that never contained the retracted
+    docs — that equivalence IS the gate. The physical purge at
+    compaction (and that a post-compaction screen is unchanged) is
+    pinned in tests/test_dedup_roundtrip.py."""
+    from gcp_healthcare_data_pipeline_spark.queries.vector_queries import (  # noqa: PLC0415
+        _lifecycle_store,
+    )
+
+    docs = load_tables(spark, sf_dir, "documents").select("doc_id", "text")
+    params = _corpus_lsh_params(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    with _lifecycle_store("q_dedup_takedown_") as root:
+        _commit_dedup_segments(
+            _dedup_state_frames(corpus, params),
+            root, run_id="nightly-000001", meta={"lsh": list(params)},
+        )
+        retract_dedup_docs(
+            corpus.filter(F.col("doc_id") % 7 == 0),
+            root, run_id="takedown-000002",
+        )
+        loaded = _read_dedup_segments(spark, root)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        return _screen_frame(
+            batch, loaded, dedup_store_epoch(root)
+        ).localCheckpoint(eager=True)
+
+
+def _oracle_dedup_screen(corpus_cond: str) -> str:
+    """The incremental-screen oracle with the CORPUS membership
+    predicate parameterized: ``corpus_cond`` is a SQL condition template
+    with ``{p}`` standing for the doc_id column prefix (empty in the
+    hash CTE, ``c.`` in the candidate join). The batch is always
+    ``doc_id % 10 = 0``. q_dedup_incremental / roundtrip / compaction
+    use the full corpus; q_dedup_takedown subtracts the retracted
+    slice."""
+    return f"""
 WITH d AS (
   SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
 ), ch AS (
   SELECT md5(text) AS h, COUNT(*) AS n_exact
-  FROM d WHERE doc_id % 10 <> 0 GROUP BY 1
+  FROM d WHERE {corpus_cond.format(p="")} GROUP BY 1
 ), exact AS (
   SELECT b.doc_id, COALESCE(ch.n_exact, 0) AS n_exact
   FROM d b LEFT JOIN ch ON md5(b.text) = ch.h
@@ -850,7 +956,7 @@ WITH d AS (
 ), {_lsh_sql_cte("sh")}, cand AS (
   SELECT DISTINCT a.doc_id, c.doc_id AS corpus_id
   FROM bands a JOIN bands c ON a.band_key = c.band_key
-  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+  WHERE a.doc_id % 10 = 0 AND {corpus_cond.format(p="c.")}
 ), near AS (
   SELECT cand.doc_id, MAX(ROUND(
     CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
@@ -867,6 +973,14 @@ SELECT e.doc_id, e.n_exact,
   CAST(e.n_exact > 0 OR near.best_jaccard IS NOT NULL AS INT) AS is_dup
 FROM exact e LEFT JOIN near ON e.doc_id = near.doc_id
 """
+
+
+_ORACLE_DEDUP_INCREMENTAL = _oracle_dedup_screen("{p}doc_id % 10 <> 0")
+# the takedown slice: corpus docs with doc_id % 7 = 0 are retracted, so
+# the oracle's corpus is the full corpus MINUS that slice
+_ORACLE_DEDUP_TAKEDOWN = _oracle_dedup_screen(
+    "({p}doc_id % 10 <> 0 AND {p}doc_id % 7 <> 0)"
+)
 
 
 _CONTAINMENT_THRESHOLD = 0.8
@@ -1184,6 +1298,12 @@ QUERIES = [
         "ext:dedup (segment-store merge phase: two-segment build + "
         "compact + load + screen; compaction never changes the "
         "aggregated state)",
+    ),
+    QuerySpec(
+        "q_dedup_takedown", q_dedup_takedown, _ORACLE_DEDUP_TAKEDOWN,
+        "ext:dedup (LSM-style takedown: retraction segment with negated "
+        "hash partials + tombstones; screen equals a corpus that never "
+        "held the retracted docs)",
     ),
     QuerySpec(
         "q_dedup_containment", q_dedup_containment, _ORACLE_DEDUP_CONTAINMENT,

@@ -339,3 +339,58 @@ def test_epoch_shape_travels_with_the_store(spark, tmp_path):
     )
     assert _rows(loaded["bands"]) == _rows(merged_plus["bands"])
     assert dedup_store_epoch(root) == stored  # meta carried forward
+
+
+def test_takedown_screens_immediately_and_purges_at_compaction(
+    spark, tmp_path
+):
+    """Retraction is merge-on-read: one segment (negated hash partials +
+    tombstones), retracted docs stop matching immediately, and the
+    screen equals one over a corpus that never held them. Compaction
+    then makes the delete PHYSICAL: tombstoned rows leave the merged
+    band/shingle segments, fully-retracted hashes leave the profile,
+    the tombstones table leaves the manifest — and the screen is
+    unchanged."""
+    from gcp_healthcare_data_pipeline_spark.queries.dedup_queries import (
+        _screen_frame,
+        compact_dedup_segments,
+        dedup_store_epoch,
+        retract_dedup_docs,
+    )
+
+    root = str(tmp_path / "store")
+    docs = load_tables(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    params = _corpus_lsh_params(spark, SF_DIR)
+    _commit_dedup_segments(
+        _dedup_state_frames(corpus, params), root,
+        run_id="nightly-000001", meta={"lsh": list(params)},
+    )
+    removed = corpus.filter(F.col("doc_id") % 7 == 0)
+    retract_dedup_docs(removed, root, run_id="takedown-000002")
+
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    shrunk = _dedup_state_frames(
+        corpus.filter(F.col("doc_id") % 7 != 0), params
+    )
+    screened = _rows(
+        _screen_frame(
+            batch, _read_dedup_segments(spark, root), dedup_store_epoch(root)
+        )
+    )
+    assert screened == _rows(_screen_frame(batch, shrunk, params))
+
+    compact_dedup_segments(spark, root, run_id="compact-000003")
+    state = _read_dedup_segments(spark, root)
+    assert "tombstones" not in state
+    removed_ids = {r.doc_id for r in removed.select("doc_id").collect()}
+    assert removed_ids  # the retraction slice is non-empty
+    live_band_ids = {
+        r.corpus_id for r in state["bands"].select("corpus_id").collect()
+    }
+    assert not (live_band_ids & removed_ids)  # physically purged
+    assert state["hash_profile"].filter(F.col("n_exact") <= 0).count() == 0
+    after = _rows(
+        _screen_frame(batch, state, dedup_store_epoch(root))
+    )
+    assert after == screened

@@ -81,6 +81,7 @@ QUERIES = [
     "q_curation_pipeline",
     "q_stream_text_dedup",
     "q_dedup_compaction",
+    "q_dedup_takedown",
 ]
 
 
