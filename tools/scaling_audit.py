@@ -1440,6 +1440,160 @@ def run_analytics_cell(spark, threshold: float, copies: int = 10):
     return rc
 
 
+def _build_curation_blowup(spark, src_sf: str, copies: int = 10) -> str:
+    """documents + embeddings blown up with a COMMON per-copy id span,
+    so the curation pipeline's ``emb.vec_id = doc_id`` join pairs
+    copy-i docs with copy-i vectors (``build_blowup`` offsets each
+    table by its OWN span — 5000 vs 2000 at sf0.1 — which scrambles the
+    correspondence and would hand stage 5 arbitrary vectors). Text gets
+    the same per-copy vocabulary-prefix rewrite and vectors the same
+    per-copy sign-flip rewrite as build_blowup (density preserved, no
+    cross-copy collisions in either token space or cosine space); the
+    per-copy vector coverage ratio (2000 of 5000 docs embedded) is
+    preserved exactly. Other tables are symlinked unchanged."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    assert copies <= 10, "prefix scheme is only unambiguous for <= 10 copies"
+    out = tempfile.mkdtemp(prefix="sf_curation_")
+    atexit.register(shutil.rmtree, out, True)
+    docs = spark.read.parquet(os.path.join(src_sf, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(src_sf, "embeddings.parquet"))
+    span = (
+        max(
+            docs.agg(F.max("doc_id")).collect()[0][0],
+            emb.agg(F.max("vec_id")).collect()[0][0],
+        )
+        + 1
+    )
+    doc_parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * span)).alias("doc_id"),
+            F.regexp_replace("text", "(^|(?<= ))(?=[^ ])", f"k{i}").alias(
+                "text"
+            ),
+            "lang", "source",
+        ).withColumn("n_chars", F.length("text"))
+        for i in range(copies)
+    ]
+    d = doc_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    d.write.parquet(os.path.join(out, "documents.parquet"))
+
+    emb_dims = len(emb.select("embedding").head()[0])
+
+    def _signs(i: int) -> "list[float]":
+        return [
+            1.0
+            if int(
+                hashlib.md5(f"{span}:{i}:{dd}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
+            else -1.0
+            for dd in range(emb_dims)
+        ]
+
+    emb_parts = [
+        emb.select(
+            (F.col("vec_id") + F.lit(i * span)).alias("vec_id"),
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(sgn) for sgn in _signs(i)]),
+                lambda x, sgn: (x * sgn).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+        for i in range(copies)
+    ]
+    e = emb_parts[0]
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    e.write.parquet(os.path.join(out, "embeddings.parquet"))
+
+    for f in os.listdir(src_sf):
+        dst = os.path.join(out, f)
+        if f.endswith(".parquet") and not os.path.exists(dst):
+            os.symlink(os.path.join(src_sf, f), dst)
+    return out
+
+
+def run_curation_cell(spark, threshold: float, copies: int = 10):
+    """Second-decade cell for the composed curation pipeline: run the
+    13-stage chain at sf0.1 and at a consistent ``copies``x blow-up
+    (50k docs / 20k vectors), reporting the END-TO-END wall (best-of-2,
+    codegen warmed at sf0.01) plus a per-stage attribution: the
+    count-time marginal of each lazily-checkpointed stage frame AND a
+    named ``frames_build`` row for the eager stage-construction work
+    (k-means seeding collects, LM vocab builds, epoch derivation) that
+    executes while the frames are BUILT, before any count runs — the
+    first cut of this cell summed only the count-time marginals (~1 s)
+    and silently missed the ~17-50 s of eager work the end-to-end wall
+    carries. Flags a superlinear total step over ``threshold``."""
+    import time as _t
+
+    from gcp_healthcare_data_pipeline_spark.queries.curation_queries import (
+        _curation_stage_frames,
+    )
+
+    print(f"building consistent {copies}x curation blow-up of sf0.1 ...")
+    cell = _build_curation_blowup(spark, BIG_SF, copies)
+    # codegen warm-up at sf0.01 so neither timed cell pays first-plan
+    # compilation
+    for _, df in _curation_stage_frames(spark, SMALL_SF):
+        df.count()
+
+    def _profile(sf_dir):
+        best = None
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            frames = _curation_stage_frames(spark, sf_dir)
+            t_build = _t.perf_counter() - t0
+            rows = []
+            for name, df in frames:
+                t1 = _t.perf_counter()
+                n = df.count()
+                rows.append((name, n, _t.perf_counter() - t1))
+            wall = _t.perf_counter() - t0
+            if best is None or wall < best[0]:
+                best = (wall, t_build, rows)
+        return best
+
+    w_base, b_base, base = _profile(BIG_SF)
+    w_blow, b_blow, blown = _profile(cell)
+    rc = 0
+    print(
+        f"{'stage':20s} {'rows@0.1':>9s} {'s@0.1':>7s} "
+        f"{'rows@10x':>9s} {'s@10x':>8s} {'x':>6s}"
+    )
+    print(
+        f"{'frames_build':20s} {'':9s} {b_base:7.3f} {'':9s} "
+        f"{b_blow:8.3f} x{b_blow / max(b_base, 1e-9):5.2f}"
+    )
+    for (name, n0, s0), (_, n1, s1) in zip(base, blown):
+        ratio = s1 / max(s0, 1e-9)
+        mark = "  !! SUPERLINEAR" if ratio > threshold and s0 >= 0.15 else ""
+        print(
+            f"{name:20s} {n0:9d} {s0:7.3f} {n1:9d} {s1:8.3f} "
+            f"x{ratio:5.2f}{mark}"
+        )
+    tot_ratio = w_blow / max(w_base, 1e-9)
+    if tot_ratio > threshold:
+        rc = 1
+        mark = "  !! SUPERLINEAR"
+    else:
+        mark = ""
+    print(
+        f"{'TOTAL end-to-end':20s} {'':9s} {w_base:7.3f} {'':9s} "
+        f"{w_blow:8.3f} x{tot_ratio:5.2f}{mark}"
+    )
+    return rc
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
@@ -1491,6 +1645,11 @@ def main() -> int:
                          "sf0.1 (sf≈1), wall-clock curvature + executed-"
                          "plan join-strategy/pushdown profile for the "
                          "join-heavy analytics set")
+    ap.add_argument("--curation-cell", action="store_true",
+                    help="r17 cell: the 13-stage composed curation "
+                         "pipeline at sf0.1 vs a consistent 10x "
+                         "doc+vector blow-up, per-stage marginal cost "
+                         "side by side")
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
@@ -1527,6 +1686,9 @@ def main() -> int:
 
     if args.analytics_cell:
         return run_analytics_cell(spark, args.threshold, args.copies)
+
+    if args.curation_cell:
+        return run_curation_cell(spark, args.threshold, args.copies)
 
     if args.third_step:
         rows, flagged, errors = run_third_step(spark, args.threshold)
