@@ -118,17 +118,25 @@ def hash_stratified_winners(
     This is THE single Spark-side definition — the DuckDB twins
     (vector_queries._C0_SQL, _hier_assign_sql's ``{p}sup``,
     _ivf_hier_sql's ``{p}sup``) replicate it verbatim and must change
-    in lockstep with this function."""
+    in lockstep with this function.
+
+    Execution shape (r17 optimization, guide §2.3 "aggregate before you
+    shuffle"): the bucket winner is a partial-combining
+    ``groupBy(bucket).agg(min(struct(_h, id, payload...)))`` — (_h, id)
+    is unique per row, so lexicographic struct-min IS the former
+    ``row_number() over (partition by bucket order by _h, id) = 1``
+    window, but the exchange now carries at most m pre-reduced rows per
+    map partition instead of the window's full-table sort shuffle.
+    Payload columns ride along in the struct and are never compared
+    (the unique (_h, id) prefix decides first)."""
+    cols = df.columns
     h = _md5_48(id_col)
-    w = Window.partitionBy(
-        F.pmod(F.col("_h"), F.col(m_col))
-    ).orderBy("_h", id_col)
     return (
         df.withColumn("_h", h)
         .crossJoin(F.broadcast(mf))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_h", "_rn", m_col)
+        .groupBy(F.pmod(F.col("_h"), F.col(m_col)).alias("_b"))
+        .agg(F.min(F.struct("_h", id_col, *[c for c in cols if c != id_col])).alias("_w"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in cols])
     )
 
 

@@ -1321,6 +1321,24 @@ def _super_centroids(
     ).select(F.col("centroid_id").alias("super_id"), F.col("c").alias("sc"))
 
 
+def _pack_nearest_struct(arr: "F.Column", v: "F.Column") -> "F.Column":
+    """min (rounded-dist, id) struct over a packed (i, c) struct array:
+    ``array_min`` over structs is lexicographic, so struct(d, i) min IS
+    the former ``row_number() over (order by dist asc, id asc) = 1``
+    window — identical tie-breaks (rounded to 6dp BEFORE the compare,
+    NaN sorts greatest in both, and (d, i) is unique per element).
+    NULL/empty array propagates to a NULL struct (callers drop those
+    rows, matching the former inner child join)."""
+    return F.array_min(
+        F.transform(
+            arr,
+            lambda s: F.struct(
+                _dist_between(v, s["c"]).alias("d"), s["i"].alias("i")
+            ),
+        )
+    )
+
+
 def _kmeans_assign(
     emb: DataFrame, centroids: DataFrame,
     m_frame: "DataFrame | None" = None,
@@ -1336,15 +1354,26 @@ def _kmeans_assign(
     4. argmin only that super-cluster's child centroids (n x k/m folds
        on average).
 
-    Total distance work n*2*sqrt(k) instead of n*k. The corpus never
-    shuffles by key — supers and the child map broadcast onto it; the
-    per-vector argmins are row_number windows on vec_id (same exchange
-    the flat version already paid, once per level). Tie-breaks at both
+    Total distance work n*2*sqrt(k) instead of n*k. Tie-breaks at both
     levels: rounded dist asc, id asc — bit-identical in the oracle's
     :func:`_hier_assign_sql` CTEs. Output contract unchanged:
-    (vec_id, v, centroid_id, dist)."""
-    from pyspark.sql import Window
+    (vec_id, v, centroid_id, dist).
 
+    Execution shape (r17 optimization, guide §2.4 "remove shuffles
+    outright"): through r16 steps 3-4 were crossJoin fan-outs followed
+    by row_number windows partitioned on vec_id — TWO exchanges that
+    shuffled n x m (then n x k/m) rows each carrying the full vector.
+    Now the super table is packed into one broadcast row (an id-sorted
+    struct array) and the child map into m broadcast rows (super_id ->
+    packed children), and both argmins run as array_min-over-transform
+    folds inside projections over the corpus scan: the corpus never
+    shuffles, never fans out, and the only exchanges left are the tiny
+    centroid-side aggregations (bucket winners, the 1-row super pack,
+    the child-map groupBy). Distance-fold count is unchanged
+    (n*m + n*k/m); what disappears is the data movement. Measured
+    (tools/profile_query.py, sf0.1, runs=3): q_semdedup 7.4 -> 5.6 s,
+    and the two corpus-scale window exchanges per assignment pass are
+    gone from every consumer's plan."""
     # both the super seeding and the child map traverse the centroid
     # lineage (which includes a full corpus pass after a Lloyd
     # recompute) — checkpoint so it is computed once (a former
@@ -1352,6 +1381,14 @@ def _kmeans_assign(
     # see _semdedup_drops)
     centroids = centroids.localCheckpoint(eager=False)
     supers = _super_centroids(centroids, emb, m_frame)
+    # all supers packed into one broadcastable id-sorted struct array
+    sup_arr = supers.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("super_id").alias("i"), F.col("sc").alias("c"))
+            )
+        ).alias("_sups")
+    )
 
     # self-preference tie-break: a centroid that IS a super must map to
     # itself. Two near-identical vectors can both be hash-chosen as
@@ -1360,43 +1397,51 @@ def _kmeans_assign(
     # super under the lower one, the higher super ends up CHILDLESS,
     # and every vector routed to it would be silently DROPPED by the
     # inner child join — in the near-duplicate regime this dedup engine
-    # exists for. Mirrored in the oracle's {p}cmap CTE.
-    wc = Window.partitionBy("centroid_id").orderBy(
-        F.col("_sd").asc(),
-        F.when(F.col("super_id") == F.col("centroid_id"), 0)
-        .otherwise(1)
-        .asc(),
-        F.col("super_id").asc(),
+    # exists for. Mirrored in the oracle's {p}cmap CTE. struct-min over
+    # (d, self-pref, i) is that exact ordering.
+    cmap = centroids.crossJoin(F.broadcast(sup_arr)).select(
+        "centroid_id",
+        "c",
+        F.array_min(
+            F.transform(
+                F.col("_sups"),
+                lambda s: F.struct(
+                    _dist_between(F.col("c"), s["c"]).alias("d"),
+                    F.when(s["i"] == F.col("centroid_id"), 0)
+                    .otherwise(1)
+                    .alias("p"),
+                    s["i"].alias("i"),
+                ),
+            )
+        )["i"].alias("super_id"),
     )
-    cmap = (
-        centroids.crossJoin(F.broadcast(supers))
-        .withColumn("_sd", _dist_between(F.col("c"), F.col("sc")))
-        .withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") == 1)
-        .select("centroid_id", "c", "super_id")
+    # super_id -> its children packed per super (m rows, each holding
+    # its ~k/m children) — a broadcast-hash-join relation, so no single
+    # row ever holds the whole centroid table (max row = one super's
+    # child list, bounded by the cluster fan-out)
+    fam = cmap.groupBy("super_id").agg(
+        F.collect_list(
+            F.struct(F.col("centroid_id").alias("i"), F.col("c").alias("c"))
+        ).alias("_kids")
     )
 
-    wv = Window.partitionBy("vec_id").orderBy(
-        F.col("_sd").asc(), F.col("super_id").asc()
-    )
-    vsup = (
-        emb.crossJoin(F.broadcast(supers))
-        .withColumn("_sd", _dist_between(F.col("v"), F.col("sc")))
-        .withColumn("_rn", F.row_number().over(wv))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "super_id")
-    )
-
-    scored = vsup.join(F.broadcast(cmap), "super_id").withColumn(
-        "dist", _dist_to_centroid()
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("centroid_id").asc()
-    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "v", "centroid_id", "dist")
+        emb.crossJoin(F.broadcast(sup_arr))
+        .withColumn(
+            "_sid", _pack_nearest_struct(F.col("_sups"), F.col("v"))["i"]
+        )
+        .drop("_sups")
+        # inner join: a vector routed to a childless/absent super drops,
+        # exactly like the former inner child join (self-preference in
+        # cmap guarantees every super has at least itself as a child)
+        .join(F.broadcast(fam), F.col("_sid") == fam["super_id"])
+        .withColumn("_b", _pack_nearest_struct(F.col("_kids"), F.col("v")))
+        .select(
+            "vec_id",
+            "v",
+            F.col("_b.i").alias("centroid_id"),
+            F.col("_b.d").alias("dist"),
+        )
     )
 
 
