@@ -285,49 +285,63 @@ def ivf_assign(
     Tie-breaks at both levels: rounded cosine desc, id asc —
     mirrored in the oracle.
 
-    keep-1 argmaxes run as ``groupBy(id).agg(min(struct(-sim, id)))``
-    — lexicographic struct min IS (sim desc, id asc), negation of a
-    rounded double is exact, and the aggregate partial-combines
-    map-side so the exchange carries one pre-reduced row per vector
-    instead of the full fan-out a window sort would shuffle.
-    ``first(carry)`` is deterministic: ids are unique in ``df``, so
-    every row in a group carries the same payload. Top-N keeps
-    (query probing) still use the window."""
+    keep-1 argmaxes (the corpus-side, cost-critical path) run as
+    array_min folds over BROADCAST-PACKED candidate arrays inside a
+    projection — ZERO exchange of the assigned frame (r17 optimization,
+    guide §2.4; through r16 they were partial-combining groupBy
+    min-struct aggregates, which still shuffled one pre-reduced row
+    per vector, vectors included). The fold key is
+    struct(0.0 - nanvl(sim, +inf), id): lexicographic struct-min IS
+    (sim desc, id asc); ``0.0 - sim`` (not unary minus) keeps signed
+    zeros from ordering differently, and nanvl maps a NaN similarity
+    to -inf after negation so it WINS the min exactly like the
+    row_number window (both engines sort NaN first under DESC).
+    Top-N keeps (query probing, tiny side) still use the window."""
     idc = df.columns[0]
     carry = [c for c in df.columns if c != idc]
 
-    def argbest1(scored: DataFrame, sim: str, out_id: str) -> DataFrame:
-        # two IEEE hazards vs the row_number window this replaces:
-        # - 0.0 - sim (not unary minus): 0.0-(+-0.0) = +0.0, so a
-        #   zero-signed similarity cannot order differently;
-        # - nanvl(sim, +inf): both engines sort NaN FIRST under
-        #   DESC (NaN > any double), but struct-min would AVOID a
-        #   NaN key — mapping NaN to +inf makes its negated key
-        #   -inf, which wins the min exactly like the window.
-        key = F.lit(0.0) - F.nanvl(F.col(sim), F.lit(float("inf")))
-        return (
-            scored.groupBy(idc)
-            .agg(
-                F.min(
-                    F.struct(key.alias("_neg"), F.col(out_id))
-                ).alias("_w"),
-                *[F.first(c).alias(c) for c in carry],
-            )
-            .select(idc, *carry, F.col(f"_w.{out_id}").alias(out_id))
-        )
+    def negkey(sim: "F.Column") -> "F.Column":
+        return F.lit(0.0) - F.nanvl(sim, F.lit(float("inf")))
 
-    sroutes = df.crossJoin(F.broadcast(supers)).withColumn(
-        "_ssim",
-        F.round(
-            cosine_precomputed(
-                F.col(vec), F.col("_sv"), F.col(nrm), F.col("_sn")
-            ),
-            6,
-        ),
-    )
     if super_keep == 1:
-        routed = argbest1(sroutes, "_ssim", "super_id")
+        # all supers packed into one broadcastable id-sorted struct row;
+        # the route is an in-row fold — the df side never shuffles
+        sup_arr = supers.agg(
+            F.array_sort(
+                F.collect_list(F.struct("super_id", "_sv", "_sn"))
+            ).alias("_sups")
+        )
+        best_sup = F.array_min(
+            F.transform(
+                F.col("_sups"),
+                lambda s: F.struct(
+                    negkey(
+                        F.round(
+                            cosine_precomputed(
+                                F.col(vec), s["_sv"], F.col(nrm), s["_sn"]
+                            ),
+                            6,
+                        )
+                    ).alias("_neg"),
+                    s["super_id"].alias("super_id"),
+                ),
+            )
+        )
+        routed = (
+            df.crossJoin(F.broadcast(sup_arr))
+            .withColumn("super_id", best_sup["super_id"])
+            .drop("_sups")
+        )
     else:
+        sroutes = df.crossJoin(F.broadcast(supers)).withColumn(
+            "_ssim",
+            F.round(
+                cosine_precomputed(
+                    F.col(vec), F.col("_sv"), F.col(nrm), F.col("_sn")
+                ),
+                6,
+            ),
+        )
         wsv = Window.partitionBy(idc).orderBy(
             F.col("_ssim").desc(), F.col("super_id").asc()
         )
@@ -335,6 +349,36 @@ def ivf_assign(
             sroutes.withColumn("_srn", F.row_number().over(wsv))
             .filter(F.col("_srn") <= super_keep)
             .drop("_sv", "_sn", "_ssim", "_srn")
+        )
+    if keep == 1:
+        # children packed per super (msup rows, ~nlist/msup children
+        # each): broadcast hash join + in-row argmax — no exchange, and
+        # no single row ever holds the whole centroid table
+        fam = cmap.groupBy("super_id").agg(
+            F.collect_list(
+                F.struct("centroid_id", "_cv", "_ccn")
+            ).alias("_kids")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("_kids"),
+                lambda s: F.struct(
+                    negkey(
+                        F.round(
+                            cosine_precomputed(
+                                F.col(vec), s["_cv"], F.col(nrm), s["_ccn"]
+                            ),
+                            6,
+                        )
+                    ).alias("_neg"),
+                    s["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        )
+        return (
+            routed.join(F.broadcast(fam), "super_id")
+            .withColumn("centroid_id", best["centroid_id"])
+            .select(idc, *carry, "centroid_id")
         )
     cjoined = routed.join(F.broadcast(cmap), "super_id").withColumn(
         "_csim",
@@ -345,8 +389,6 @@ def ivf_assign(
             6,
         ),
     )
-    if keep == 1:
-        return argbest1(cjoined, "_csim", "centroid_id")
     w = Window.partitionBy(idc).orderBy(
         F.col("_csim").desc(), F.col("centroid_id").asc()
     )
@@ -528,27 +570,44 @@ def ivf_index(
         # tie at rounded cosine 1.000000, and without the preference the
         # losing super is CHILDLESS, silently dropping every vector the
         # coarse router sends to it. Mirrored in _ivf_hier_sql's cmap.
-        wc = Window.partitionBy("centroid_id").orderBy(
-            F.col("_ssim").desc(),
-            F.when(F.col("super_id") == F.col("centroid_id"), 0)
-            .otherwise(1)
-            .asc(),
-            F.col("super_id").asc(),
+        # Struct-min over (negated-nan-guarded sim, self-pref, super_id)
+        # inside a projection reproduces the former row_number window's
+        # (sim desc, self-pref asc, id asc) ordering without shuffling
+        # the centroid table (r17 optimization, guide §2.4 — nlist grows
+        # with the corpus under target-cluster sizing, so this exchange
+        # was corpus-proportional).
+        sup_arr = supers.agg(
+            F.array_sort(
+                F.collect_list(F.struct("super_id", "_sv", "_sn"))
+            ).alias("_sups")
         )
-        cmap = (
-            cents.crossJoin(F.broadcast(supers))
-            .withColumn(
-                "_ssim",
-                F.round(
-                    cosine_precomputed(
-                        F.col("_cv"), F.col("_sv"),
-                        F.col("_ccn"), F.col("_sn"),
-                    ),
-                    6,
+        best = F.array_min(
+            F.transform(
+                F.col("_sups"),
+                lambda s: F.struct(
+                    (
+                        F.lit(0.0)
+                        - F.nanvl(
+                            F.round(
+                                cosine_precomputed(
+                                    F.col("_cv"), s["_sv"],
+                                    F.col("_ccn"), s["_sn"],
+                                ),
+                                6,
+                            ),
+                            F.lit(float("inf")),
+                        )
+                    ).alias("_neg"),
+                    F.when(s["super_id"] == F.col("centroid_id"), 0)
+                    .otherwise(1)
+                    .alias("_p"),
+                    s["super_id"].alias("super_id"),
                 ),
             )
-            .withColumn("_rn", F.row_number().over(wc))
-            .filter(F.col("_rn") == 1)
+        )
+        cmap = (
+            cents.crossJoin(F.broadcast(sup_arr))
+            .withColumn("super_id", best["super_id"])
             .select("centroid_id", "_cv", "_ccn", "super_id")
         )
         return supers, cmap
