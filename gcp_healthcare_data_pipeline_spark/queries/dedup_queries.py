@@ -451,8 +451,15 @@ def _dedup_state_frames(
     profile = docs.groupBy(F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
-    sh = with_shingles(docs.select("doc_id", "text"), "text", n=3).select(
-        F.col("doc_id").alias("corpus_id"), "shingles"
+    # checkpoint the shingled corpus: it is BOTH the ``shingles``
+    # standing table and the input to the band build, and a segment
+    # commit writes the two as separate jobs — without the cut each
+    # write re-tokenizes and re-shingles the whole batch (guide §2.4:
+    # two operations keyed the same way share one computation)
+    sh = (
+        with_shingles(docs.select("doc_id", "text"), "text", n=3)
+        .select(F.col("doc_id").alias("corpus_id"), "shingles")
+        .localCheckpoint(eager=False)
     )
     sig = minhash_signatures(sh, "corpus_id", "shingles", k=k)
     bands = band_keys(sig, "corpus_id", "sig", nb, r)
@@ -483,7 +490,7 @@ def _commit_dedup_segments(
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_snapshot_manifest,
         write_snapshot_manifest,
-        write_version,
+        write_versions_concurrently,
     )
 
     try:
@@ -494,12 +501,22 @@ def _commit_dedup_segments(
     if meta is None:
         meta = prev.get("meta")
     versions = {t: sorted(vs) for t, vs in live.items() if t not in frames}
-    for table, frame in frames.items():
-        pinned = set(live.get(table, []))
-        v = write_version(
-            frame, os.path.join(root, table), retain=1, pinned=pinned
-        )
-        versions[table] = sorted(pinned | {v})
+    # per-table segment writes are independent single-writer domains —
+    # overlap them from a driver thread pool (guide §2.6); the manifest
+    # below is the only thing a reader consumes and commits strictly
+    # after every table write returns
+    committed = write_versions_concurrently(
+        {
+            table: (
+                frame,
+                os.path.join(root, table),
+                {"retain": 1, "pinned": set(live.get(table, []))},
+            )
+            for table, frame in frames.items()
+        }
+    )
+    for table, v in committed.items():
+        versions[table] = sorted(set(live.get(table, [])) | {v})
     write_snapshot_manifest(root, versions, run_id=run_id, meta=meta)
 
 
@@ -762,7 +779,7 @@ def compact_dedup_segments(
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_snapshot_manifest,
         write_snapshot_manifest,
-        write_version,
+        write_versions_concurrently,
     )
 
     prev = read_snapshot_manifest(root)
@@ -781,15 +798,19 @@ def compact_dedup_segments(
         "bands": bands,
         "shingles": shingles,
     }
-    versions = {}
-    for table in _DEDUP_STATE_TABLES:
-        v = write_version(
-            merged[table],
-            os.path.join(root, table),
-            retain=1,
-            pinned=set(live.get(table, [])),
-        )
-        versions[table] = [v]
+    # the three merged-table writes are independent — overlap them
+    # (guide §2.6); the manifest commits after all of them
+    committed = write_versions_concurrently(
+        {
+            table: (
+                merged[table],
+                os.path.join(root, table),
+                {"retain": 1, "pinned": set(live.get(table, []))},
+            )
+            for table in _DEDUP_STATE_TABLES
+        }
+    )
+    versions = {table: [v] for table, v in committed.items()}
     write_snapshot_manifest(
         root, versions, run_id=run_id, meta=prev.get("meta")
     )

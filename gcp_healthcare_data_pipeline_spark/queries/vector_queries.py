@@ -636,7 +636,7 @@ def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_snapshot_tables,
         write_snapshot_manifest,
-        write_version,
+        write_versions_concurrently,
     )
 
     emb = load_tables(spark, sf_dir, "embeddings").select(
@@ -652,13 +652,14 @@ def q_ivf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_before")
     )
     with _lifecycle_store("q_ivf_roundtrip_") as root:
-        versions = {
-            "supers": write_version(supers, os.path.join(root, "supers")),
-            "cmap": write_version(cmap, os.path.join(root, "cmap")),
-            "occupancy": write_version(
-                occupancy, os.path.join(root, "occupancy")
-            ),
-        }
+        # independent table writes overlap (guide §2.6); manifest after
+        versions = write_versions_concurrently(
+            {
+                "supers": (supers, os.path.join(root, "supers"), {}),
+                "cmap": (cmap, os.path.join(root, "cmap"), {}),
+                "occupancy": (occupancy, os.path.join(root, "occupancy"), {}),
+            }
+        )
         write_snapshot_manifest(root, versions, run_id="ingest-000001")
         loaded = read_snapshot_tables(spark, root)
         b = emb.filter(is_batch).select(
@@ -2220,7 +2221,7 @@ def standing_semdedup_tables(
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_snapshot_tables,
         write_snapshot_manifest,
-        write_version,
+        write_versions_concurrently,
     )
 
     root = _SEMDEDUP_STORES.get(sf_dir)
@@ -2229,15 +2230,18 @@ def standing_semdedup_tables(
         _ba, assigned, centroids, m_frame = _incremental_standing_assigned(
             spark, sf_dir
         )
-        versions = {
-            "centroids": write_version(
-                centroids, os.path.join(root, "centroids")
-            ),
-            "m": write_version(m_frame, os.path.join(root, "m")),
-            "survivors": write_version(
-                _semdedup_survivors(assigned), os.path.join(root, "survivors")
-            ),
-        }
+        # independent table writes overlap (guide §2.6); manifest after
+        versions = write_versions_concurrently(
+            {
+                "centroids": (centroids, os.path.join(root, "centroids"), {}),
+                "m": (m_frame, os.path.join(root, "m"), {}),
+                "survivors": (
+                    _semdedup_survivors(assigned),
+                    os.path.join(root, "survivors"),
+                    {},
+                ),
+            }
+        )
         write_snapshot_manifest(root, versions, run_id="nightly-000001")
         if not _SEMDEDUP_STORES:
             atexit.register(clear_standing_store)
@@ -2272,7 +2276,7 @@ def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_snapshot_tables,
         write_snapshot_manifest,
-        write_version,
+        write_versions_concurrently,
     )
 
     _ba, assigned, centroids, m_frame = _incremental_standing_assigned(
@@ -2281,13 +2285,14 @@ def q_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = _semdedup_survivors(assigned)
 
     with _lifecycle_store("q_index_roundtrip_") as root:
-        versions = {
-            "centroids": write_version(centroids, os.path.join(root, "centroids")),
-            "m": write_version(m_frame, os.path.join(root, "m")),
-            "survivors": write_version(
-                survivors, os.path.join(root, "survivors")
-            ),
-        }
+        # independent table writes overlap (guide §2.6); manifest after
+        versions = write_versions_concurrently(
+            {
+                "centroids": (centroids, os.path.join(root, "centroids"), {}),
+                "m": (m_frame, os.path.join(root, "m"), {}),
+                "survivors": (survivors, os.path.join(root, "survivors"), {}),
+            }
+        )
         write_snapshot_manifest(root, versions, run_id="ingest-000001")
         loaded = read_snapshot_tables(spark, root)
 
@@ -3414,17 +3419,21 @@ def standing_ivfpq_tables(
     from gcp_healthcare_data_pipeline_spark.operators.versioning import (  # noqa: PLC0415
         read_snapshot_tables,
         write_snapshot_manifest,
-        write_version,
+        write_versions_concurrently,
     )
 
     root = _IVFPQ_STORES.get(sf_dir)
     if root is None or not os.path.isdir(root):
         root = tempfile.mkdtemp(prefix="ivfpq_store_")
         frames = _ivfpq_standing_frames(spark, sf_dir)
-        versions = {
-            name: write_version(frames[name], os.path.join(root, name))
-            for name in _IVFPQ_STATE_TABLES
-        }
+        # independent table writes overlap (guide §2.6); manifest after
+        versions = write_versions_concurrently(
+            {
+                name: (frames[name], os.path.join(root, name), {})
+                for name in _IVFPQ_STATE_TABLES
+            },
+            max_workers=4,
+        )
         write_snapshot_manifest(root, versions, run_id="nightly-000001")
         if not _IVFPQ_STORES:
             atexit.register(clear_standing_ivfpq_store)
