@@ -346,14 +346,20 @@ _SHINGLES_SQL = (
 
 
 def _keep_first_per_key(df: DataFrame, key: "F.Column") -> DataFrame:
-    """min-doc_id keeper per key: ONE hash-partitioned window shuffle
-    (the exact-dedup discipline — balanced unless one literal key
-    dominates, which is the boilerplate case handled upstream)."""
-    w = Window.partitionBy(key).orderBy("doc_id")
+    """min-doc_id keeper per key as a partial-combining
+    ``groupBy(key).agg(min(struct(doc_id, ...)))`` — lexicographic
+    struct-min with the unique doc_id leading IS the former
+    ``row_number() over (partition by key order by doc_id) = 1`` window
+    (r17 optimization, guide §2.3 "aggregate before you shuffle"): the
+    exchange now carries one pre-reduced row per key per map partition
+    instead of the window's full-table sort shuffle, and a hot literal
+    key (the boilerplate case) partially collapses map-side instead of
+    skewing one sort partition."""
+    cols = ["doc_id"] + [c for c in df.columns if c != "doc_id"]
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(key.alias("_k"))
+        .agg(F.min(F.struct(*cols)).alias("_w"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in df.columns])
     )
 
 
@@ -440,6 +446,14 @@ def _curation_stage_frames(
     )
 
     def ckpt(df: DataFrame) -> DataFrame:
+        # localCheckpoint, deliberately: a persist() chain was tried in
+        # r17 — it defers all execution to the ledger's single action,
+        # but 13 levels of nested InMemoryRelations (each embedding the
+        # previous stage's adaptive plan) blew up plan rendering/
+        # planning outright. The checkpoint cuts the lineage flat per
+        # stage; its toRdd does materialize each stage eagerly under
+        # AQE, which is the measured cost of this query (see
+        # OPTIMIZATION_r17.md §D).
         return df.localCheckpoint(eager=False)
 
     d0 = load_tables(spark, sf_dir, "documents").select(
@@ -622,9 +636,10 @@ def _curation_ledger(frames: "list[tuple[str, DataFrame]]") -> DataFrame:
     checkpointed aggregates crossJoined pairwise — tiny frames only."""
 
     def cnt(df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).cast("bigint").alias("_n")
-        ).localCheckpoint(eager=False)
+        # no checkpoint: the parent stage frame is persisted, so the
+        # two consumers of each count (rows_out of stage k, rows_in of
+        # stage k+1) re-run only a 1-row aggregate over cached blocks
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
 
     counts = [(name, cnt(df)) for name, df in frames]
     c0 = counts[0][1]

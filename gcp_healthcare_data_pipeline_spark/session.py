@@ -44,6 +44,19 @@ def get_spark(
         # -- semantics ----------------------------------------------------
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # -- driver/JVM sizing (guide §5): in local mode the driver heap
+        #    IS the executor heap — 32 task threads plus cached
+        #    checkpoint blocks inside the 1g default heap spend a large
+        #    fraction of wall-clock in GC (measured: allocation-heavy
+        #    queries regress 1.3-1.6x deep into a bench sweep).
+        #    Parameterised via env; on a real cluster spark-submit owns
+        #    driver sizing and this builder conf is inert (the JVM is
+        #    already up). Only honored when THIS process creates the
+        #    JVM — see tools/check.py's post-getOrCreate assert.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "8g"),
+        )
         # -- adaptive execution -------------------------------------------
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
