@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.functions.vectors import (
+    argmin_fold,
     as_double,
     cosine_precomputed,
     norm,
@@ -128,7 +129,10 @@ def hash_stratified_winners(
     window, but the exchange now carries at most m pre-reduced rows per
     map partition instead of the window's full-table sort shuffle.
     Payload columns ride along in the struct and are never compared
-    (the unique (_h, id) prefix decides first)."""
+    (the unique (_h, id) prefix decides first) — but struct-min still
+    requires every payload column's TYPE to be orderable (maps fail at
+    analysis time where the former row_number window worked; no current
+    caller carries one — r17 ADVICE, constraint made explicit)."""
     cols = df.columns
     h = _md5_48(id_col)
     return (
@@ -286,7 +290,8 @@ def ivf_assign(
     mirrored in the oracle.
 
     keep-1 argmaxes (the corpus-side, cost-critical path) run as
-    array_min folds over BROADCAST-PACKED candidate arrays inside a
+    single-pass :func:`functions.vectors.argmin_fold` folds over
+    BROADCAST-PACKED candidate arrays inside a
     projection — ZERO exchange of the assigned frame (r17 optimization,
     guide §2.4; through r16 they were partial-combining groupBy
     min-struct aggregates, which still shuffled one pre-reduced row
@@ -311,21 +316,19 @@ def ivf_assign(
                 F.collect_list(F.struct("super_id", "_sv", "_sn"))
             ).alias("_sups")
         )
-        best_sup = F.array_min(
-            F.transform(
-                F.col("_sups"),
-                lambda s: F.struct(
-                    negkey(
-                        F.round(
-                            cosine_precomputed(
-                                F.col(vec), s["_sv"], F.col(nrm), s["_sn"]
-                            ),
-                            6,
-                        )
-                    ).alias("_neg"),
-                    s["super_id"].alias("super_id"),
-                ),
-            )
+        best_sup = argmin_fold(
+            F.col("_sups"),
+            lambda s: F.struct(
+                negkey(
+                    F.round(
+                        cosine_precomputed(
+                            F.col(vec), s["_sv"], F.col(nrm), s["_sn"]
+                        ),
+                        6,
+                    )
+                ).alias("_neg"),
+                s["super_id"].alias("super_id"),
+            ),
         )
         routed = (
             df.crossJoin(F.broadcast(sup_arr))
@@ -350,30 +353,33 @@ def ivf_assign(
             .filter(F.col("_srn") <= super_keep)
             .drop("_sv", "_sn", "_ssim", "_srn")
         )
-    if keep == 1:
+    if keep == 1 and super_keep == 1:
         # children packed per super (msup rows, ~nlist/msup children
         # each): broadcast hash join + in-row argmax — no exchange, and
-        # no single row ever holds the whole centroid table
+        # no single row ever holds the whole centroid table.
+        # Gated on super_keep == 1 as well (r17 ADVICE): with
+        # super_keep > 1 this per-super argmax would emit one winner per
+        # PROBED super instead of the window path's single global best
+        # per id — every current keep==1 caller routes 1 super, so the
+        # gate is contract hardening, not a behavior change.
         fam = cmap.groupBy("super_id").agg(
             F.collect_list(
                 F.struct("centroid_id", "_cv", "_ccn")
             ).alias("_kids")
         )
-        best = F.array_min(
-            F.transform(
-                F.col("_kids"),
-                lambda s: F.struct(
-                    negkey(
-                        F.round(
-                            cosine_precomputed(
-                                F.col(vec), s["_cv"], F.col(nrm), s["_ccn"]
-                            ),
-                            6,
-                        )
-                    ).alias("_neg"),
-                    s["centroid_id"].alias("centroid_id"),
-                ),
-            )
+        best = argmin_fold(
+            F.col("_kids"),
+            lambda s: F.struct(
+                negkey(
+                    F.round(
+                        cosine_precomputed(
+                            F.col(vec), s["_cv"], F.col(nrm), s["_ccn"]
+                        ),
+                        6,
+                    )
+                ).alias("_neg"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
         )
         return (
             routed.join(F.broadcast(fam), "super_id")
@@ -581,29 +587,27 @@ def ivf_index(
                 F.collect_list(F.struct("super_id", "_sv", "_sn"))
             ).alias("_sups")
         )
-        best = F.array_min(
-            F.transform(
-                F.col("_sups"),
-                lambda s: F.struct(
-                    (
-                        F.lit(0.0)
-                        - F.nanvl(
-                            F.round(
-                                cosine_precomputed(
-                                    F.col("_cv"), s["_sv"],
-                                    F.col("_ccn"), s["_sn"],
-                                ),
-                                6,
+        best = argmin_fold(
+            F.col("_sups"),
+            lambda s: F.struct(
+                (
+                    F.lit(0.0)
+                    - F.nanvl(
+                        F.round(
+                            cosine_precomputed(
+                                F.col("_cv"), s["_sv"],
+                                F.col("_ccn"), s["_sn"],
                             ),
-                            F.lit(float("inf")),
-                        )
-                    ).alias("_neg"),
-                    F.when(s["super_id"] == F.col("centroid_id"), 0)
-                    .otherwise(1)
-                    .alias("_p"),
-                    s["super_id"].alias("super_id"),
-                ),
-            )
+                            6,
+                        ),
+                        F.lit(float("inf")),
+                    )
+                ).alias("_neg"),
+                F.when(s["super_id"] == F.col("centroid_id"), 0)
+                .otherwise(1)
+                .alias("_p"),
+                s["super_id"].alias("super_id"),
+            ),
         )
         cmap = (
             cents.crossJoin(F.broadcast(sup_arr))

@@ -119,15 +119,38 @@ def write_versions_concurrently(
     consume, so concurrency here cannot widen the isolation contract.
     Shared lazily-checkpointed parents are safe under concurrent
     first-materialization (block-level locking: one job computes a
-    cached partition, the others wait)."""
+    cached partition, the others wait).
+
+    Failure contract (r17 ADVICE): every submitted write runs to
+    completion (success or failure) before this returns — a partial
+    failure raises ONE aggregated error naming every failed table, and
+    the error message lists the sibling tables whose per-table versions
+    DID commit (they become unreferenced pins/orphans: the caller never
+    writes the snapshot manifest, so no reader can observe them, and
+    the next successful commit's retention sweep reclaims them)."""
     from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
-    def _one(item: "tuple[str, tuple[DataFrame, str, dict]]"):
-        table, (frame, path, kwargs) = item
-        return table, write_version(frame, path, **kwargs)
-
     with ThreadPoolExecutor(max_workers=min(max_workers, len(jobs) or 1)) as pool:
-        return dict(pool.map(_one, jobs.items()))
+        futures = {
+            table: pool.submit(write_version, frame, path, **kwargs)
+            for table, (frame, path, kwargs) in jobs.items()
+        }
+        results: dict[str, int] = {}
+        failures: dict[str, BaseException] = {}
+        for table, fut in futures.items():
+            try:
+                results[table] = fut.result()
+            except BaseException as exc:  # noqa: BLE001 — aggregate, re-raise
+                failures[table] = exc
+    if failures:
+        failed = ", ".join(f"{t}: {e}" for t, e in sorted(failures.items()))
+        committed = ", ".join(sorted(results)) or "none"
+        raise RuntimeError(
+            f"write_versions_concurrently: {len(failures)} table write(s) "
+            f"failed [{failed}]; committed-but-unreferenced table versions "
+            f"(orphan pins, invisible without a manifest): {committed}"
+        ) from next(iter(failures.values()))
+    return results
 
 
 def write_snapshot_manifest(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gcp_healthcare_data_pipeline_spark.functions.vectors import (
+    argmin_fold,
     as_double,
     cosine_precomputed,
     norm,
@@ -1324,19 +1325,20 @@ def _super_centroids(
 
 def _pack_nearest_struct(arr: "F.Column", v: "F.Column") -> "F.Column":
     """min (rounded-dist, id) struct over a packed (i, c) struct array:
-    ``array_min`` over structs is lexicographic, so struct(d, i) min IS
-    the former ``row_number() over (order by dist asc, id asc) = 1``
+    struct-min is lexicographic, so struct(d, i) min IS the former
+    ``row_number() over (order by dist asc, id asc) = 1``
     window — identical tie-breaks (rounded to 6dp BEFORE the compare,
     NaN sorts greatest in both, and (d, i) is unique per element).
     NULL/empty array propagates to a NULL struct (callers drop those
-    rows, matching the former inner child join)."""
-    return F.array_min(
-        F.transform(
-            arr,
-            lambda s: F.struct(
-                _dist_between(v, s["c"]).alias("d"), s["i"].alias("i")
-            ),
-        )
+    rows, matching the former inner child join). Runs as a single-pass
+    :func:`functions.vectors.argmin_fold` (r18; the r17
+    array_min-over-transform allocated the full candidate-struct array
+    per row before scanning it)."""
+    return argmin_fold(
+        arr,
+        lambda s: F.struct(
+            _dist_between(v, s["c"]).alias("d"), s["i"].alias("i")
+        ),
     )
 
 
@@ -1403,17 +1405,15 @@ def _kmeans_assign(
     cmap = centroids.crossJoin(F.broadcast(sup_arr)).select(
         "centroid_id",
         "c",
-        F.array_min(
-            F.transform(
-                F.col("_sups"),
-                lambda s: F.struct(
-                    _dist_between(F.col("c"), s["c"]).alias("d"),
-                    F.when(s["i"] == F.col("centroid_id"), 0)
-                    .otherwise(1)
-                    .alias("p"),
-                    s["i"].alias("i"),
-                ),
-            )
+        argmin_fold(
+            F.col("_sups"),
+            lambda s: F.struct(
+                _dist_between(F.col("c"), s["c"]).alias("d"),
+                F.when(s["i"] == F.col("centroid_id"), 0)
+                .otherwise(1)
+                .alias("p"),
+                s["i"].alias("i"),
+            ),
         )["i"].alias("super_id"),
     )
     # super_id -> its children packed per super (m rows, each holding
@@ -2701,14 +2701,12 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
         )
     )
     cands = F.filter(F.col("_cb"), lambda c: c["sub"] == F.col("sub"))
-    best = F.array_min(
-        F.transform(
-            cands,
-            lambda c: F.struct(
-                _dist_between(F.col("sv"), c["cw"]).alias("_d"),
-                c["code_id"].alias("code_id"),
-            ),
-        )
+    best = argmin_fold(
+        cands,
+        lambda c: F.struct(
+            _dist_between(F.col("sv"), c["cw"]).alias("_d"),
+            c["code_id"].alias("code_id"),
+        ),
     )
     return (
         sub.crossJoin(F.broadcast(cbrow))

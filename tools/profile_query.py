@@ -86,7 +86,9 @@ def main() -> None:
             print(f"{name:34s} {t1 - t0:11.3f} {t2 - t1:8.3f} {t2 - t0:8.3f} "
                   f"{jobs1 - jobs0:5d} {n}")
             if args.explain and r == 0:
-                out_dir = os.path.join(REPO, "plans", "r17")
+                out_dir = os.path.join(
+                    REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r18")
+                )
                 os.makedirs(out_dir, exist_ok=True)
                 clear_shared_state()
                 df2 = spec.fn(spark, sf_dir)
